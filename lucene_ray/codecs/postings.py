@@ -1,0 +1,235 @@
+"""Posting-list blob codec: delta-gap doc IDs in 256-doc blocks (FOR or
+bitset, whichever is smaller), PFor-compressed term frequencies, per-block
+competitive (freq, norm) impact frontiers, and an explicit block directory.
+
+Semantics follow the reference's Lucene104 postings format
+(``lucene/core/src/java/org/apache/lucene/codecs/lucene104/Lucene104PostingsWriter.java:237-450``:
+BLOCK_SIZE=256 delta-gap doc blocks, FOR-vs-unary-bitset decision, PFor
+freqs, per-block competitive impacts ahead of the block;
+``.../CompetitiveImpactAccumulator.java:64-102``: pareto (freq, norm)
+frontier). The reference's embedded skip entries (level 0 per block,
+level 1 every 32 blocks — ``Lucene104PostingsFormat.java:343-351``) become
+an explicit *block directory* — arrays of per-block (first_docid,
+last_docid, offsets) — which is the columnar equivalent: a reader skips a
+block by masking its directory row instead of following skip pointers.
+
+Blob layout (little-endian):
+
+    u32 doc_count
+    u32 n_blocks                  # ceil(doc_count / 256); last may be short
+    -- directory (per block):
+    u32[n] first_docid
+    u32[n] last_docid
+    u32[n] data_offset            # into the data section
+    u8[n]  docid_kind             # 0 = FOR over gaps, 1 = bitset
+    u8[n]  docid_width            # FOR bit width (kind 0)
+    u8[n]  freq_width             # PFor base width
+    u8[n]  freq_n_exc
+    u8[n]  n_impacts
+    u16[n] block_len              # docs in block (256 except the last)
+    -- data section (per block):
+    docid bytes | freq base bytes | freq exceptions (u16 pos, u32 val)* |
+    impacts (u32 freq, u8 norm)*
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lucene_ray.codecs.forutil import (
+    bit_width,
+    pack,
+    packed_size,
+    pfor_decode,
+    pfor_encode,
+    unpack,
+)
+from lucene_ray.codecs.smallfloat import LENGTH_TABLE
+
+BLOCK_SIZE = 256  # Lucene104PostingsFormat.BLOCK_SIZE (:343)
+
+_DIR_DTYPE = np.dtype(
+    [
+        ("first_docid", "<u4"),
+        ("last_docid", "<u4"),
+        ("data_offset", "<u4"),
+        ("docid_kind", "u1"),
+        ("docid_width", "u1"),
+        ("freq_width", "u1"),
+        ("freq_n_exc", "u1"),
+        ("n_impacts", "u1"),
+        ("block_len", "<u2"),
+    ]
+)
+
+
+def competitive_impacts(freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+    """Pareto frontier of (freq, norm): keep max freq per norm byte, then
+    drop pairs dominated by a (higher-freq, shorter-or-equal-length) pair.
+
+    Returns a structured array sorted by decoded length ascending with
+    strictly increasing freq — ``CompetitiveImpactAccumulator.java:64-102``.
+    """
+    freqs = np.asarray(freqs, dtype=np.uint32)
+    norms = np.asarray(norms, dtype=np.uint8)
+    # norm bytes map 1:1 monotonically to decoded lengths, so sorting by
+    # byte == sorting by length; max freq per distinct norm byte first.
+    uniq = np.unique(norms)
+    out: List[Tuple[int, int]] = []
+    best = 0
+    for n in uniq:  # ascending norm byte == ascending doc length
+        f = int(freqs[norms == n].max())
+        if f > best:  # dominated unless strictly higher freq at longer length
+            out.append((f, int(n)))
+            best = f
+    arr = np.zeros(len(out), dtype=[("freq", "<u4"), ("norm", "u1")])
+    if out:
+        arr["freq"] = [f for f, _ in out]
+        arr["norm"] = [n for _, n in out]
+    return arr
+
+
+def max_block_score(impacts: np.ndarray, scorer) -> float:
+    """Score upper bound for a block = max BM25 score over its frontier."""
+    if len(impacts) == 0:
+        return float(scorer.weight)
+    s = scorer.score(impacts["freq"].astype(np.float32), impacts["norm"])
+    return float(s.max())
+
+
+def encode_postings(
+    docids: np.ndarray,
+    freqs: np.ndarray,
+    norms: Optional[np.ndarray] = None,
+) -> bytes:
+    """Encode one term's postings. ``docids`` strictly increasing uint32,
+    ``freqs`` aligned uint32, ``norms`` aligned uint8 (per-doc norm bytes,
+    used only to build impact frontiers; pass None to skip impacts)."""
+    docids = np.ascontiguousarray(docids, dtype=np.uint32)
+    freqs = np.ascontiguousarray(freqs, dtype=np.uint32)
+    n = len(docids)
+    if n == 0:
+        raise ValueError("empty posting list")
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    directory = np.zeros(n_blocks, dtype=_DIR_DTYPE)
+    data_parts: List[bytes] = []
+    offset = 0
+    prev_last = -1
+    for bi in range(n_blocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        ids = docids[lo:hi]
+        fr = freqs[lo:hi]
+        blen = hi - lo
+        first, last = int(ids[0]), int(ids[-1])
+        gaps = np.diff(ids, prepend=np.uint32(prev_last + 1)).astype(np.uint32)
+        # gaps relative to prev block's last + 1 ⇒ min gap 0 for adjacent ids
+        w_for = bit_width(int(gaps.max())) if blen else 0
+        for_bytes = packed_size(blen, w_for)
+        span = last - first + 1
+        bitset_bytes = (span + 7) // 8
+        if bitset_bytes < for_bytes:
+            kind, width = 1, 0
+            bs = np.zeros(bitset_bytes * 8, dtype=np.uint8)
+            bs[ids - first] = 1
+            docid_data = np.packbits(bs).tobytes()
+        else:
+            kind, width = 0, w_for
+            docid_data = pack(gaps, w_for)
+        fw, fbase, fexc_pos, fexc_val = pfor_encode(fr)
+        imp = (
+            competitive_impacts(fr, norms[lo:hi])
+            if norms is not None
+            else np.zeros(0, dtype=[("freq", "<u4"), ("norm", "u1")])
+        )
+        block = b"".join(
+            [
+                docid_data,
+                fbase,
+                fexc_pos.astype("<u2").tobytes(),
+                fexc_val.astype("<u4").tobytes(),
+                imp["freq"].astype("<u4").tobytes(),
+                imp["norm"].tobytes(),
+            ]
+        )
+        d = directory[bi]
+        d["first_docid"], d["last_docid"] = first, last
+        d["data_offset"] = offset
+        d["docid_kind"], d["docid_width"] = kind, width
+        d["freq_width"], d["freq_n_exc"] = fw, len(fexc_pos)
+        d["n_impacts"] = len(imp)
+        d["block_len"] = blen
+        data_parts.append(block)
+        offset += len(block)
+        prev_last = last
+    header = np.array([n, n_blocks], dtype="<u4").tobytes()
+    return header + directory.tobytes() + b"".join(data_parts)
+
+
+class PostingsView:
+    """Zero-copy-ish view over an encoded blob (works on mmapped bytes)."""
+
+    def __init__(self, buf):
+        buf = np.frombuffer(buf, dtype=np.uint8)
+        self.doc_count = int(buf[:4].view("<u4")[0])
+        self.n_blocks = int(buf[4:8].view("<u4")[0])
+        dir_end = 8 + self.n_blocks * _DIR_DTYPE.itemsize
+        self.directory = buf[8:dir_end].view(_DIR_DTYPE)
+        self.data = buf[dir_end:]
+
+    def decode_block(self, bi: int) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (docids uint32, freqs uint32) for block ``bi``."""
+        d = self.directory[bi]
+        blen = int(d["block_len"])
+        off = int(d["data_offset"])
+        first = int(d["first_docid"])
+        if d["docid_kind"] == 1:
+            span = int(d["last_docid"]) - first + 1
+            nbytes = (span + 7) // 8
+            bits = np.unpackbits(self.data[off : off + nbytes], count=span)
+            ids = (np.flatnonzero(bits) + first).astype(np.uint32)
+            off += nbytes
+        else:
+            w = int(d["docid_width"])
+            nbytes = packed_size(blen, w)
+            gaps = unpack(self.data[off : off + nbytes], blen, w)
+            prev = (
+                int(self.directory[bi - 1]["last_docid"]) + 1 if bi > 0 else 0
+            )
+            ids = (np.cumsum(gaps.astype(np.uint64)) + prev).astype(np.uint32)
+            off += nbytes
+        fw, n_exc = int(d["freq_width"]), int(d["freq_n_exc"])
+        fb = packed_size(blen, fw)
+        fbuf = self.data[off : off + fb]
+        off += fb
+        exc_pos = self.data[off : off + n_exc * 2].view("<u2")
+        off += n_exc * 2
+        exc_val = self.data[off : off + n_exc * 4].view("<u4")
+        freqs = pfor_decode(fbuf, blen, fw, exc_pos, exc_val)
+        return ids, freqs
+
+    def impacts(self, bi: int) -> np.ndarray:
+        d = self.directory[bi]
+        blen = int(d["block_len"])
+        n_imp = int(d["n_impacts"])
+        off = int(d["data_offset"])
+        if d["docid_kind"] == 1:
+            off += (int(d["last_docid"]) - int(d["first_docid"]) + 1 + 7) // 8
+        else:
+            off += packed_size(blen, int(d["docid_width"]))
+        off += packed_size(blen, int(d["freq_width"])) + int(d["freq_n_exc"]) * 6
+        out = np.zeros(n_imp, dtype=[("freq", "<u4"), ("norm", "u1")])
+        out["freq"] = self.data[off : off + n_imp * 4].view("<u4")
+        off += n_imp * 4
+        out["norm"] = self.data[off : off + n_imp]
+        return out
+
+    def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Full decode → (docids, freqs); vectorized across blocks."""
+        ids_parts, freq_parts = [], []
+        for bi in range(self.n_blocks):
+            ids, fr = self.decode_block(bi)
+            ids_parts.append(ids)
+            freq_parts.append(fr)
+        return np.concatenate(ids_parts), np.concatenate(freq_parts)

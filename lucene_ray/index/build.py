@@ -1,0 +1,184 @@
+"""Index build pipelines (Ray Data).
+
+``build_index`` — the segmented, resumable build (SURVEY §3.1 Ray shape):
+partitions are planned **from immutable parquet metadata** (sorted file
+list + row counts ⇒ deterministic docid bases, SURVEY §7.3.8), flow
+through a Ray Dataset, and each partition task performs the reference's
+DocumentsWriterPerThread role (``core/index/DocumentsWriterPerThread.java:245-357``):
+tokenize → invert (vectorized Arrow groupby-term) → encode → write one
+immutable segment, atomically. A failed/killed run resumes by skipping
+segment dirs that already committed.
+
+The per-partition build is shared-nothing — Lucene's DWPT thread privacy
+becomes Ray task privacy (SURVEY §4) — so the build scales linearly with
+CPUs/nodes until the input storage saturates; there is no cross-task
+shuffle in this path. The groupby-term **shuffle** build with head-term
+salting lives in ``lucene_ray.index.shuffle_build``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.manifest import (
+    Manifest,
+    commit_manifest,
+    completed_segments,
+    segment_dir,
+)
+from lucene_ray.index.segment import invert_texts, write_segment
+
+
+def plan_partitions(paths: Sequence[str], rows_per_segment: int) -> List[dict]:
+    """Deterministic partition plan from parquet footers only (no data read).
+
+    Sorted file list → per-file row counts → contiguous docid bases. The
+    plan is a pure function of the input listing, so a resumed run
+    re-derives identical bases (never double-assigns docids).
+    """
+    plan: List[dict] = []
+    base = 0
+    seg_id = 0
+    for path in sorted(paths):
+        n = pq.ParquetFile(path).metadata.num_rows
+        start = 0
+        while start < n:
+            end = min(start + rows_per_segment, n)
+            plan.append(
+                {
+                    "seg_id": seg_id,
+                    "path": path,
+                    "row_start": start,
+                    "row_end": end,
+                    "base_docid": base + start,
+                }
+            )
+            seg_id += 1
+            start = end
+        base += n
+    return plan
+
+
+def read_partition(
+    path: str, row_start: int, row_end: int, columns: List[str]
+) -> pa.Table:
+    """Read a row range using row-group pruning (only overlapping groups)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    groups = []
+    off = 0
+    first_off = None
+    for gi in range(md.num_row_groups):
+        g_rows = md.row_group(gi).num_rows
+        if off < row_end and off + g_rows > row_start:
+            groups.append(gi)
+            if first_off is None:
+                first_off = off
+        off += g_rows
+    if not groups:
+        return pa.table({c: pa.array([], pa.string()) for c in columns})
+    tbl = pf.read_row_groups(groups, columns=columns)
+    lo = row_start - first_off
+    return tbl.slice(lo, row_end - row_start)
+
+
+def build_partition(
+    item: dict, config: IndexConfig, index_dir: str
+) -> dict:
+    """One build task: read range → invert → write segment. Idempotent."""
+    seg_id = int(item["seg_id"])
+    sdir = segment_dir(index_dir, seg_id)
+    if os.path.exists(os.path.join(sdir, "meta.json")):
+        with open(os.path.join(sdir, "meta.json")) as f:
+            return json.load(f)
+    tbl = read_partition(
+        item["path"], int(item["row_start"]), int(item["row_end"]),
+        [config.key_col, config.text_col],
+    )
+    analyzer = Analyzer(
+        stopwords=config.stopwords, max_token_length=config.max_token_length
+    )
+    texts = tbl.column(config.text_col).to_pylist()
+    inv = invert_texts(texts, analyzer, with_positions=config.positions)
+    keys = tbl.column(config.key_col).combine_chunks()
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    meta = write_segment(
+        sdir,
+        seg_id,
+        int(item["base_docid"]),
+        keys,
+        inv,
+        config,
+        extra_meta={
+            "lineage": {
+                "path": item["path"],
+                "row_start": int(item["row_start"]),
+                "row_end": int(item["row_end"]),
+            }
+        },
+    )
+    return meta
+
+
+def build_index(
+    paths,
+    index_dir: str,
+    config: Optional[IndexConfig] = None,
+    concurrency: Optional[int] = None,
+) -> Manifest:
+    """Build (or resume) an index over parquet ``paths`` into ``index_dir``.
+
+    ``paths`` may be a directory, one path, or a list. Returns the
+    committed manifest.
+    """
+    import ray
+    import ray.data
+
+    config = config or IndexConfig()
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = [
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith(".parquet")
+            ]
+        else:
+            paths = [paths]
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    plan = plan_partitions(sorted(paths), config.rows_per_segment)
+    done = completed_segments(index_dir)
+    pending = [p for p in plan if p["seg_id"] not in done]
+    metas: List[dict] = []
+    for seg_id, sdir in done.items():
+        with open(os.path.join(sdir, "meta.json")) as f:
+            metas.append(json.load(f))
+
+    if pending:
+        work = ray.data.from_items(pending)
+        if len(pending) > 1:
+            work = work.repartition(len(pending))
+
+        def run(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
+            out = []
+            n = len(batch["seg_id"])
+            for i in range(n):
+                item = {k: batch[k][i] for k in batch}
+                out.append(json.dumps(build_partition(item, config, index_dir)))
+            return {"meta": out}
+
+        results = work.map_batches(run, batch_format="numpy")
+        for row in results.take_all():
+            metas.append(json.loads(row["meta"]))
+
+    return commit_manifest(index_dir, config, metas)

@@ -1,0 +1,64 @@
+"""Index configuration — the Ray analogue of ``IndexWriterConfig`` +
+``FieldType`` (``lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java``,
+``.../document/TextField.java:27-43``)."""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import FrozenSet, Optional
+
+from lucene_ray.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Per-field/index knobs.
+
+    ``positions=True`` matches ``TextField`` (DOCS_AND_FREQS_AND_POSITIONS);
+    empty stopwords matches ``StandardAnalyzer``'s default.
+    """
+
+    text_col: str = "text"
+    key_col: str = "doc_id"
+    stopwords: FrozenSet[str] = frozenset()
+    positions: bool = True
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    num_buckets: int = 1  # term-hash parts per segment (shuffle build uses >1)
+    rows_per_segment: int = 1 << 20  # partition granularity for the build
+    # head-term salting (shuffle build): terms with estimated df above this
+    # fraction of docs get split by docid range into this many salt groups.
+    hot_term_df_ratio: float = 0.10
+    num_salts: int = 8
+
+    def term_bucket(self, term: str) -> int:
+        """Stable cross-process term→bucket routing (crc32, NOT python
+        ``hash`` which is per-process seeded)."""
+        return zlib.crc32(term.encode("utf-8")) % self.num_buckets
+
+    def to_json(self) -> dict:
+        return {
+            "text_col": self.text_col,
+            "key_col": self.key_col,
+            "stopwords": sorted(self.stopwords),
+            "positions": self.positions,
+            "max_token_length": self.max_token_length,
+            "num_buckets": self.num_buckets,
+            "rows_per_segment": self.rows_per_segment,
+            "hot_term_df_ratio": self.hot_term_df_ratio,
+            "num_salts": self.num_salts,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexConfig":
+        return IndexConfig(
+            text_col=d["text_col"],
+            key_col=d["key_col"],
+            stopwords=frozenset(d["stopwords"]),
+            positions=d["positions"],
+            max_token_length=d["max_token_length"],
+            num_buckets=d["num_buckets"],
+            rows_per_segment=d["rows_per_segment"],
+            hot_term_df_ratio=d.get("hot_term_df_ratio", 0.10),
+            num_salts=d.get("num_salts", 8),
+        )

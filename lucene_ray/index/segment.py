@@ -1,0 +1,437 @@
+"""Immutable segment shards: inversion kernel, writer, reader.
+
+A segment is the Ray analogue of a Lucene segment
+(``core/index/SegmentInfos.java:54-63``): an immutable directory holding,
+for one contiguous docid range,
+
+    meta.json                     — stats, config echo, checksums, metrics
+    norms.bin                     — uint8[n_docs] SmallFloat-encoded lengths
+                                    (``Similarity.java:129-155``)
+    docmap.parquet                — local docid → original document key
+    part_{b:04d}.terms.parquet    — sorted term dictionary for hash-bucket b
+                                    (term, df, ttf, offsets) — the role of the
+                                    block-tree term dict (.tim/.tip),
+                                    simplified to binary search over a sorted
+                                    Arrow column per SURVEY §2.4
+    part_{b:04d}.postings.bin     — concatenated postings blobs (codec:
+                                    lucene_ray.codecs.postings)
+    part_{b:04d}.positions.bin    — optional FOR-packed positions
+
+Inversion (``invert_texts``) replaces the reference's in-RAM
+``TermsHashPerField`` byte-slice hash (``core/index/TermsHashPerField.java:35-77``)
+with a vectorized Arrow sort-by-(term,docid,pos) + run-length pass — the
+"group by term" map side of SURVEY §2.3, executed per build task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.codecs.postings import PostingsView, encode_postings
+from lucene_ray.codecs.forutil import pack, packed_size, unpack
+from lucene_ray.codecs.smallfloat import encode_norms
+from lucene_ray.index.config import IndexConfig
+
+META_NAME = "meta.json"
+
+
+# --------------------------------------------------------------------------
+# positions blob: u32 count, then per-256 block: u8 width + packed values
+# --------------------------------------------------------------------------
+def encode_uint_blocks(vals: np.ndarray) -> bytes:
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    n = len(vals)
+    parts = [np.array([n], "<u4").tobytes()]
+    for lo in range(0, n, 256):
+        chunk = vals[lo : lo + 256]
+        w = int(chunk.max()).bit_length() if len(chunk) else 0
+        parts.append(bytes([w]))
+        parts.append(pack(chunk, w))
+    return b"".join(parts)
+
+
+def decode_uint_blocks(buf) -> np.ndarray:
+    buf = np.frombuffer(buf, dtype=np.uint8)
+    n = int(buf[:4].view("<u4")[0])
+    out = np.empty(n, dtype=np.uint32)
+    off = 4
+    for lo in range(0, n, 256):
+        cnt = min(256, n - lo)
+        w = int(buf[off])
+        off += 1
+        nb = packed_size(cnt, w)
+        out[lo : lo + cnt] = unpack(buf[off : off + nb], cnt, w)
+        off += nb
+    return out
+
+
+# --------------------------------------------------------------------------
+# inversion kernel
+# --------------------------------------------------------------------------
+@dataclass
+class InvertedBatch:
+    """Sorted (term, docid, tf[, positions]) arrays for one doc range."""
+
+    terms: pa.Array  # unique terms, sorted ascending (large_string)
+    term_starts: np.ndarray  # int64[n_terms+1] offsets into pair arrays
+    pair_docids: np.ndarray  # uint32, local docids per (term, doc) pair
+    pair_tfs: np.ndarray  # uint32
+    positions: Optional[np.ndarray]  # uint32, all positions term-major
+    pos_starts: Optional[np.ndarray]  # int64[n_terms+1] offsets into positions
+    doc_lengths: np.ndarray  # int64[n_docs]
+
+
+def invert_texts(
+    texts: Sequence[Optional[str]],
+    analyzer: Analyzer,
+    with_positions: bool,
+    chunk_docs: int = 8192,
+) -> InvertedBatch:
+    """Tokenize + invert a doc range into sorted per-term postings arrays."""
+    n_docs = len(texts)
+    doc_lengths = np.zeros(n_docs, dtype=np.int64)
+    chunks: List[pa.Table] = []
+    terms_buf: List[str] = []
+    docid_buf: List[int] = []
+    pos_buf: List[int] = []
+
+    def flush_chunk():
+        nonlocal terms_buf, docid_buf, pos_buf
+        if not terms_buf:
+            return
+        cols = {
+            "term": pa.array(terms_buf, pa.large_string()),
+            "docid": pa.array(docid_buf, pa.uint32()),
+        }
+        if with_positions:
+            cols["pos"] = pa.array(pos_buf, pa.uint32())
+        chunks.append(pa.table(cols))
+        terms_buf, docid_buf, pos_buf = [], [], []
+
+    for di, text in enumerate(texts):
+        if not text:
+            continue
+        terms, positions = analyzer.analyze_fast(text)
+        doc_lengths[di] = len(terms)
+        if not terms:
+            continue
+        terms_buf.extend(terms)
+        docid_buf.extend([di] * len(terms))
+        if with_positions:
+            pos_buf.extend(positions if positions is not None else range(len(terms)))
+        if len(terms_buf) >= chunk_docs * 64:
+            flush_chunk()
+    flush_chunk()
+
+    if not chunks:
+        empty64 = np.zeros(1, dtype=np.int64)
+        return InvertedBatch(
+            terms=pa.array([], pa.large_string()),
+            term_starts=empty64,
+            pair_docids=np.empty(0, np.uint32),
+            pair_tfs=np.empty(0, np.uint32),
+            positions=np.empty(0, np.uint32) if with_positions else None,
+            pos_starts=empty64 if with_positions else None,
+            doc_lengths=doc_lengths,
+        )
+
+    tok = pa.concat_tables(chunks)
+    sort_keys = [("term", "ascending"), ("docid", "ascending")]
+    if with_positions:
+        sort_keys.append(("pos", "ascending"))
+    tok = tok.sort_by(sort_keys).combine_chunks()
+
+    term_col = tok.column("term").chunk(0)
+    dict_col = term_col.dictionary_encode()
+    codes = np.asarray(dict_col.indices, dtype=np.int64)
+    docids = np.asarray(tok.column("docid").chunk(0), dtype=np.int64)
+
+    # run-length over (term_code, docid) → per-pair tf
+    combo = codes * (int(docids.max()) + 1) + docids
+    pair_start_mask = np.empty(len(combo), dtype=bool)
+    pair_start_mask[0] = True
+    np.not_equal(combo[1:], combo[:-1], out=pair_start_mask[1:])
+    pair_starts = np.flatnonzero(pair_start_mask)
+    pair_ends = np.append(pair_starts[1:], len(combo))
+    pair_tfs = (pair_ends - pair_starts).astype(np.uint32)
+    pair_docids = docids[pair_starts].astype(np.uint32)
+    pair_codes = codes[pair_starts]
+
+    # run-length over term codes at pair granularity → per-term offsets
+    term_start_mask = np.empty(len(pair_codes), dtype=bool)
+    term_start_mask[0] = True
+    np.not_equal(pair_codes[1:], pair_codes[:-1], out=term_start_mask[1:])
+    term_starts = np.append(np.flatnonzero(term_start_mask), len(pair_codes))
+
+    uniq_terms = dict_col.dictionary  # first-appearance == sorted order here
+
+    positions = None
+    pos_starts = None
+    if with_positions:
+        positions = np.asarray(tok.column("pos").chunk(0), dtype=np.uint32)
+        # token-level start offset of each term run
+        tok_term_starts = pair_starts[term_start_mask]
+        pos_starts = np.append(tok_term_starts, len(positions))
+
+    return InvertedBatch(
+        terms=uniq_terms,
+        term_starts=term_starts.astype(np.int64),
+        pair_docids=pair_docids,
+        pair_tfs=pair_tfs,
+        positions=positions,
+        pos_starts=pos_starts.astype(np.int64) if pos_starts is not None else None,
+        doc_lengths=doc_lengths,
+    )
+
+
+# --------------------------------------------------------------------------
+# segment writer
+# --------------------------------------------------------------------------
+def write_segment(
+    seg_dir: str,
+    seg_id: int,
+    base_docid: int,
+    keys: pa.Array,
+    inv: InvertedBatch,
+    config: IndexConfig,
+    tmp_root: Optional[str] = None,
+    extra_meta: Optional[dict] = None,
+) -> dict:
+    """Write one segment atomically (tmp dir + rename). Returns meta dict.
+
+    Mirrors the write-once + two-phase-commit discipline of the reference
+    (``IndexWriter.java:3714,4158``): data files first, ``meta.json`` last,
+    whole directory renamed into place.
+    """
+    t0 = time.time()
+    n_docs = len(inv.doc_lengths)
+    norms = encode_norms(inv.doc_lengths)
+    tmp_root = tmp_root or os.path.join(os.path.dirname(seg_dir), ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    tmp_dir = os.path.join(tmp_root, f"seg_{seg_id:06d}.{os.getpid()}.{int(t0*1e6)}")
+    os.makedirs(tmp_dir)
+    checksums: Dict[str, int] = {}
+
+    def put(name: str, data: bytes):
+        with open(os.path.join(tmp_dir, name), "wb") as f:
+            f.write(data)
+        checksums[name] = zlib.crc32(data)
+
+    put("norms.bin", norms.tobytes())
+    pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+
+    n_terms = len(inv.terms)
+    term_strs = inv.terms.to_pylist()
+    buckets = (
+        np.array([config.term_bucket(t) for t in term_strs], dtype=np.int32)
+        if config.num_buckets > 1
+        else np.zeros(n_terms, dtype=np.int32)
+    )
+    sum_df = 0
+    sum_ttf = 0
+    postings_bytes = 0
+    for b in range(config.num_buckets):
+        idx = np.flatnonzero(buckets == b)
+        rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
+                "pos_off": [], "pos_len": []}
+        post_parts: List[bytes] = []
+        pos_parts: List[bytes] = []
+        post_off = 0
+        pos_off = 0
+        for ti in idx:
+            s, e = inv.term_starts[ti], inv.term_starts[ti + 1]
+            docids = inv.pair_docids[s:e]
+            tfs = inv.pair_tfs[s:e]
+            blob = encode_postings(docids, tfs, norms[docids])
+            rows["term"].append(term_strs[ti])
+            rows["df"].append(int(e - s))
+            ttf = int(tfs.sum())
+            rows["ttf"].append(ttf)
+            rows["post_off"].append(post_off)
+            rows["post_len"].append(len(blob))
+            post_parts.append(blob)
+            post_off += len(blob)
+            if config.positions and inv.positions is not None:
+                ps, pe = inv.pos_starts[ti], inv.pos_starts[ti + 1]
+                pblob = encode_uint_blocks(inv.positions[ps:pe])
+                rows["pos_off"].append(pos_off)
+                rows["pos_len"].append(len(pblob))
+                pos_parts.append(pblob)
+                pos_off += len(pblob)
+            else:
+                rows["pos_off"].append(0)
+                rows["pos_len"].append(0)
+            sum_df += int(e - s)
+            sum_ttf += ttf
+        put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
+        postings_bytes += post_off
+        if config.positions:
+            put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
+        terms_tbl = pa.table(
+            {
+                "term": pa.array(rows["term"], pa.large_string()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "ttf": pa.array(rows["ttf"], pa.int64()),
+                "post_off": pa.array(rows["post_off"], pa.int64()),
+                "post_len": pa.array(rows["post_len"], pa.int64()),
+                "pos_off": pa.array(rows["pos_off"], pa.int64()),
+                "pos_len": pa.array(rows["pos_len"], pa.int64()),
+            }
+        )
+        pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
+
+    build_s = time.time() - t0
+    meta = {
+        "seg_id": seg_id,
+        "base_docid": base_docid,
+        "n_docs": n_docs,
+        "doc_count": int((inv.doc_lengths > 0).sum()),
+        "sum_ttf": int(inv.doc_lengths.sum()),
+        "sum_df": sum_df,
+        "n_terms": n_terms,
+        "n_parts": config.num_buckets,
+        "positions": config.positions,
+        "key_type": str(keys.type),
+        "checksums": checksums,
+        "metrics": {
+            "build_s": round(build_s, 4),
+            "docs_per_s": round(n_docs / build_s, 2) if build_s > 0 else None,
+            "postings_bytes": postings_bytes,
+        },
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(tmp_dir, META_NAME), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(seg_dir):  # resume race: another task finished first
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    else:
+        os.replace(tmp_dir, seg_dir)
+    return meta
+
+
+# --------------------------------------------------------------------------
+# segment reader
+# --------------------------------------------------------------------------
+@dataclass
+class TermInfo:
+    df: int
+    ttf: int
+    post_off: int
+    post_len: int
+    pos_off: int
+    pos_len: int
+    part: int
+
+
+class SegmentReader:
+    """Query-side view of one segment: term dict binary search + mmapped
+    postings — the role of ``SegmentReader``/``MMapDirectory``
+    (``core/index/SegmentReader.java``, ``core/store/MMapDirectory.java:61-151``).
+    Construct once per searcher actor; cheap lookups thereafter."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, META_NAME)) as f:
+            self.meta = json.load(f)
+        self.base_docid = int(self.meta["base_docid"])
+        self.n_docs = int(self.meta["n_docs"])
+        self.norms = np.fromfile(os.path.join(seg_dir, "norms.bin"), dtype=np.uint8)
+        self.n_parts = int(self.meta["n_parts"])
+        self._terms: List[dict] = []
+        self._post_mm: List[np.ndarray] = []
+        self._pos_mm: List[Optional[np.ndarray]] = []
+        for b in range(self.n_parts):
+            tbl = pq.read_table(os.path.join(seg_dir, f"part_{b:04d}.terms.parquet"))
+            cols = {name: tbl.column(name) for name in tbl.column_names}
+            self._terms.append(
+                {
+                    "term": cols["term"].combine_chunks(),
+                    "df": np.asarray(cols["df"], np.int64),
+                    "ttf": np.asarray(cols["ttf"], np.int64),
+                    "post_off": np.asarray(cols["post_off"], np.int64),
+                    "post_len": np.asarray(cols["post_len"], np.int64),
+                    "pos_off": np.asarray(cols["pos_off"], np.int64),
+                    "pos_len": np.asarray(cols["pos_len"], np.int64),
+                }
+            )
+            pbin = os.path.join(seg_dir, f"part_{b:04d}.postings.bin")
+            self._post_mm.append(
+                np.memmap(pbin, dtype=np.uint8, mode="r")
+                if os.path.getsize(pbin)
+                else np.empty(0, np.uint8)
+            )
+            posf = os.path.join(seg_dir, f"part_{b:04d}.positions.bin")
+            if self.meta["positions"] and os.path.exists(posf) and os.path.getsize(posf):
+                self._pos_mm.append(np.memmap(posf, dtype=np.uint8, mode="r"))
+            else:
+                self._pos_mm.append(None)
+        self._docmap: Optional[pa.Array] = None
+        self._bucket_cfg_n = self.n_parts
+
+    # -- term dict ---------------------------------------------------------
+
+    def lookup(self, term: str) -> Optional[TermInfo]:
+        """``TermsEnum.seekExact`` equivalent (``core/index/TermsEnum.java:39``):
+        binary search in the term's hash bucket."""
+        b = zlib.crc32(term.encode("utf-8")) % self._bucket_cfg_n if self._bucket_cfg_n > 1 else 0
+        t = self._terms[b]
+        arr = t["term"]
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = arr[mid].as_py()
+            if v < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return TermInfo(
+                df=int(t["df"][lo]),
+                ttf=int(t["ttf"][lo]),
+                post_off=int(t["post_off"][lo]),
+                post_len=int(t["post_len"][lo]),
+                pos_off=int(t["pos_off"][lo]),
+                pos_len=int(t["pos_len"][lo]),
+                part=b,
+            )
+        return None
+
+    def postings(self, info: TermInfo) -> PostingsView:
+        mm = self._post_mm[info.part]
+        return PostingsView(mm[info.post_off : info.post_off + info.post_len])
+
+    def positions(self, info: TermInfo) -> np.ndarray:
+        mm = self._pos_mm[info.part]
+        if mm is None or info.pos_len == 0:
+            raise ValueError("segment has no positions")
+        return decode_uint_blocks(mm[info.pos_off : info.pos_off + info.pos_len])
+
+    # -- doc values --------------------------------------------------------
+
+    @property
+    def docmap(self) -> pa.Array:
+        if self._docmap is None:
+            tbl = pq.read_table(os.path.join(self.seg_dir, "docmap.parquet"))
+            self._docmap = tbl.column("key").combine_chunks()
+        return self._docmap
+
+    def all_terms(self):
+        """Iterate (term, df, ttf, part, row) across parts in sorted order
+        per part — used by merges and validators."""
+        for b in range(self.n_parts):
+            t = self._terms[b]
+            for i in range(len(t["term"])):
+                yield t["term"][i].as_py(), int(t["df"][i]), int(t["ttf"][i]), b, i

@@ -1,0 +1,124 @@
+"""Query plans + a mini query parser.
+
+Plan nodes mirror the reference's query types (``core/search/TermQuery.java``,
+``BooleanQuery.java``, ``PhraseQuery.java:71-95``; clause occurs
+``BooleanClause.java``: MUST ∧, SHOULD ∪(+score), MUST_NOT ∖, FILTER ∧
+unscored). The parser covers the subset the reference query sets use
+(``lucene/benchmark/conf/query-terms.txt``, ``query-phrases.txt``):
+terms, ``+required``, ``-prohibited``, quoted phrases, ``term^boost``.
+Query text is analyzed with the same analyzer as indexing
+(``lucene/queryparser/.../classic/QueryParserBase.java:62,130``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple, Union
+
+from lucene_ray.analysis.analyzer import Analyzer
+
+SHOULD = "SHOULD"
+MUST = "MUST"
+MUST_NOT = "MUST_NOT"
+FILTER = "FILTER"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    terms: Tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
+    minimum_should_match: int = 0
+
+
+Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery]
+
+
+def rewrite(q: Query) -> Query:
+    """Normalization pass (``Query.rewrite``): 1-clause SHOULD/MUST boolean
+    → the clause itself; 1-term phrase → term."""
+    if isinstance(q, BooleanQuery):
+        clauses = tuple((o, rewrite(s)) for o, s in q.clauses)
+        if len(clauses) == 1 and clauses[0][0] in (SHOULD, MUST) and q.minimum_should_match <= 1:
+            return clauses[0][1]
+        return BooleanQuery(clauses, q.minimum_should_match)
+    if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(q.terms[0], q.boost)
+    return q
+
+
+_CLAUSE_RE = re.compile(
+    r"""
+    (?P<occur>[+\-]?)
+    (?:
+        "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | (?P<word>[^\s"^]+)
+    )
+    (?:\^(?P<boost>\d+(?:\.\d+)?))?
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
+    """Parse a query string into a plan; terms run through ``analyzer``."""
+    analyzer = analyzer or Analyzer()
+    clauses: List[Tuple[str, Query]] = []
+    for m in _CLAUSE_RE.finditer(text):
+        occur = {"+": MUST, "-": MUST_NOT, "": SHOULD}[m.group("occur")]
+        boost = float(m.group("boost") or 1.0)
+        if m.group("phrase") is not None:
+            terms = [t for t, *_ in analyzer.analyze(m.group("phrase"))]
+            if not terms:
+                continue
+            slop = int(m.group("slop") or 0)
+            q: Query = PhraseQuery(tuple(terms), slop=slop, boost=boost)
+        else:
+            terms = [t for t, *_ in analyzer.analyze(m.group("word"))]
+            if not terms:
+                continue
+            if len(terms) == 1:
+                q = TermQuery(terms[0], boost=boost)
+            else:
+                # analyzed multi-token word (e.g. "3.a") → phrase, classic
+                # QueryParser behavior
+                q = PhraseQuery(tuple(terms), boost=boost)
+        clauses.append((occur, q))
+    if not clauses:
+        return BooleanQuery(())
+    if len(clauses) == 1 and clauses[0][0] == SHOULD:
+        return rewrite(clauses[0][1])
+    if all(o == MUST_NOT for o, _ in clauses):
+        return BooleanQuery(tuple(clauses))  # matches nothing (like Lucene)
+    return rewrite(BooleanQuery(tuple(clauses)))
+
+
+def query_terms(q: Query) -> List[str]:
+    """All scoring terms of a plan (for TermStates-style stat gathering)."""
+    if isinstance(q, TermQuery):
+        return [q.term]
+    if isinstance(q, PhraseQuery):
+        return list(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: List[str] = []
+        for _, sub in q.clauses:
+            out.extend(query_terms(sub))
+        return out
+    return []

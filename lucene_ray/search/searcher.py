@@ -1,0 +1,340 @@
+"""IndexSearcher: exhaustive BM25 evaluation + per-segment top-k + global
+TopDocs merge; Ray actor-pool wrapper for query datasets.
+
+Semantics:
+
+- per-term scoring: global collection stats (df summed across segments,
+  TermStates-style — ``core/search/TermQuery.java:51-82``), one float32
+  BM25 weight per term, shared norm-inverse cache.
+- Boolean evaluation over dense per-segment accumulators; SHOULD scores
+  sum in clause order (deterministic float32 accumulation; the documented
+  summation order of this engine).
+- per-segment top-k: ties broken by lower docid
+  (``core/search/TopScoreDocCollector.java:94-162`` / ``HitQueue``).
+- global merge: (score desc, segment index asc, docid asc) exactly
+  ``TopDocs.merge`` (``core/search/TopDocs.java:203-228``).
+- exhaustive path reports ``total_hits`` with relation EQ; the WAND path
+  (search/wand.py) reports GTE past the 1000-hit threshold
+  (``core/search/IndexSearcher.java:100``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
+from lucene_ray.index.segment import SegmentReader, TermInfo
+from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
+from lucene_ray.search.query import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    parse_query,
+    query_terms,
+)
+
+F32 = np.float32
+
+
+@dataclass
+class SegmentResult:
+    """Matches of one query in one segment: local docids + float32 scores."""
+
+    docids: np.ndarray  # uint32 local, sorted ascending
+    scores: np.ndarray  # float32 aligned
+
+
+class IndexSearcher:
+    """Open once (per process / per Ray actor), search many times."""
+
+    def __init__(self, index_dir: str, similarity: Optional[BM25Similarity] = None):
+        man = load_manifest(index_dir)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest: Manifest = man
+        self.config: IndexConfig = man.config
+        self.sim = similarity or BM25Similarity()
+        self.segments: List[SegmentReader] = [
+            SegmentReader(os.path.join(index_dir, "segments", f"seg_{s['seg_id']:06d}"))
+            if "dir" not in s
+            else SegmentReader(s["dir"])
+            for s in man.segments
+        ]
+        fs = man.field_stats
+        self.doc_count = int(fs["doc_count"])
+        self.sum_ttf = int(fs["sum_ttf"])
+        avgdl = F32(self.sum_ttf / float(self.doc_count)) if self.doc_count else F32(1)
+        self.avgdl = avgdl
+        self.norm_inverse = self.sim.norm_inverse_cache(avgdl)
+        self.analyzer = Analyzer(
+            stopwords=self.config.stopwords,
+            max_token_length=self.config.max_token_length,
+        )
+
+    # -- stats gathering (TermStates analogue) -----------------------------
+
+    def term_states(self, terms: Sequence[str]) -> Dict[str, List[Optional[TermInfo]]]:
+        """term → per-segment TermInfo (None where absent); df summed from
+        these gives the global df."""
+        return {t: [seg.lookup(t) for seg in self.segments] for t in set(terms)}
+
+    def global_df(self, states: List[Optional[TermInfo]]) -> int:
+        return sum(ti.df for ti in states if ti is not None)
+
+    # -- evaluation --------------------------------------------------------
+
+    def _term_weight(self, df: int, boost: float) -> np.float32:
+        return F32(boost) * bm25_idf(df, self.doc_count)
+
+    def _eval(
+        self,
+        q: Query,
+        seg_idx: int,
+        states: Dict[str, List[Optional[TermInfo]]],
+    ) -> SegmentResult:
+        seg = self.segments[seg_idx]
+        if isinstance(q, TermQuery):
+            ti = states[q.term][seg_idx]
+            df = self.global_df(states[q.term])
+            if ti is None or df == 0:
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            ids, freqs = seg.postings(ti).decode_all()
+            w = self._term_weight(df, q.boost)
+            inv = self.norm_inverse[seg.norms[ids]]
+            scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+            return SegmentResult(ids, scores)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q, seg_idx, states)
+        if isinstance(q, MatchAllQuery):
+            n = seg.n_docs
+            return SegmentResult(
+                np.arange(n, dtype=np.uint32), np.full(n, F32(q.boost))
+            )
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q, seg_idx, states)
+        raise TypeError(f"unknown query node {type(q)}")
+
+    def _eval_bool(
+        self, q: BooleanQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        seg = self.segments[seg_idx]
+        n = seg.n_docs
+        scores = np.zeros(n, dtype=F32)
+        should_count = np.zeros(n, dtype=np.int32)
+        must_mask: Optional[np.ndarray] = None
+        not_mask = np.zeros(n, dtype=bool)
+        n_should = 0
+        for occur, sub in q.clauses:
+            r = self._eval(sub, seg_idx, states)
+            if occur == SHOULD:
+                n_should += 1
+                scores[r.docids] += r.scores  # docids unique per clause
+                should_count[r.docids] += 1
+            elif occur == MUST:
+                scores[r.docids] += r.scores
+                m = np.zeros(n, dtype=bool)
+                m[r.docids] = True
+                must_mask = m if must_mask is None else (must_mask & m)
+            elif occur == FILTER:
+                m = np.zeros(n, dtype=bool)
+                m[r.docids] = True
+                must_mask = m if must_mask is None else (must_mask & m)
+            elif occur == MUST_NOT:
+                not_mask[r.docids] = True
+        msm = q.minimum_should_match
+        if n_should:
+            if must_mask is None:
+                need = max(1, msm)
+            else:
+                need = msm  # pure optional when required clauses exist
+            match = should_count >= need if need > 0 else None
+        else:
+            match = None
+        if must_mask is None and match is None:
+            # no positive clause → matches nothing (Lucene semantics)
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        mask = None
+        if must_mask is not None:
+            mask = must_mask
+        if match is not None:
+            mask = match if mask is None else (mask & match)
+        mask &= ~not_mask
+        ids = np.flatnonzero(mask).astype(np.uint32)
+        return SegmentResult(ids, scores[ids])
+
+    def _eval_phrase(self, q: PhraseQuery, seg_idx: int, states) -> SegmentResult:
+        """Exact / sloppy phrase via positions intersection
+        (``core/search/ExactPhraseMatcher.java`` semantics; scoring = BM25
+        with summed term idfs and phrase freq, ``BM25Similarity.java:204-214``)."""
+        seg = self.segments[seg_idx]
+        infos = [states[t][seg_idx] for t in q.terms]
+        if any(ti is None for ti in infos):
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        decoded = []
+        for ti in infos:
+            view = seg.postings(ti)
+            ids, freqs = view.decode_all()
+            pos = seg.positions(ti)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(freqs, out=offs[1:])
+            decoded.append((ids, offs, pos))
+        common = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        if len(common) == 0:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        out_ids: List[int] = []
+        out_freq: List[int] = []
+        for d in common:
+            cand = None
+            for i, (ids, offs, pos) in enumerate(decoded):
+                j = int(np.searchsorted(ids, d))
+                p = pos[offs[j] : offs[j + 1]].astype(np.int64) - i
+                cand = p if cand is None else np.intersect1d(cand, p, assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is not None and len(cand):
+                out_ids.append(int(d))
+                out_freq.append(len(cand))
+        if not out_ids:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        ids = np.array(out_ids, dtype=np.uint32)
+        freqs = np.array(out_freq, dtype=np.uint32)
+        # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
+        idf_sum = float(
+            np.sum([float(bm25_idf(self.global_df(states[t]), self.doc_count)) for t in q.terms])
+        )
+        w = F32(q.boost) * F32(idf_sum)
+        inv = self.norm_inverse[seg.norms[ids]]
+        scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        return SegmentResult(ids, scores)
+
+    # -- top-k -------------------------------------------------------------
+
+    @staticmethod
+    def _topk_segment(r: SegmentResult, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """k best by (score desc, docid asc) — HitQueue ordering."""
+        n = len(r.docids)
+        if n == 0:
+            return r.docids, r.scores
+        if n > k:
+            part = np.argpartition(-r.scores, k - 1)[:k]
+        else:
+            part = np.arange(n)
+        # stable order: score desc, docid asc (docids ascending already,
+        # lexsort last key primary)
+        sel_scores = r.scores[part]
+        sel_ids = r.docids[part]
+        order = np.lexsort((sel_ids, -sel_scores.astype(np.float64)))
+        return sel_ids[order], sel_scores[order]
+
+    def search(
+        self, query, k: int = 10
+    ) -> dict:
+        """→ {"docids", "keys", "scores", "total_hits", "relation"} global
+        top-k with TopDocs.merge tie-breaking."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        states = self.term_states(query_terms(query))
+        rows = []  # (neg_score, seg_idx, docid) for merge ordering
+        total = 0
+        for si in range(len(self.segments)):
+            r = self._eval(query, si, states)
+            total += len(r.docids)
+            ids, scores = self._topk_segment(r, k)
+            for d, s in zip(ids, scores):
+                rows.append((-float(s), si, int(d)))
+        rows.sort()
+        rows = rows[:k]
+        docids = np.array(
+            [self.segments[si].base_docid + d for _, si, d in rows], dtype=np.int64
+        )
+        scores = np.array([-s for s, _, _ in rows], dtype=np.float32)
+        keys = [
+            self.segments[si].docmap[d].as_py() for _, si, d in rows
+        ]
+        return {
+            "docids": docids,
+            "keys": keys,
+            "scores": scores,
+            "total_hits": total,
+            "relation": "EQ",
+        }
+
+    def search_batch(
+        self, qids: Sequence, queries: Sequence[str], k: int = 10
+    ) -> pa.Table:
+        """Vectorizable entry for actor pools: one row per (qid, rank)."""
+        out_qid, out_rank, out_key, out_docid, out_score = [], [], [], [], []
+        for qid, qtext in zip(qids, queries):
+            res = self.search(qtext, k)
+            for r in range(len(res["docids"])):
+                out_qid.append(qid)
+                out_rank.append(r)
+                out_key.append(res["keys"][r])
+                out_docid.append(int(res["docids"][r]))
+                out_score.append(float(res["scores"][r]))
+        return pa.table(
+            {
+                "qid": pa.array(out_qid),
+                "rank": pa.array(out_rank, pa.int32()),
+                "key": pa.array(out_key),
+                "docid": pa.array(out_docid, pa.int64()),
+                "score": pa.array(out_score, pa.float32()),
+            }
+        )
+
+
+class SearcherActor:
+    """Stateful map_batches actor: open the index once, serve query batches
+    (SURVEY §2.5 / §3.2 Ray shape). Use:
+
+        queries_ds.map_batches(SearcherActor, fn_constructor_kwargs=
+            {"index_dir": d, "k": 10}, concurrency=N, batch_format="pyarrow")
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.searcher = IndexSearcher(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("qid").to_pylist()
+        queries = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [self.k] * len(qids)
+        )
+        # group by k only if heterogeneous; common case single k
+        if len(set(ks)) == 1:
+            return self.searcher.search_batch(qids, queries, ks[0])
+        parts = [
+            self.searcher.search_batch([q], [qt], kk)
+            for q, qt, kk in zip(qids, queries, ks)
+        ]
+        return pa.concat_tables(parts)
+
+
+def search_dataset(index_dir: str, queries_ds, k: int = 10, concurrency: int = 4):
+    """Distributed search: queries Dataset (qid, query[, k]) → results
+    Dataset (qid, rank, key, docid, score) via a searcher actor pool."""
+    return queries_ds.map_batches(
+        SearcherActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=256,
+    )
