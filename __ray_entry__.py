@@ -1,44 +1,80 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in ``lucene_ray``) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline on sf0.001: build the inverted
+                     index + run the standard BM25 query set.
+- ``queries()``    — one callable per implemented pipeline (SURVEY §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query key. The BM25
+                     oracles are *bit-exact*: DuckDB FLOAT arithmetic is
+                     IEEE float32, so scores hash-match the engine.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers resolve modules via the driver's cwd; if the driver imported
+# this file from elsewhere, ship the package by value instead.
+try:
+    import lucene_ray as _pkg
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:
+    pass
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucene_ray.pipelines.search_queries import bm25_topk
+
+    ds = bm25_topk("/root/testdata/sf0.001")
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.pipelines import corpus_ops as co
+    from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import search_queries as sq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": sq.bm25_topk,
+        "bm25_disjunction": sq.bm25_disjunction,
+        "bm25_conjunction": sq.bm25_conjunction,
+        "phrase_search": sq.phrase_search,
+        "term_stats": co.term_stats,
+        "collection_stats": co.collection_stats,
+        "doc_norms": co.doc_norms,
+        "dedup_exact": co.dedup_exact,
+        "lang_counts": co.lang_counts,
+        "text_quality": co.text_quality,
+        "knn_cosine": knn.knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_ray.pipelines import corpus_ops as co
+    from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import search_queries as sq
+
+    return {
+        "bm25_topk": sq.sql_bm25_topk(),
+        "bm25_disjunction": sq.sql_bm25_disjunction(),
+        "bm25_conjunction": sq.sql_bm25_conjunction(),
+        "phrase_search": sq.sql_phrase_search(),
+        "term_stats": co.sql_term_stats(),
+        "collection_stats": co.sql_collection_stats(),
+        "doc_norms": co.sql_doc_norms(),
+        "dedup_exact": co.sql_dedup_exact(),
+        "lang_counts": co.sql_lang_counts(),
+        "text_quality": co.sql_text_quality(),
+        "knn_cosine": knn.sql_knn_cosine(),
+    }

@@ -1,0 +1,114 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k: the query matrix is broadcast once via
+``ray.put`` and every ``map_batches`` task scores its batch with one
+float64 matmul — the scale path (per-batch partial top-k, tiny global
+reduce) per the task brief's similarity-search requirement. An
+LSH-bucketed variant lives in ``pipelines/lsh_knn.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+QUERY_VEC_IDS = [0, 1, 2]
+KNN_K = 5
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _load_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    vid = np.asarray(tbl.column("vec_id"))
+    order = {int(v): i for i, v in enumerate(vid)}
+    rows = [tbl.column("embedding")[order[q]].as_py() for q in QUERY_VEC_IDS]
+    q = np.array(rows, dtype=np.float64)
+    return q
+
+
+def knn_cosine(sf_dir: str):
+    """→ (qid, rank, vec_id, sim_bp) — cosine top-k per query vector,
+    sim as integer basis points (round(sim*1e4)) for exact oracle comparison; ties broken by
+    lower vec_id (same rule as the engine's docid tie-break)."""
+    import ray
+    import ray.data
+
+    q = _load_queries(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        arr = b.column("embedding").combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        emb = flat.reshape(len(arr), -1)  # uniform-dim list<float> column
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ qm.T  # (batch, nq)
+        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        k = KNN_K * 4  # margin so rounded-tie candidates survive the partial cut
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            n = len(col)
+            take = min(k, n)
+            part = np.argpartition(-col, take - 1)[:take] if n > take else np.arange(n)
+            out_q.extend([qi] * len(part))
+            out_v.extend(vec_ids[part])
+            out_s.extend(col[part])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    # tiny global reduce: ≤ k rows per (query, batch)
+    cand = partials.to_pandas()
+    rows = []
+    for qi in range(len(QUERY_VEC_IDS)):
+        sub = cand[cand.qi == qi].copy()
+        sub["sim_bp"] = np.round(sub["sim"] * 10000).astype(np.int64)
+        sub = sub.sort_values(["sim_bp", "vec_id"], ascending=[False, True]).head(KNN_K)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_knn_cosine() -> str:
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+with q as (
+  select vec_id as qid, embedding as qe from embeddings where vec_id in ({ids})
+),
+sims as (
+  select q.qid, e.vec_id,
+         cast(round(list_cosine_similarity(e.embedding, q.qe) * 10000) as bigint) as sim_bp
+  from embeddings e, q
+),
+ranked as (
+  select qid, vec_id, sim_bp,
+         row_number() over (partition by qid order by sim_bp desc, vec_id asc) as rn
+  from sims
+)
+select qid, cast(rn - 1 as int) as rank, vec_id, sim_bp
+from ranked where rn <= {KNN_K}
+"""

@@ -1,0 +1,258 @@
+"""Reference-style query sets over the ``documents`` table + their
+bit-exact DuckDB oracle SQL.
+
+The oracle strategy: DuckDB ``FLOAT`` arithmetic is true IEEE float32 and
+rounds identically to NumPy float32, so the oracle SQL replicates the
+engine's exact algebra — idf narrowed from float64, the SmallFloat norm
+quantization (decode table built inline from ``range(256)``), the
+left-associative float32 score/sum order — and produces hash-identical
+scores, not just matching ranks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import pyarrow as pa
+
+from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.search.searcher import IndexSearcher, search_dataset
+
+# (qid, query) — single terms spanning head/mid df + an absent term
+TERM_QUERIES: List[Tuple[int, str]] = [
+    (0, "spark"),
+    (1, "data"),
+    (2, "query"),
+    (3, "vector"),
+    (4, "the"),
+    (5, "customer"),
+    (6, "zzzabsent"),
+]
+
+# disjunctions (≤3 terms; engine sums float32 in clause order)
+DISJ_QUERIES: List[Tuple[int, str]] = [
+    (0, "spark merge"),
+    (1, "data vector window"),
+    (2, "key value zzzabsent"),
+]
+
+# conjunctions with negation: +MUST terms, -MUST_NOT terms
+CONJ_QUERIES: List[Tuple[int, str]] = [
+    (0, "+spark +merge"),
+    (1, "+batch +stream -window"),
+    (2, "+the +customer -spark"),
+]
+
+K = 10
+
+
+def _run(sf_dir: str, queries: List[Tuple[int, str]], k: int = K):
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items([{"qid": q, "query": t} for q, t in queries])
+    res = search_dataset(idx, qds, k=k, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def bm25_topk(sf_dir: str):
+    return _run(sf_dir, TERM_QUERIES)
+
+
+def bm25_disjunction(sf_dir: str):
+    return _run(sf_dir, DISJ_QUERIES)
+
+
+def bm25_conjunction(sf_dir: str):
+    return _run(sf_dir, CONJ_QUERIES)
+
+
+def phrase_search(sf_dir: str):
+    """Exact-phrase match set (unscored doc ids) for fixed bigrams."""
+    idx = get_or_build_index(sf_dir)
+    s = IndexSearcher(idx)
+    rows_q, rows_d = [], []
+    for qid, phrase in [(0, '"batch stream"'), (1, '"merge sort"'), (2, '"data data"')]:
+        res = s.search(phrase, k=10**9)
+        for d in res["keys"]:
+            rows_q.append(qid)
+            rows_d.append(int(d))
+    return pa.table(
+        {"qid": pa.array(rows_q, pa.int32()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+# shared prelude: tokenization, doc lengths, SmallFloat norm bytes, stats.
+# norm decode replicates SmallFloat.byte4ToInt (SmallFloat.java:145-168);
+# encode(L) == max byte whose decoded value <= L (truncating mantissa).
+_PRELUDE = """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+doclen as (select doc_id, count(*)::bigint as len from tok group by doc_id),
+alldocs as (
+  select d.doc_id, coalesce(l.len, 0) as len
+  from documents d left join doclen l using (doc_id)
+),
+stats as (
+  select count(*) filter (where len > 0) as doc_count,
+         sum(len) as sum_ttf
+  from alldocs
+),
+nt as (
+  select b, case when b < 24 then b
+           else 24 + (case when ((b-24)>>3) - 1 = -1 then (b-24)&7
+                      else (((b-24)&7)|8) << (((b-24)>>3) - 1) end)
+           end as dec
+  from (select unnest(range(256)) as b)
+),
+docnorm as (
+  select a.doc_id, a.len, max(nt.b) as nb
+  from alldocs a join nt on nt.dec <= a.len
+  group by a.doc_id, a.len
+),
+fnorm as (
+  select dn.doc_id,
+         cast(1 as float) / (cast(1.2 as float) * ((cast(1 as float) - cast(0.75 as float))
+           + (cast(0.75 as float) * cast(nt.dec as float))
+             / (select cast(sum_ttf / cast(doc_count as double) as float) from stats)))
+         as inv
+  from docnorm dn join nt on nt.b = dn.nb
+)
+"""
+
+
+def _qterms_values(queries: List[Tuple[int, str]]) -> str:
+    rows = []
+    for qid, q in queries:
+        for ti, raw in enumerate(q.split()):
+            occur = "MUST_NOT" if raw.startswith("-") else (
+                "MUST" if raw.startswith("+") else "SHOULD"
+            )
+            term = raw.lstrip("+-")
+            rows.append(f"({qid}, {ti}, '{term}', '{occur}')")
+    return ",\n       ".join(rows)
+
+
+def _score_cte(queries: List[Tuple[int, str]]) -> str:
+    """per (qid, ti, doc): float32 BM25 term score (positive occurs only)."""
+    return f"""
+qterms(qid, ti, term, occur) as (
+  values {_qterms_values(queries)}
+),
+tf as (
+  select q.qid, q.ti, q.occur, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3, 4
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.ti, tf.occur, tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join (
+    select d.term,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from df d
+  ) w on w.term = q.term
+  join fnorm f on f.doc_id = tf.doc_id
+)
+"""
+
+
+def sql_bm25_topk() -> str:
+    return f"""{_PRELUDE},
+{_score_cte(TERM_QUERIES)}
+, ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_bm25_disjunction() -> str:
+    # left-associative float32 sum in clause (ti) order; FLOAT stays FLOAT
+    return f"""{_PRELUDE},
+{_score_cte(DISJ_QUERIES)}
+, summed as (
+  select qid, doc_id,
+         ((coalesce(max(s) filter (where ti = 0), cast(0 as float))
+           + coalesce(max(s) filter (where ti = 1), cast(0 as float)))
+           + coalesce(max(s) filter (where ti = 2), cast(0 as float))) as score
+  from tscore group by qid, doc_id
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from summed
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_bm25_conjunction() -> str:
+    return f"""{_PRELUDE},
+{_score_cte(CONJ_QUERIES)}
+, need as (
+  select qid, count(*) as n_must from qterms where occur = 'MUST' group by qid
+),
+pos as (
+  select qid, doc_id,
+         ((coalesce(max(s) filter (where ti = 0), cast(0 as float))
+           + coalesce(max(s) filter (where ti = 1), cast(0 as float)))
+           + coalesce(max(s) filter (where ti = 2), cast(0 as float))) as score,
+         count(*) as n_hit
+  from tscore where occur = 'MUST'
+  group by qid, doc_id
+),
+neg as (
+  select distinct qid, doc_id from tscore where occur = 'MUST_NOT'
+),
+ranked as (
+  select p.qid, p.doc_id, p.score,
+         row_number() over (partition by p.qid order by p.score desc, p.doc_id asc) as rn
+  from pos p
+  join need using (qid)
+  anti join neg on neg.qid = p.qid and neg.doc_id = p.doc_id
+  where p.n_hit = need.n_must
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_phrase_search() -> str:
+    return """
+with phrases(qid, p) as (values (0, 'batch stream'), (1, 'merge sort'), (2, 'data data'))
+select cast(qid as int) as qid, doc_id
+from documents, phrases
+where (' ' || text || ' ') like ('% ' || p || ' %')
+"""

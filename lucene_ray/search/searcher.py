@@ -231,14 +231,17 @@ class IndexSearcher:
         if n == 0:
             return r.docids, r.scores
         if n > k:
+            # argpartition alone breaks kth-place ties arbitrarily; take the
+            # kth score as a threshold and keep ALL docs at/above it so the
+            # docid tie-break below is applied over the full tie group.
             part = np.argpartition(-r.scores, k - 1)[:k]
+            thresh = r.scores[part].min()
+            cand = np.flatnonzero(r.scores >= thresh)
         else:
-            part = np.arange(n)
-        # stable order: score desc, docid asc (docids ascending already,
-        # lexsort last key primary)
-        sel_scores = r.scores[part]
-        sel_ids = r.docids[part]
-        order = np.lexsort((sel_ids, -sel_scores.astype(np.float64)))
+            cand = np.arange(n)
+        sel_scores = r.scores[cand]
+        sel_ids = r.docids[cand]
+        order = np.lexsort((sel_ids, -sel_scores.astype(np.float64)))[:k]
         return sel_ids[order], sel_scores[order]
 
     def search(
