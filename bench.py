@@ -1,0 +1,178 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline pipeline (the north rule's two metrics):
+  1. index build over a deterministic synthetic web-page corpus
+     (``input_hint`` shape: url, warc_ts, html, text, lang) → docs/s
+  2. batched BM25 top-10 query workload through a searcher actor pool → QPS
+
+Env:
+  GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.1); its sf
+                   suffix scales the synthetic corpus size
+  RAY_GRAFT_CPUS   cpu count for ray.init (default 32)
+  GRAFT_BENCH_DOCS override corpus size
+
+``--scaling``: run the identical job in two fresh processes at 8 and 32
+CPUs and report throughput at both + scaling efficiency (the sandbox
+stand-in for the N vs 4N cluster rule; results recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def corpus_size() -> int:
+    if "GRAFT_BENCH_DOCS" in os.environ:
+        return int(os.environ["GRAFT_BENCH_DOCS"])
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    return max(2000, int(640_000 * sf))
+
+
+def build_query_set(n_docs: int):
+    """Deterministic mixed workload: single terms across the Zipf df range,
+    disjunctions, conjunctions with negation, phrases."""
+    from lucene_ray.corpus.generator import make_vocab
+
+    vocab = make_vocab()
+    v = lambda i: vocab[i % len(vocab)]
+    base = (
+        [v(i) for i in (0, 1, 2, 5, 17, 100, 500, 2000)]
+        + [f"{v(3)} {v(7)}", f"{v(1)} {v(50)} {v(300)}", f"{v(2)} {v(9)}"]
+        + [f"+{v(0)} +{v(4)}", f"+{v(6)} -{v(1)}"]
+        + [f'"{v(0)} {v(1)}"', f'"{v(5)} {v(2)}"']
+    )
+    reps = max(1, 768 // len(base))
+    queries = []
+    qid = 0
+    for _ in range(reps):
+        for q in base:
+            queries.append({"qid": qid, "query": q})
+            qid += 1
+    return queries
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from lucene_ray.corpus.generator import write_corpus
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.config import IndexConfig
+    from lucene_ray.search.searcher import search_dataset
+
+    n_docs = corpus_size()
+    corpus_dir = f"/tmp/lucene_ray_bench/pages_{n_docs}"
+    paths = write_corpus(corpus_dir, n_docs, n_files=max(16, NUM_CPUS))
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    index_dir = f"/tmp/lucene_ray_bench/idx_{n_docs}_{NUM_CPUS}_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    rows_per_seg = max(2000, -(-n_docs // NUM_CPUS))  # ≥1 segment per cpu, min 2000 rows
+    cfg = IndexConfig(
+        key_col="url", text_col="text", rows_per_segment=rows_per_seg
+    )
+
+    t0 = time.time()
+    man = build_index(paths, index_dir, cfg)
+    t_build = time.time() - t0
+
+    queries = build_query_set(n_docs)
+    qds = ray.data.from_items(queries)
+    t0 = time.time()
+    res = search_dataset(index_dir, qds, k=10, concurrency=max(2, NUM_CPUS // 2))
+    n_rows = res.count()
+    t_query = time.time() - t0
+
+    out = {
+        "metric": "index-build + BM25 top-10 query workload (synthetic pages corpus)",
+        "value": round(t_build + t_query, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(t_build, 3),
+            "query_workload": round(t_query, 3),
+        },
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "n_queries": len(queries),
+        "docs_per_s": round(n_docs / t_build, 1),
+        "qps": round(len(queries) / t_query, 1),
+        "n_segments": len(man.segments),
+        "result_rows": n_rows,
+    }
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8→32 cpus (same input, fresh sessions)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_s_8": lo["docs_per_s"],
+        "docs_per_s_32": hi["docs_per_s"],
+        "qps_8": lo["qps"],
+        "qps_32": hi["qps"],
+        "scaling_efficiency": round(eff, 3),
+        "build_efficiency": round(
+            (lo["queries"]["index_build"] / hi["queries"]["index_build"]) / 4, 3
+        ),
+        "query_efficiency": round(
+            (lo["queries"]["query_workload"] / hi["queries"]["query_workload"]) / 4, 3
+        ),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

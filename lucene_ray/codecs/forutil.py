@@ -20,6 +20,9 @@ import numpy as np
 
 MAX_PFOR_EXCEPTIONS = 7  # PForUtil.MAX_EXCEPTIONS (PForUtil.java:29)
 
+# 2^0 .. 2^31 — searchsorted(_POW2, v, "right") == bit_length(v)
+_POW2 = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+
 
 def bit_width(max_value: int) -> int:
     """Bits needed for ``max_value`` (0 → 0 bits)."""
@@ -64,17 +67,17 @@ def pfor_encode(values: np.ndarray) -> Tuple[int, bytes, np.ndarray, np.ndarray]
     v = np.ascontiguousarray(values, dtype=np.uint32)
     if len(v) == 0:
         return 0, b"", np.empty(0, np.uint16), np.empty(0, np.uint32)
-    widths = np.array([int(x).bit_length() for x in (int(v.max()),)])
-    max_w = int(widths[0])
-    # count of values needing > w bits, for each candidate w
+    # bit length of each value via one searchsorted against 2^w bounds;
+    # n_exc(w) = #values with bit length > w — pick smallest w leaving ≤7
+    bl = np.searchsorted(_POW2, v, side="right").astype(np.int64)
+    max_w = int(bl.max())
+    counts = np.bincount(bl, minlength=max_w + 1)
+    n_gt = counts[::-1].cumsum()[::-1]  # n_gt[w] = #values with bl > w-1
     best_w = max_w
     for w in range(max_w):
-        n_exc = int((v >= (1 << w)).sum()) if w < 32 else 0
-        if n_exc <= MAX_PFOR_EXCEPTIONS:
+        if (n_gt[w + 1] if w + 1 <= max_w else 0) <= MAX_PFOR_EXCEPTIONS:
             best_w = w
             break
-    if best_w >= 32:
-        best_w = 32
     mask = np.uint32((1 << best_w) - 1) if best_w < 32 else np.uint32(0xFFFFFFFF)
     base = v & mask
     exc_pos = np.flatnonzero(v > mask).astype(np.uint16)

@@ -75,19 +75,25 @@ def competitive_impacts(freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
     freqs = np.asarray(freqs, dtype=np.uint32)
     norms = np.asarray(norms, dtype=np.uint8)
     # norm bytes map 1:1 monotonically to decoded lengths, so sorting by
-    # byte == sorting by length; max freq per distinct norm byte first.
-    uniq = np.unique(norms)
-    out: List[Tuple[int, int]] = []
-    best = 0
-    for n in uniq:  # ascending norm byte == ascending doc length
-        f = int(freqs[norms == n].max())
-        if f > best:  # dominated unless strictly higher freq at longer length
-            out.append((f, int(n)))
-            best = f
-    arr = np.zeros(len(out), dtype=[("freq", "<u4"), ("norm", "u1")])
-    if out:
-        arr["freq"] = [f for f, _ in out]
-        arr["norm"] = [n for _, n in out]
+    # byte == sorting by length; max freq per distinct norm byte, then keep
+    # only strictly-increasing freqs along ascending length (pareto).
+    if len(freqs) == 0:
+        return np.zeros(0, dtype=[("freq", "<u4"), ("norm", "u1")])
+    order = np.argsort(norms, kind="stable")
+    ns, fs = norms[order], freqs[order]
+    starts = np.empty(len(ns), dtype=bool)
+    starts[0] = True
+    np.not_equal(ns[1:], ns[:-1], out=starts[1:])
+    start_idx = np.flatnonzero(starts)
+    max_per_norm = np.maximum.reduceat(fs, start_idx)
+    uniq_norms = ns[start_idx]
+    run_max = np.maximum.accumulate(max_per_norm)
+    keep = np.empty(len(run_max), dtype=bool)
+    keep[0] = True
+    np.greater(run_max[1:], run_max[:-1], out=keep[1:])
+    arr = np.zeros(int(keep.sum()), dtype=[("freq", "<u4"), ("norm", "u1")])
+    arr["freq"] = max_per_norm[keep]
+    arr["norm"] = uniq_norms[keep]
     return arr
 
 
@@ -226,10 +232,93 @@ class PostingsView:
         return out
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Full decode → (docids, freqs); vectorized across blocks."""
-        ids_parts, freq_parts = [], []
-        for bi in range(self.n_blocks):
-            ids, fr = self.decode_block(bi)
-            ids_parts.append(ids)
-            freq_parts.append(fr)
-        return np.concatenate(ids_parts), np.concatenate(freq_parts)
+        """Full decode → (docids, freqs).
+
+        Batched: full 256-doc FOR blocks sharing a bit width are gathered
+        and unpacked in ONE ``np.unpackbits`` call (blocks are
+        byte-aligned), instead of paying fixed NumPy overhead per block —
+        the hot loop of exhaustive scoring over high-df terms. Bitset
+        blocks and the short tail block decode individually.
+        """
+        if self.n_blocks <= 2:
+            if self.n_blocks == 1:
+                return self.decode_block(0)
+            i0, f0 = self.decode_block(0)
+            i1, f1 = self.decode_block(1)
+            return np.concatenate([i0, i1]), np.concatenate([f0, f1])
+        d = self.directory
+        n = self.doc_count
+        blens = d["block_len"].astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(blens)[:-1]])
+        data = self.data
+        ids_out = np.empty(n, dtype=np.uint32)
+        freqs_out = np.empty(n, dtype=np.uint32)
+
+        full = blens == BLOCK_SIZE
+        slow = np.flatnonzero(~full | (d["docid_kind"] == 1))
+        for bi in slow:
+            ids, fr = self.decode_block(int(bi))
+            lo = int(starts[bi])
+            ids_out[lo : lo + len(ids)] = ids
+            freqs_out[lo : lo + len(fr)] = fr
+
+        # ---- batched docids: full FOR blocks grouped by width ----
+        offs = d["data_offset"].astype(np.int64)
+        firsts = d["first_docid"].astype(np.int64)
+        widths = d["docid_width"].astype(np.int64)
+        fast = full & (d["docid_kind"] == 0)
+        for w in np.unique(widths[fast]):
+            w = int(w)
+            sel = np.flatnonzero(fast & (widths == w))
+            if w == 0:
+                for bi in sel:  # all-zero gaps: only possible for len-1 runs
+                    ids, _ = self.decode_block(int(bi))
+                    ids_out[int(starts[bi]) : int(starts[bi]) + len(ids)] = ids
+                continue
+            nb = (BLOCK_SIZE * w) // 8
+            buf = np.concatenate([data[o : o + nb] for o in offs[sel]])
+            gaps = unpack(buf, BLOCK_SIZE * len(sel), w).reshape(len(sel), BLOCK_SIZE)
+            cums = np.cumsum(gaps, axis=1, dtype=np.int64)
+            abs_ids = cums + (firsts[sel] - cums[:, 0])[:, None]
+            for j, bi in enumerate(sel):
+                lo = int(starts[bi])
+                ids_out[lo : lo + BLOCK_SIZE] = abs_ids[j].astype(np.uint32)
+
+        # ---- batched freqs: full blocks grouped by PFor base width ----
+        fwidths = d["freq_width"].astype(np.int64)
+        # freq data offset for batched (non-slow) blocks: docid kind is FOR
+        for w in np.unique(fwidths[fast]):
+            w = int(w)
+            sel = np.flatnonzero(fast & (fwidths == w))
+            if w == 0:
+                for bi in sel:
+                    freqs_out[int(starts[bi]) : int(starts[bi]) + BLOCK_SIZE] = 0
+            else:
+                nb = (BLOCK_SIZE * w) // 8
+                f_offs = offs[sel] + (BLOCK_SIZE * widths[sel]) // 8
+                buf = np.concatenate([data[o : o + nb] for o in f_offs])
+                vals = unpack(buf, BLOCK_SIZE * len(sel), w).reshape(len(sel), BLOCK_SIZE)
+                for j, bi in enumerate(sel):
+                    lo = int(starts[bi])
+                    freqs_out[lo : lo + BLOCK_SIZE] = vals[j]
+            # patch PFor exceptions
+            for bi in sel:
+                n_exc = int(d["freq_n_exc"][bi])
+                if n_exc:
+                    eoff = int(offs[bi]) + (BLOCK_SIZE * int(widths[bi])) // 8 + (
+                        BLOCK_SIZE * w + 7
+                    ) // 8
+                    pos = data[eoff : eoff + n_exc * 2].view("<u2")
+                    val = data[eoff + n_exc * 2 : eoff + n_exc * 6].view("<u4")
+                    lo = int(starts[bi])
+                    freqs_out[lo + pos.astype(np.int64)] = val
+        return ids_out, freqs_out
+
+    def _freq_offset(self, bi: int) -> int:
+        d = self.directory[bi]
+        off = int(d["data_offset"])
+        if d["docid_kind"] == 1:
+            off += (int(d["last_docid"]) - int(d["first_docid"]) + 1 + 7) // 8
+        else:
+            off += packed_size(int(d["block_len"]), int(d["docid_width"]))
+        return off

@@ -165,20 +165,30 @@ def build_index(
             metas.append(json.load(f))
 
     if pending:
-        work = ray.data.from_items(pending)
-        if len(pending) > 1:
-            work = work.repartition(len(pending))
+        from ray.data import DataContext
 
-        def run(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
-            out = []
-            n = len(batch["seg_id"])
-            for i in range(n):
-                item = {k: batch[k][i] for k in batch}
-                out.append(json.dumps(build_partition(item, config, index_dir)))
-            return {"meta": out}
+        ctx = DataContext.get_current()
+        prev_min = ctx.target_min_block_size
+        # one work item = one build task; stop Ray Data bundling the tiny
+        # work-item blocks into a single task (6x wall-time difference)
+        ctx.target_min_block_size = 1
+        try:
+            work = ray.data.from_items(pending)
+            if len(pending) > 1:
+                work = work.repartition(len(pending))
 
-        results = work.map_batches(run, batch_format="numpy")
-        for row in results.take_all():
-            metas.append(json.loads(row["meta"]))
+            def run(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
+                out = []
+                n = len(batch["seg_id"])
+                for i in range(n):
+                    item = {k: batch[k][i] for k in batch}
+                    out.append(json.dumps(build_partition(item, config, index_dir)))
+                return {"meta": out}
+
+            results = work.map_batches(run, batch_format="numpy")
+            for row in results.take_all():
+                metas.append(json.loads(row["meta"]))
+        finally:
+            ctx.target_min_block_size = prev_min
 
     return commit_manifest(index_dir, config, metas)

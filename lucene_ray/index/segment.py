@@ -358,7 +358,9 @@ class SegmentReader:
             cols = {name: tbl.column(name) for name in tbl.column_names}
             self._terms.append(
                 {
-                    "term": cols["term"].combine_chunks(),
+                    # python list → C-speed bisect in lookup (arrow scalar
+                    # .as_py() per probe is ~50x slower)
+                    "term": cols["term"].to_pylist(),
                     "df": np.asarray(cols["df"], np.int64),
                     "ttf": np.asarray(cols["ttf"], np.int64),
                     "post_off": np.asarray(cols["post_off"], np.int64),
@@ -389,15 +391,10 @@ class SegmentReader:
         b = zlib.crc32(term.encode("utf-8")) % self._bucket_cfg_n if self._bucket_cfg_n > 1 else 0
         t = self._terms[b]
         arr = t["term"]
-        lo, hi = 0, len(arr)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            v = arr[mid].as_py()
-            if v < term:
-                lo = mid + 1
-            else:
-                hi = mid
-        if lo < len(arr) and arr[lo].as_py() == term:
+        import bisect
+
+        lo = bisect.bisect_left(arr, term)
+        if lo < len(arr) and arr[lo] == term:
             return TermInfo(
                 df=int(t["df"][lo]),
                 ttf=int(t["ttf"][lo]),
@@ -434,4 +431,4 @@ class SegmentReader:
         for b in range(self.n_parts):
             t = self._terms[b]
             for i in range(len(t["term"])):
-                yield t["term"][i].as_py(), int(t["df"][i]), int(t["ttf"][i]), b, i
+                yield t["term"][i], int(t["df"][i]), int(t["ttf"][i]), b, i

@@ -83,16 +83,31 @@ class IndexSearcher:
             stopwords=self.config.stopwords,
             max_token_length=self.config.max_token_length,
         )
+        self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
 
     # -- stats gathering (TermStates analogue) -----------------------------
 
     def term_states(self, terms: Sequence[str]) -> Dict[str, List[Optional[TermInfo]]]:
         """term → per-segment TermInfo (None where absent); df summed from
-        these gives the global df."""
-        return {t: [seg.lookup(t) for seg in self.segments] for t in set(terms)}
+        these gives the global df. Cached per searcher — the role of
+        ``TermStates`` reuse + ``LRUQueryCache`` (``core/index/TermStates.java``,
+        ``core/search/LRUQueryCache.java``); segments are immutable so
+        entries never go stale."""
+        cache = self._states_cache
+        out = {}
+        for t in set(terms):
+            hit = cache.get(t)
+            if hit is None:
+                infos = [seg.lookup(t) for seg in self.segments]
+                df = sum(ti.df for ti in infos if ti is not None)
+                hit = (infos, df)
+                if len(cache) < 100_000:
+                    cache[t] = hit
+            out[t] = hit
+        return out
 
-    def global_df(self, states: List[Optional[TermInfo]]) -> int:
-        return sum(ti.df for ti in states if ti is not None)
+    def global_df(self, states) -> int:
+        return states[1]
 
     # -- evaluation --------------------------------------------------------
 
@@ -107,8 +122,8 @@ class IndexSearcher:
     ) -> SegmentResult:
         seg = self.segments[seg_idx]
         if isinstance(q, TermQuery):
-            ti = states[q.term][seg_idx]
-            df = self.global_df(states[q.term])
+            infos, df = states[q.term]
+            ti = infos[seg_idx]
             if ti is None or df == 0:
                 return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
             ids, freqs = seg.postings(ti).decode_all()
@@ -180,7 +195,7 @@ class IndexSearcher:
         (``core/search/ExactPhraseMatcher.java`` semantics; scoring = BM25
         with summed term idfs and phrase freq, ``BM25Similarity.java:204-214``)."""
         seg = self.segments[seg_idx]
-        infos = [states[t][seg_idx] for t in q.terms]
+        infos = [states[t][0][seg_idx] for t in q.terms]
         if any(ti is None for ti in infos):
             return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         decoded = []
@@ -191,36 +206,66 @@ class IndexSearcher:
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(freqs, out=offs[1:])
             decoded.append((ids, offs, pos))
-        common = decoded[0][0]
-        for ids, _, _ in decoded[1:]:
-            common = np.intersect1d(common, ids, assume_unique=True)
-        if len(common) == 0:
-            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-        out_ids: List[int] = []
-        out_freq: List[int] = []
-        for d in common:
-            cand = None
+        if q.slop == 0:
+            # vectorized exact phrase: intersect int64 keys
+            # docid * 2^21 + (pos - term_index); pos < 2^21 (doclen cap)
+            SHIFT = 21
+            keys = None
             for i, (ids, offs, pos) in enumerate(decoded):
-                j = int(np.searchsorted(ids, d))
-                p = pos[offs[j] : offs[j + 1]].astype(np.int64) - i
-                cand = p if cand is None else np.intersect1d(cand, p, assume_unique=True)
-                if len(cand) == 0:
-                    break
-            if cand is not None and len(cand):
-                out_ids.append(int(d))
-                out_freq.append(len(cand))
-        if not out_ids:
-            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-        ids = np.array(out_ids, dtype=np.uint32)
-        freqs = np.array(out_freq, dtype=np.uint32)
+                docid_per_pos = np.repeat(
+                    ids.astype(np.int64), np.diff(offs).astype(np.int64)
+                )
+                k = (docid_per_pos << SHIFT) + (pos.astype(np.int64) - i)
+                keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                if len(keys) == 0:
+                    return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            docs = (keys >> SHIFT).astype(np.uint32)
+            ids, freqs32 = np.unique(docs, return_counts=True)
+            freqs = freqs32.astype(np.uint32)
+        else:
+            out_ids, out_freq = self._sloppy_phrase(q, decoded)
+            if not out_ids:
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            ids = np.array(out_ids, dtype=np.uint32)
+            freqs = np.array(out_freq, dtype=np.uint32)
+        # fall through to scoring
         # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
         idf_sum = float(
-            np.sum([float(bm25_idf(self.global_df(states[t]), self.doc_count)) for t in q.terms])
+            np.sum([float(bm25_idf(states[t][1], self.doc_count)) for t in q.terms])
         )
         w = F32(q.boost) * F32(idf_sum)
         inv = self.norm_inverse[seg.norms[ids]]
         scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
         return SegmentResult(ids, scores)
+
+    @staticmethod
+    def _sloppy_phrase(q: PhraseQuery, decoded) -> Tuple[List[int], List[int]]:
+        """Simplified sloppy matching: an occurrence is an alignment where
+        every term's adjusted position fits within ``slop`` of the first
+        term's (an approximation of ``SloppyPhraseMatcher``; exact-slop
+        weighting is not replicated)."""
+        common = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        out_ids: List[int] = []
+        out_freq: List[int] = []
+        for d in common:
+            per_term = []
+            for i, (ids, offs, pos) in enumerate(decoded):
+                j = int(np.searchsorted(ids, d))
+                per_term.append(pos[offs[j] : offs[j + 1]].astype(np.int64) - i)
+            base = per_term[0]
+            count = 0
+            for p0 in base:
+                ok = all(
+                    np.any(np.abs(pt - p0) <= q.slop) for pt in per_term[1:]
+                )
+                if ok:
+                    count += 1
+            if count:
+                out_ids.append(int(d))
+                out_freq.append(count)
+        return out_ids, out_freq
 
     # -- top-k -------------------------------------------------------------
 
@@ -339,5 +384,5 @@ def search_dataset(index_dir: str, queries_ds, k: int = 10, concurrency: int = 4
         fn_constructor_kwargs={"index_dir": index_dir, "k": k},
         concurrency=concurrency,
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=32,
     )
