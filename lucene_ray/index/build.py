@@ -157,12 +157,45 @@ def build_index(
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
 
     plan = plan_partitions(sorted(paths), config.rows_per_segment)
-    done = completed_segments(index_dir)
-    pending = [p for p in plan if p["seg_id"] not in done]
+
+    # resume coverage = completed segment dirs + (post-merge) manifest
+    # lineage: a merged segment covers all of its sources' row ranges.
+    from lucene_ray.index.manifest import load_manifest
+
     metas: List[dict] = []
+    covered = set()
+    seen_ids = set()
+
+    def lineage_entries(m: dict):
+        lin = m.get("lineage")
+        return lin if isinstance(lin, list) else ([lin] if lin else [])
+
+    # only segments whose dirs still exist contribute coverage — a deleted
+    # segment dir means its row ranges must be rebuilt even if a manifest
+    # still names it
+    done = completed_segments(index_dir)
+    man = load_manifest(index_dir)
+    if man is not None:
+        for s in man.segments:
+            if s["seg_id"] not in done:
+                continue
+            for e in lineage_entries(s):
+                covered.add((e["path"], e["row_start"], e["row_end"]))
+            metas.append(s)
+            seen_ids.add(s["seg_id"])
     for seg_id, sdir in done.items():
+        if seg_id in seen_ids:
+            continue
         with open(os.path.join(sdir, "meta.json")) as f:
-            metas.append(json.load(f))
+            m = json.load(f)
+        for e in lineage_entries(m):
+            covered.add((e["path"], e["row_start"], e["row_end"]))
+        metas.append(m)
+    pending = [
+        p
+        for p in plan
+        if (p["path"], p["row_start"], p["row_end"]) not in covered
+    ]
 
     if pending:
         from ray.data import DataContext

@@ -1,0 +1,378 @@
+"""Tiered segment merging — the reference's compaction tier (SURVEY §2.13).
+
+Planner: size-ratio tiered selection adapted from ``TieredMergePolicy``
+(``core/index/TieredMergePolicy.java:76-83,314-410,704-723``): budget =
+``segs_per_tier`` per size tier above a floor size; candidate score =
+``skew * totAfterMergeBytes^0.05`` (lower is better; no deletes in this
+engine so the nonDelRatio² factor is 1). One deliberate difference,
+documented: candidates are **contiguous runs in docid-base order** (like
+``LogByteSizeMergePolicy`` — ``core/index/LogMergePolicy.java``) so global
+docids survive merges unchanged — this engine uses global docids as the
+rank tie-break, so merging must be rank-neutral.
+
+Executor: each planned merge is one Ray task (``SegmentMerger`` role,
+``core/index/SegmentMerger.java:116-157``): k-way merge of the per-bucket
+sorted term dictionaries, posting lists concatenated with docid rebase
+(``DocIDMerger.java:76-78`` base offsets), re-blocked/re-compressed with
+impacts recomputed; norms/docmaps concatenated. The merged segment commits
+atomically; the manifest flips a generation; source dirs are deleted after
+the commit (IndexFileDeleter role).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.manifest import (
+    Manifest,
+    commit_manifest,
+    load_manifest,
+    segment_dir,
+)
+from lucene_ray.index.segment import (
+    InvertedBatch,
+    SegmentReader,
+    decode_uint_blocks,
+    encode_uint_blocks,
+    write_segment,
+)
+from lucene_ray.codecs.postings import encode_postings
+
+
+@dataclass(frozen=True)
+class TieredMergePolicy:
+    """Size-ratio merge planning (defaults per TieredMergePolicy.java:77-83)."""
+
+    segs_per_tier: float = 8.0
+    max_merge_at_once: int = 10
+    floor_segment_bytes: int = 2 << 20  # scaled floor (ref: 16MB for 5GB caps)
+    max_merged_segment_bytes: int = 5 << 30
+
+    def allowed_seg_count(self, sizes: Sequence[int]) -> int:
+        total = sum(sizes)
+        floor = self.floor_segment_bytes
+        allowed = 0.0
+        level = float(floor)
+        remaining = float(total)
+        while remaining > 0:
+            count = remaining / level
+            if count < self.segs_per_tier:
+                allowed += count
+                break
+            allowed += self.segs_per_tier
+            remaining -= self.segs_per_tier * level
+            level *= self.max_merge_at_once
+        return max(1, int(allowed))
+
+    def find_merges(self, segments: List[dict]) -> List[List[int]]:
+        """→ list of merges, each a list of seg_ids (contiguous in
+        base_docid order). Greedy best-score windows, like the reference's
+        candidate enumeration (TieredMergePolicy.java:314-410)."""
+        segs = sorted(segments, key=lambda s: s["base_docid"])
+        sizes = [max(1, int(s.get("bytes", s["metrics"].get("postings_bytes", 1)))) for s in segs]
+        if len(segs) <= self.allowed_seg_count(sizes):
+            return []
+        merges: List[List[int]] = []
+        used = [False] * len(segs)
+        while True:
+            best = None
+            for lo in range(len(segs)):
+                if used[lo]:
+                    continue
+                tot = 0
+                window = []
+                for hi in range(lo, min(lo + self.max_merge_at_once, len(segs))):
+                    if used[hi]:
+                        break
+                    tot += sizes[hi]
+                    if tot > self.max_merged_segment_bytes and len(window) >= 2:
+                        break
+                    window.append(hi)
+                if len(window) < 2:
+                    continue
+                wsizes = [sizes[i] for i in window]
+                # floored sizes like the reference's floorSize
+                floored = [max(s, self.floor_segment_bytes) for s in wsizes]
+                skew = max(floored) / sum(floored)
+                score = skew * (sum(wsizes) ** 0.05)
+                if best is None or score < best[0]:
+                    best = (score, window)
+            if best is None:
+                break
+            _, window = best
+            for i in window:
+                used[i] = True
+            merges.append([segs[i]["seg_id"] for i in window])
+            live = sum(1 for u in used if not u) + len(merges)
+            if live <= self.allowed_seg_count(sizes):
+                break
+        return merges
+
+
+def merge_segments(
+    index_dir: str, seg_ids: List[int], new_seg_id: int, config: IndexConfig
+) -> dict:
+    """Merge source segments (contiguous docid ranges) into one new segment."""
+    readers = [SegmentReader(segment_dir(index_dir, sid)) for sid in seg_ids]
+    readers.sort(key=lambda r: r.base_docid)
+    new_base = readers[0].base_docid
+    # rebase offsets: local docid in merged = old local + (old base - new base)
+    rebase = [r.base_docid - new_base for r in readers]
+    expect = new_base
+    for r in readers:  # contiguity keeps global docids (and ranks) stable
+        if r.base_docid != expect:
+            raise ValueError(f"non-contiguous merge: {seg_ids}")
+        expect += r.n_docs
+    n_docs = sum(r.n_docs for r in readers)
+
+    norms = np.concatenate([r.norms for r in readers])
+    keys = pa.concat_arrays([r.docmap for r in readers])
+
+    t0 = time.time()
+    tmp_root = os.path.join(index_dir, "segments", ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    sdir = segment_dir(index_dir, new_seg_id)
+    tmp_dir = os.path.join(tmp_root, f"seg_{new_seg_id:06d}.merge.{os.getpid()}")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    import zlib as _zlib
+
+    import pyarrow.parquet as pq
+
+    checksums: Dict[str, int] = {}
+
+    def put(name: str, data: bytes):
+        with open(os.path.join(tmp_dir, name), "wb") as f:
+            f.write(data)
+        checksums[name] = _zlib.crc32(data)
+
+    put("norms.bin", norms.tobytes())
+    pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+
+    n_parts = readers[0].n_parts
+    assert all(r.n_parts == n_parts for r in readers), "bucket counts differ"
+    with_pos = bool(readers[0].meta["positions"])
+    sum_df = 0
+    n_terms = 0
+    postings_bytes = 0
+    for b in range(n_parts):
+        # k-way merge of sorted term lists (MultiTermsEnum role)
+        streams = []
+        for ri, r in enumerate(readers):
+            t = r._terms[b]
+            streams.append((t["term"], ri, t))
+        rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
+                "pos_off": [], "pos_len": []}
+        post_parts: List[bytes] = []
+        pos_parts: List[bytes] = []
+        post_off = 0
+        pos_off = 0
+        heap = []
+        iters = []
+        for terms_list, ri, t in streams:
+            iters.append((terms_list, t))
+            if terms_list:
+                heapq.heappush(heap, (terms_list[0], ri, 0))
+        while heap:
+            term, ri, i = heapq.heappop(heap)
+            group = [(ri, i)]
+            while heap and heap[0][0] == term:
+                ri2, i2 = heapq.heappop(heap)[1:]
+                group.append((ri2, i2))
+            # concatenate postings in reader (docid-base) order
+            group.sort()
+            ids_parts, tf_parts, pos_blobs = [], [], []
+            df = 0
+            ttf = 0
+            for gri, gi in group:
+                t = iters[gri][1]
+                mm = readers[gri]._post_mm[b]
+                off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
+                from lucene_ray.codecs.postings import PostingsView
+
+                view = PostingsView(mm[off : off + ln])
+                ids, tfs = view.decode_all()
+                ids_parts.append(ids.astype(np.int64) + rebase[gri])
+                tf_parts.append(tfs)
+                df += int(t["df"][gi])
+                ttf += int(t["ttf"][gi])
+                if with_pos:
+                    pmm = readers[gri]._pos_mm[b]
+                    po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
+                    pos_blobs.append(decode_uint_blocks(pmm[po : po + pl]))
+            ids = np.concatenate(ids_parts).astype(np.uint32)
+            tfs = np.concatenate(tf_parts)
+            blob = encode_postings(ids, tfs, norms[ids])
+            rows["term"].append(term)
+            rows["df"].append(df)
+            rows["ttf"].append(ttf)
+            rows["post_off"].append(post_off)
+            rows["post_len"].append(len(blob))
+            post_parts.append(blob)
+            post_off += len(blob)
+            if with_pos:
+                pblob = encode_uint_blocks(np.concatenate(pos_blobs))
+                rows["pos_off"].append(pos_off)
+                rows["pos_len"].append(len(pblob))
+                pos_parts.append(pblob)
+                pos_off += len(pblob)
+            else:
+                rows["pos_off"].append(0)
+                rows["pos_len"].append(0)
+            sum_df += df
+            n_terms += 1
+            # push next terms from the group's streams
+            for gri, gi in group:
+                terms_list = iters[gri][0]
+                if gi + 1 < len(terms_list):
+                    heapq.heappush(heap, (terms_list[gi + 1], gri, gi + 1))
+        put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
+        postings_bytes += post_off
+        if with_pos:
+            put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
+        terms_tbl = pa.table(
+            {
+                "term": pa.array(rows["term"], pa.large_string()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "ttf": pa.array(rows["ttf"], pa.int64()),
+                "post_off": pa.array(rows["post_off"], pa.int64()),
+                "post_len": pa.array(rows["post_len"], pa.int64()),
+                "pos_off": pa.array(rows["pos_off"], pa.int64()),
+                "pos_len": pa.array(rows["pos_len"], pa.int64()),
+            }
+        )
+        pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
+
+    build_s = time.time() - t0
+    lineage = []
+    for r in readers:
+        src = r.meta.get("lineage")
+        if isinstance(src, list):
+            lineage.extend(src)
+        elif src:
+            lineage.append(src)
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(tmp_dir, f)) for f in os.listdir(tmp_dir)
+    )
+    meta = {
+        "seg_id": new_seg_id,
+        "bytes": seg_bytes,
+        "base_docid": new_base,
+        "n_docs": n_docs,
+        "doc_count": sum(r.meta["doc_count"] for r in readers),
+        "sum_ttf": sum(r.meta["sum_ttf"] for r in readers),
+        "sum_df": sum_df,
+        "n_terms": n_terms,
+        "n_parts": n_parts,
+        "positions": with_pos,
+        "key_type": readers[0].meta["key_type"],
+        "checksums": checksums,
+        "lineage": lineage,
+        "merged_from": seg_ids,
+        "metrics": {
+            "build_s": round(build_s, 4),
+            "docs_per_s": round(n_docs / build_s, 2) if build_s > 0 else None,
+            "postings_bytes": postings_bytes,
+        },
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(sdir):
+        shutil.rmtree(tmp_dir)
+        with open(os.path.join(sdir, "meta.json")) as f:
+            return json.load(f)
+    os.replace(tmp_dir, sdir)
+    return meta
+
+
+def merge_round(
+    index_dir: str, policy: Optional[TieredMergePolicy] = None
+) -> Manifest:
+    """One merge round: plan on the driver (manifest only), execute each
+    merge as a Ray Data task, commit a new manifest generation, delete
+    source dirs. Call repeatedly until it returns without planning merges
+    (ConcurrentMergeScheduler's role is played by the Ray scheduler)."""
+    import ray
+    import ray.data
+
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    policy = policy or TieredMergePolicy()
+    merges = policy.find_merges(man.segments)
+    if not merges:
+        return man
+    next_id = max(s["seg_id"] for s in man.segments) + 1
+    specs = [
+        {"seg_ids": json.dumps(ids), "new_seg_id": next_id + i}
+        for i, ids in enumerate(merges)
+    ]
+    config = man.config
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_min = ctx.target_min_block_size
+    ctx.target_min_block_size = 1
+    try:
+        work = ray.data.from_items(specs)
+        if len(specs) > 1:
+            work = work.repartition(len(specs))
+
+        def run(batch):
+            out = []
+            for i in range(len(batch["new_seg_id"])):
+                ids = json.loads(batch["seg_ids"][i])
+                meta = merge_segments(
+                    index_dir, ids, int(batch["new_seg_id"][i]), config
+                )
+                out.append(json.dumps(meta))
+            return {"meta": out}
+
+        new_metas = [
+            json.loads(r["meta"])
+            for r in work.map_batches(run, batch_format="numpy").take_all()
+        ]
+    finally:
+        ctx.target_min_block_size = prev_min
+
+    merged_away = {sid for ids in merges for sid in ids}
+    survivors = [s for s in man.segments if s["seg_id"] not in merged_away]
+    man2 = commit_manifest(index_dir, config, survivors + new_metas)
+    for sid in merged_away:  # delete sources only after the commit
+        shutil.rmtree(segment_dir(index_dir, sid), ignore_errors=True)
+    return man2
+
+
+def force_merge(index_dir: str, max_segments: int = 1) -> Manifest:
+    """Compact to ≤ ``max_segments`` (``IndexWriter.forceMerge`` :2176)."""
+    man = load_manifest(index_dir)
+    while man and len(man.segments) > max_segments:
+        segs = sorted(man.segments, key=lambda s: s["base_docid"])
+        n = len(segs)
+        groups = max(max_segments, 1)
+        per = (n + groups - 1) // groups
+        policy_merges = [
+            [s["seg_id"] for s in segs[i : i + per]]
+            for i in range(0, n, per)
+            if len(segs[i : i + per]) >= 2
+        ]
+        if not policy_merges:
+            break
+
+        class _ForcePolicy(TieredMergePolicy):
+            def find_merges(self, segments):
+                return policy_merges
+
+        man = merge_round(index_dir, _ForcePolicy())
+    return man

@@ -291,8 +291,12 @@ def write_segment(
         pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
 
     build_s = time.time() - t0
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(tmp_dir, f)) for f in os.listdir(tmp_dir)
+    )
     meta = {
         "seg_id": seg_id,
+        "bytes": seg_bytes,
         "base_docid": base_docid,
         "n_docs": n_docs,
         "doc_count": int((inv.doc_lengths > 0).sum()),

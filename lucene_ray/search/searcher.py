@@ -73,6 +73,10 @@ class IndexSearcher:
             else SegmentReader(s["dir"])
             for s in man.segments
         ]
+        # leaf order = docid-base order, so the TopDocs.merge tie-break
+        # (score, seg_idx, docid) equals (score, global docid) and survives
+        # merges unchanged (merged segments get new seg_ids but keep bases)
+        self.segments.sort(key=lambda r: r.base_docid)
         fs = man.field_stats
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
