@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "bm25_topk": sq.bm25_topk,
+        "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
         "phrase_search": sq.phrase_search,
@@ -67,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "bm25_topk": sq.sql_bm25_topk(),
+        "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "phrase_search": sq.sql_phrase_search(),

@@ -56,7 +56,7 @@ def build_query_set(n_docs: int):
         + [f"+{v(0)} +{v(4)}", f"+{v(6)} -{v(1)}"]
         + [f'"{v(0)} {v(1)}"', f'"{v(5)} {v(2)}"']
     )
-    reps = max(1, 768 // len(base))
+    reps = max(1, 6120 // len(base))
     queries = []
     qid = 0
     for _ in range(reps):
@@ -100,7 +100,9 @@ def run_bench() -> dict:
 
     index_dir = f"/tmp/lucene_ray_bench/idx_{n_docs}_{NUM_CPUS}_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
-    rows_per_seg = max(2000, -(-n_docs // NUM_CPUS))  # ≥1 segment per cpu, min 2000 rows
+    # layout independent of cpu count so 8- and 32-cpu runs do IDENTICAL
+    # work (the scaling protocol compares parallelism, not plans)
+    rows_per_seg = max(2000, n_docs // 64)
     cfg = IndexConfig(
         key_col="url", text_col="text", rows_per_segment=rows_per_seg
     )
@@ -108,6 +110,14 @@ def run_bench() -> dict:
     t0 = time.time()
     man = build_index(paths, index_dir, cfg)
     t_build = time.time() - t0
+
+    # tiered merge rounds (the reference's background compaction, timed
+    # explicitly); leaves ~4 large segments for the query stage
+    from lucene_ray.index.merge import force_merge
+
+    t0 = time.time()
+    man = force_merge(index_dir, 8)  # 8-way merge parallelism, same at every level
+    t_merge = time.time() - t0
 
     queries = build_query_set(n_docs)
     qds = ray.data.from_items(queries)
@@ -118,17 +128,18 @@ def run_bench() -> dict:
 
     out = {
         "metric": "index-build + BM25 top-10 query workload (synthetic pages corpus)",
-        "value": round(t_build + t_query, 3),
+        "value": round(t_build + t_merge + t_query, 3),
         "unit": "sec",
         "queries": {
             "index_build": round(t_build, 3),
+            "merge": round(t_merge, 3),
             "query_workload": round(t_query, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "n_queries": len(queries),
-        "docs_per_s": round(n_docs / t_build, 1),
+        "docs_per_s": round(n_docs / (t_build + t_merge), 1),
         "qps": round(len(queries) / t_query, 1),
         "n_segments": len(man.segments),
         "result_rows": n_rows,
@@ -141,6 +152,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # bigger job for scaling evidence: fixed overheads (session startup,
+        # actor-pool spin-up, merge barriers) must be small vs compute
+        env.setdefault("GRAFT_BENCH_DOCS", str(192_000))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

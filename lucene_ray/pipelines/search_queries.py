@@ -71,6 +71,44 @@ def bm25_topk(sf_dir: str):
     return _run(sf_dir, TERM_QUERIES)
 
 
+def bm25_topk_shuffle(sf_dir: str):
+    """Same query set over an index built by the groupby-term SHUFFLE build
+    with head-term salting (index.shuffle_build) — must match the same
+    bit-exact oracle as the segmented build."""
+    import os
+
+    import ray.data
+
+    from lucene_ray.index.config import IndexConfig
+    from lucene_ray.index.shuffle_build import build_index_shuffled
+    from lucene_ray.pipelines.index_cache import CACHE_ROOT, index_dir_for
+
+    cfg = IndexConfig(rows_per_segment=128, num_buckets=3, positions=False,
+                      hot_term_df_ratio=0.5, num_salts=4)
+    idx = index_dir_for(sf_dir, cfg) + "_shuffle"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        os.makedirs(idx, exist_ok=True)
+        build_index_shuffled(
+            os.path.join(sf_dir, "documents.parquet"), idx, cfg
+        )
+    qds = ray.data.from_items([{"qid": q, "query": t} for q, t in TERM_QUERIES])
+    from lucene_ray.search.searcher import search_dataset
+
+    res = search_dataset(idx, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
 

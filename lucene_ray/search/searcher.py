@@ -88,6 +88,7 @@ class IndexSearcher:
             max_token_length=self.config.max_token_length,
         )
         self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
+        self._gmax_cache: Dict[tuple, np.ndarray] = {}
 
     # -- stats gathering (TermStates analogue) -----------------------------
 
@@ -293,13 +294,39 @@ class IndexSearcher:
         order = np.lexsort((sel_ids, -sel_scores.astype(np.float64)))[:k]
         return sel_ids[order], sel_scores[order]
 
+    @staticmethod
+    def _wand_eligible(q: Query) -> Optional[List[TermQuery]]:
+        """Pure SHOULD disjunction of term queries (msm ≤ 1) → its terms;
+        the shapes ``BooleanScorerSupplier`` routes to the top-k scored-∪
+        strategies (``core/search/BooleanScorerSupplier.java:130-353``)."""
+        if isinstance(q, TermQuery):
+            return [q]
+        if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and q.clauses:
+            subs = []
+            for occur, sub in q.clauses:
+                if occur != SHOULD or not isinstance(sub, TermQuery):
+                    return None
+                subs.append(sub)
+            return subs
+        return None
+
     def search(
-        self, query, k: int = 10
+        self, query, k: int = 10, mode: str = "auto"
     ) -> dict:
         """→ {"docids", "keys", "scores", "total_hits", "relation"} global
-        top-k with TopDocs.merge tie-breaking."""
+        top-k with TopDocs.merge tie-breaking.
+
+        ``mode``: "auto" uses block-max pruning for eligible disjunctions
+        (rank-identical by construction), "exhaustive" forces full scoring,
+        "wand" forces pruning (errors if ineligible)."""
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        if mode != "exhaustive":
+            terms = self._wand_eligible(query)
+            if terms is not None:
+                return self._search_wand(terms, k)
+            if mode == "wand":
+                raise ValueError("query not eligible for WAND pruning")
         states = self.term_states(query_terms(query))
         rows = []  # (neg_score, seg_idx, docid) for merge ordering
         total = 0
@@ -324,6 +351,63 @@ class IndexSearcher:
             "scores": scores,
             "total_hits": total,
             "relation": "EQ",
+        }
+
+    def _search_wand(self, terms: List[TermQuery], k: int) -> dict:
+        from lucene_ray.search.wand import block_gmax, wand_topk
+
+        states = self.term_states([t.term for t in terms])
+        theta = -np.inf
+        rows = []
+        total = 0
+        any_pruned = False
+        for si, seg in enumerate(self.segments):
+            infos = [states[t.term][0][si] for t in terms]
+            weights = [
+                self._term_weight(states[t.term][1], t.boost) for t in terms
+            ]
+            live = [
+                (ti, w)
+                for ti, w, t in zip(infos, weights, terms)
+                if ti is not None and states[t.term][1] > 0
+            ]
+            if not live:
+                continue
+            gmaxes = []
+            for ti, _ in live:
+                key = (si, ti.part, ti.post_off)
+                gm = self._gmax_cache.get(key)
+                if gm is None:
+                    gm = block_gmax(seg.postings(ti), self.norm_inverse)
+                    if len(self._gmax_cache) < 1_000_000:
+                        self._gmax_cache[key] = gm
+                gmaxes.append(gm)
+            ids, scores, theta, pruned, ev = wand_topk(
+                seg,
+                [ti for ti, _ in live],
+                [w for _, w in live],
+                self.norm_inverse,
+                k,
+                theta,
+                gmaxes,
+            )
+            total += ev
+            any_pruned = any_pruned or pruned
+            for d, s in zip(ids, scores):
+                rows.append((-float(s), si, int(d)))
+        rows.sort()
+        rows = rows[:k]
+        docids = np.array(
+            [self.segments[si].base_docid + d for _, si, d in rows], dtype=np.int64
+        )
+        scores = np.array([-s for s, _, _ in rows], dtype=np.float32)
+        keys = [self.segments[si].docmap[d].as_py() for _, si, d in rows]
+        return {
+            "docids": docids,
+            "keys": keys,
+            "scores": scores,
+            "total_hits": total,
+            "relation": "GTE" if any_pruned else "EQ",
         }
 
     def search_batch(

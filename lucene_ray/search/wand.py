@@ -1,0 +1,189 @@
+"""Block-max pruned top-k disjunction — the role of ``WANDScorer`` /
+``MaxScoreBulkScorer`` (``core/search/WANDScorer.java:39-137``,
+``core/search/MaxScoreBulkScorer.java:26-127``), re-expressed for a
+vectorized engine:
+
+- per-term, per-block score upper bounds come from the stored competitive
+  impact frontiers (``Impacts``/``MaxScoreCache`` role,
+  ``core/search/MaxScoreCache.java:35-119``) — computed at query time
+  because idf needs global stats;
+- the docid space is cut into fixed windows (4096 docs, the reference's
+  ``INNER_WINDOW_SIZE``); a window's bound = Σ per-term max block bound
+  overlapping it;
+- windows are evaluated exactly (dense float32 accumulation in clause
+  order — identical arithmetic to the exhaustive scorer) in descending
+  bound order, maintaining the k-th-best threshold θ; a window is skipped
+  iff its bound < θ (strictly — equal-bound windows may hold equal-score
+  docs that win the lower-docid tie-break);
+- final selection sorts all surviving candidates by (score desc, docid
+  asc), so results are provably rank-identical to exhaustive evaluation.
+
+θ carries across segments like ``MaxScoreAccumulator`` shares the floor
+across slices (``core/search/MaxScoreAccumulator.java``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lucene_ray.codecs.postings import PostingsView
+from lucene_ray.index.segment import SegmentReader, TermInfo
+
+F32 = np.float32
+WINDOW = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
+
+
+def block_gmax(view: PostingsView, norm_inverse: np.ndarray) -> np.ndarray:
+    """Weight-independent bound factor per block: ``max over the impact
+    frontier of 1 - 1/(1 + freq * normInv)``. The block score bound is
+    ``weight * gmax`` (score = weight * g(freq, norm) algebraically), so
+    this can be cached per (segment, term) across queries — the role of
+    ``MaxScoreCache`` (``core/search/MaxScoreCache.java:35-119``)."""
+    out = np.empty(view.n_blocks, dtype=F32)
+    one = F32(1.0)
+    for bi in range(view.n_blocks):
+        imp = view.impacts(bi)
+        if len(imp) == 0:
+            out[bi] = one  # no impacts recorded → sup over freq→∞
+        else:
+            g = one - one / (one + imp["freq"].astype(F32) * norm_inverse[imp["norm"]])
+            out[bi] = g.max()
+    return out
+
+
+class _TermCursor:
+    """Lazy per-term block decoder with bound metadata."""
+
+    def __init__(
+        self,
+        view: PostingsView,
+        weight: np.float32,
+        norm_inverse: np.ndarray,
+        gmax: Optional[np.ndarray] = None,
+    ):
+        self.view = view
+        self.weight = weight
+        self.norm_inverse = norm_inverse
+        d = view.directory
+        self.first = d["first_docid"].astype(np.int64)
+        self.last = d["last_docid"].astype(np.int64)
+        if gmax is None:
+            gmax = block_gmax(view, norm_inverse)
+        self.bounds = (weight * gmax).astype(F32)
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def block(self, bi: int) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(bi)
+        if hit is None:
+            hit = self.view.decode_block(bi)
+            self._cache[bi] = hit
+        return hit
+
+    def blocks_overlapping(self, lo: int, hi: int) -> np.ndarray:
+        """Block indices intersecting docid range [lo, hi)."""
+        s = int(np.searchsorted(self.last, lo, side="left"))
+        e = int(np.searchsorted(self.first, hi, side="left"))
+        return np.arange(s, e)
+
+
+def wand_topk(
+    seg: SegmentReader,
+    term_infos: List[Optional[TermInfo]],
+    weights: List[np.float32],
+    norm_inverse: np.ndarray,
+    k: int,
+    theta: float = -np.inf,
+    gmaxes: Optional[List[Optional[np.ndarray]]] = None,
+) -> Tuple[np.ndarray, np.ndarray, float, bool, int]:
+    """Top-k of a SHOULD-disjunction of terms over one segment.
+
+    Returns ``(docids, scores, theta_out, pruned, evaluated_matches)``;
+    docids local, result exact top-k by (score desc, docid asc).
+    """
+    if gmaxes is None:
+        gmaxes = [None] * len(term_infos)
+    cursors = [
+        _TermCursor(seg.postings(ti), w, norm_inverse, gm)
+        for ti, w, gm in zip(term_infos, weights, gmaxes)
+        if ti is not None
+    ]
+    if not cursors:
+        return np.empty(0, np.uint32), np.empty(0, F32), theta, False, 0
+    n = seg.n_docs
+    n_win = (n + WINDOW - 1) // WINDOW
+    ub = np.zeros(n_win, dtype=np.float64)
+    for c in cursors:
+        wmax = np.zeros(n_win, dtype=np.float64)
+        ws = (c.first // WINDOW).astype(np.int64)
+        we = (c.last // WINDOW).astype(np.int64)
+        for bi in range(len(ws)):
+            b = float(c.bounds[bi])
+            lo, hi = int(ws[bi]), int(we[bi])
+            if lo == hi:
+                if b > wmax[lo]:
+                    wmax[lo] = b
+            else:
+                seg_slice = wmax[lo : hi + 1]
+                np.maximum(seg_slice, b, out=seg_slice)
+        ub += wmax
+
+    order = np.argsort(-ub, kind="stable")
+    cand_ids: List[np.ndarray] = []
+    cand_scores: List[np.ndarray] = []
+    n_cand = 0
+    pruned = False
+    evaluated = 0
+    norms = seg.norms
+    for wi in order:
+        bound = ub[wi]
+        if bound <= 0:
+            break  # no term touches this window
+        # 1e-6 relative safety margin: f32 score rounding could land a hair
+        # above the f64 sum of f32 bounds; never skip a window that could
+        # hold an exact tie (rank-identity is the contract)
+        if bound * (1.0 + 1e-6) + 1e-9 < theta:
+            pruned = True
+            continue
+        lo = int(wi) * WINDOW
+        hi = min(lo + WINDOW, n)
+        scores_w = np.zeros(hi - lo, dtype=F32)
+        matched = np.zeros(hi - lo, dtype=bool)
+        for c in cursors:  # clause order — identical f32 sum order
+            for bi in c.blocks_overlapping(lo, hi):
+                ids, freqs = c.block(int(bi))
+                if ids[0] >= hi or ids[-1] < lo:
+                    continue
+                m = (ids >= lo) & (ids < hi)
+                if not m.any():
+                    continue
+                sel = ids[m].astype(np.int64) - lo
+                w = c.weight
+                s = w - w / (F32(1.0) + freqs[m].astype(F32) * c.norm_inverse[norms[ids[m]]])
+                scores_w[sel] += s
+                matched[sel] = True
+        hits = np.flatnonzero(matched)
+        if len(hits) == 0:
+            continue
+        evaluated += len(hits)
+        cand_ids.append((hits + lo).astype(np.uint32))
+        cand_scores.append(scores_w[hits])
+        n_cand += len(hits)
+        if n_cand >= k:
+            allsc = np.concatenate(cand_scores)
+            if len(allsc) >= k:
+                kth = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])
+                if kth > theta:
+                    theta = kth
+    if not cand_ids:
+        return np.empty(0, np.uint32), np.empty(0, F32), theta, pruned, evaluated
+    ids = np.concatenate(cand_ids)
+    scores = np.concatenate(cand_scores)
+    if len(ids) > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        thresh = scores[part].min()
+        keep = scores >= thresh
+        ids, scores = ids[keep], scores[keep]
+    sel = np.lexsort((ids, -scores.astype(np.float64)))[:k]
+    return ids[sel], scores[sel], theta, pruned, evaluated
