@@ -42,7 +42,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import corpus_ops as co
-    from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import dedup
+    from lucene_ray.pipelines import events as ev
+    from lucene_ray.pipelines import knn, lsh_knn
     from lucene_ray.pipelines import search_queries as sq
 
     return {
@@ -58,11 +60,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": co.lang_counts,
         "text_quality": co.text_quality,
         "knn_cosine": knn.knn_cosine,
+        "knn_lsh": lsh_knn.lsh_knn,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        "events_window": ev.tumbling_window_stats,
+        "events_sessionize": ev.sessionize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import corpus_ops as co
+    from lucene_ray.pipelines import dedup
+    from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import knn
     from lucene_ray.pipelines import search_queries as sq
 
@@ -79,4 +90,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": co.sql_lang_counts(),
         "text_quality": co.sql_text_quality(),
         "knn_cosine": knn.sql_knn_cosine(),
+        # knn_lsh + simhash_pairs: non-SQL-expressible (LSH recall /
+        # hash-based) → rows-only driver check, deliberately no oracle
+        "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
+        "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
+        "embedding_near_dup": dedup.sql_embedding_near_dup(),
+        "events_window": ev.sql_tumbling_window_stats(),
+        "events_sessionize": ev.sql_sessionize(),
     }

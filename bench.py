@@ -91,7 +91,7 @@ def run_bench() -> dict:
 
     n_docs = corpus_size()
     corpus_dir = f"/tmp/lucene_ray_bench/pages_{n_docs}"
-    paths = write_corpus(corpus_dir, n_docs, n_files=max(16, NUM_CPUS))
+    paths = write_corpus(corpus_dir, n_docs, n_files=32)  # layout independent of cpu count
     # warm the page cache so we measure compute+shuffle, not first disk read
     for p in paths:
         with open(p, "rb") as f:

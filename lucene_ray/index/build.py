@@ -95,6 +95,9 @@ def build_partition(
     item: dict, config: IndexConfig, index_dir: str
 ) -> dict:
     """One build task: read range → invert → write segment. Idempotent."""
+    # one task == one cpu: keep Arrow's internal pool from oversubscribing
+    # when many build tasks run concurrently
+    pa.set_cpu_count(1)
     seg_id = int(item["seg_id"])
     sdir = segment_dir(index_dir, seg_id)
     if os.path.exists(os.path.join(sdir, "meta.json")):

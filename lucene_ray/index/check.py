@@ -1,0 +1,158 @@
+"""Index invariant checker — the ``CheckIndex`` analogue
+(``core/index/CheckIndex.java:113,570,1107-1120``): re-reads every shard
+and verifies self-consistency:
+
+- file checksums match the meta.json record,
+- per-part term dictionaries strictly sorted, routed to the right bucket,
+- postings decode: docids strictly increasing, within [0, n_docs),
+  df/ttf in the term table equal the decoded counts,
+- per-block impact frontiers dominate every (freq, norm) in the block,
+- norms present for every doc; segment stats equal recounts,
+- manifest field_stats equal the sum over segments,
+- docid ranges contiguous across segments (base order).
+
+Run via ``check_index(index_dir)`` → list of problem strings (empty =
+healthy); each segment checks in its own Ray task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import List
+
+import numpy as np
+
+from lucene_ray.codecs.postings import PostingsView, max_block_score
+from lucene_ray.index.manifest import load_manifest, segment_dir
+from lucene_ray.index.segment import SegmentReader
+
+
+def check_segment(seg_dir: str) -> List[str]:
+    problems: List[str] = []
+    try:
+        seg = SegmentReader(seg_dir)
+    except Exception as e:
+        return [f"{seg_dir}: unreadable: {e}"]
+    meta = seg.meta
+
+    for name, want in meta.get("checksums", {}).items():
+        path = os.path.join(seg_dir, name)
+        if not os.path.exists(path):
+            problems.append(f"{seg_dir}/{name}: missing file")
+            continue
+        with open(path, "rb") as f:
+            got = zlib.crc32(f.read())
+        if got != want:
+            problems.append(f"{seg_dir}/{name}: checksum {got} != {want}")
+
+    if len(seg.norms) != meta["n_docs"]:
+        problems.append(f"{seg_dir}: norms length {len(seg.norms)} != n_docs")
+    if len(seg.docmap) != meta["n_docs"]:
+        problems.append(f"{seg_dir}: docmap length != n_docs")
+
+    n_docs = meta["n_docs"]
+    sum_df = 0
+    sum_ttf = 0
+    n_terms = 0
+    for b in range(seg.n_parts):
+        t = seg._terms[b]
+        terms = t["term"]
+        for i in range(1, len(terms)):
+            if not terms[i - 1] < terms[i]:
+                problems.append(f"{seg_dir} part{b}: terms not strictly sorted @ {i}")
+                break
+        if seg.n_parts > 1:
+            for i, term in enumerate(terms):
+                if zlib.crc32(term.encode()) % seg.n_parts != b:
+                    problems.append(f"{seg_dir} part{b}: term {term!r} in wrong bucket")
+                    break
+        mm = seg._post_mm[b]
+        for i, term in enumerate(terms):
+            off, ln = int(t["post_off"][i]), int(t["post_len"][i])
+            try:
+                view = PostingsView(mm[off : off + ln])
+                ids, freqs = view.decode_all()
+            except Exception as e:
+                problems.append(
+                    f"{seg_dir} part{b} {term!r}: postings decode failed: {e}"
+                )
+                continue
+            if len(ids) != t["df"][i]:
+                problems.append(f"{seg_dir} part{b} {term!r}: df {t['df'][i]} != decoded {len(ids)}")
+            if int(freqs.sum()) != t["ttf"][i]:
+                problems.append(f"{seg_dir} part{b} {term!r}: ttf mismatch")
+            if len(ids) > 1 and not (np.diff(ids.astype(np.int64)) > 0).all():
+                problems.append(f"{seg_dir} part{b} {term!r}: docids not strictly increasing")
+            if len(ids) and (ids[-1] >= n_docs or ids[0] < 0):
+                problems.append(f"{seg_dir} part{b} {term!r}: docid out of range")
+            if (freqs < 1).any():
+                problems.append(f"{seg_dir} part{b} {term!r}: zero freq")
+            # impact domination: g = 1 - 1/(1+f*inv) monotone in f per norm;
+            # check bound >= every (freq, norm) pair's factor with a
+            # reference normInverse built from an arbitrary avgdl
+            from lucene_ray.search.bm25 import BM25Similarity
+
+            sc = BM25Similarity().scorer(1.0, max(2, n_docs), max(2, int(meta["sum_ttf"])), max(1, len(ids)))
+            from lucene_ray.codecs.postings import BLOCK_SIZE
+
+            try:
+                for bi in range(view.n_blocks):
+                    imp = view.impacts(bi)
+                    if len(imp) == 0:
+                        continue
+                    bound = max_block_score(imp, sc)
+                    bids, bfreqs = view.decode_block(bi)
+                    real = sc.score(bfreqs.astype(np.float32), seg.norms[bids])
+                    if not (real <= bound + 1e-6).all():
+                        problems.append(
+                            f"{seg_dir} part{b} {term!r} block {bi}: impact bound violated"
+                        )
+            except Exception as e:
+                problems.append(f"{seg_dir} part{b} {term!r}: impacts check failed: {e}")
+        sum_df += int(t["df"].sum())
+        sum_ttf += int(t["ttf"].sum())
+        n_terms += len(terms)
+
+    if sum_df != meta["sum_df"]:
+        problems.append(f"{seg_dir}: sum_df recount {sum_df} != meta {meta['sum_df']}")
+    if sum_ttf != meta["sum_ttf"]:
+        problems.append(f"{seg_dir}: sum_ttf recount {sum_ttf} != meta {meta['sum_ttf']}")
+    if n_terms != meta["n_terms"]:
+        problems.append(f"{seg_dir}: n_terms recount != meta")
+    return problems
+
+
+def check_index(index_dir: str, use_ray: bool = True) -> List[str]:
+    man = load_manifest(index_dir)
+    if man is None:
+        return [f"{index_dir}: no manifest"]
+    problems: List[str] = []
+    fs = man.field_stats
+    for key in ("doc_count", "sum_ttf", "sum_df", "n_docs"):
+        got = sum(s[key] if key != "n_docs" else s["n_docs"] for s in man.segments)
+        if got != fs[key]:
+            problems.append(f"manifest field_stats.{key} {fs[key]} != sum {got}")
+    segs = sorted(man.segments, key=lambda s: s["base_docid"])
+    expect = 0
+    for s in segs:
+        if s["base_docid"] != expect:
+            problems.append(
+                f"segment {s['seg_id']}: base {s['base_docid']} != expected {expect} (gap/overlap)"
+            )
+        expect = s["base_docid"] + s["n_docs"]
+    dirs = [segment_dir(index_dir, s["seg_id"]) for s in man.segments]
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def chk(d: str) -> List[str]:
+            return check_segment(d)
+
+        for r in ray.get([chk.remote(d) for d in dirs]):
+            problems.extend(r)
+    else:
+        for d in dirs:
+            problems.extend(check_segment(d))
+    return problems

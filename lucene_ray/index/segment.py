@@ -95,45 +95,49 @@ def invert_texts(
     texts: Sequence[Optional[str]],
     analyzer: Analyzer,
     with_positions: bool,
-    chunk_docs: int = 8192,
 ) -> InvertedBatch:
-    """Tokenize + invert a doc range into sorted per-term postings arrays."""
+    """Tokenize + invert a doc range into sorted per-term postings arrays.
+
+    Implementation: tokens are mapped to integer codes through a per-task
+    dict (the ``TermsHashPerField`` role), then all grouping/sorting runs
+    on int64 arrays — one ``np.argsort`` over ``code * n_docs + docid``
+    replaces an Arrow string sort, cutting allocation/memory-bandwidth
+    pressure (the build is bandwidth-bound at high task concurrency).
+    """
     n_docs = len(texts)
     doc_lengths = np.zeros(n_docs, dtype=np.int64)
-    chunks: List[pa.Table] = []
-    terms_buf: List[str] = []
-    docid_buf: List[int] = []
-    pos_buf: List[int] = []
+    vocab: dict = {}
+    code_chunks: List[np.ndarray] = []
+    len_per_doc: List[int] = []
+    pos_chunks: List[np.ndarray] = [] if with_positions else None
+    codes_buf: List[int] = []
 
-    def flush_chunk():
-        nonlocal terms_buf, docid_buf, pos_buf
-        if not terms_buf:
-            return
-        cols = {
-            "term": pa.array(terms_buf, pa.large_string()),
-            "docid": pa.array(docid_buf, pa.uint32()),
-        }
-        if with_positions:
-            cols["pos"] = pa.array(pos_buf, pa.uint32())
-        chunks.append(pa.table(cols))
-        terms_buf, docid_buf, pos_buf = [], [], []
-
+    get = vocab.get
     for di, text in enumerate(texts):
         if not text:
+            len_per_doc.append(0)
             continue
         terms, positions = analyzer.analyze_fast(text)
         doc_lengths[di] = len(terms)
-        if not terms:
-            continue
-        terms_buf.extend(terms)
-        docid_buf.extend([di] * len(terms))
-        if with_positions:
-            pos_buf.extend(positions if positions is not None else range(len(terms)))
-        if len(terms_buf) >= chunk_docs * 64:
-            flush_chunk()
-    flush_chunk()
+        len_per_doc.append(len(terms))
+        for t in terms:
+            c = get(t)
+            if c is None:
+                c = len(vocab)
+                vocab[t] = c
+            codes_buf.append(c)
+        if with_positions and positions is not None:
+            pos_chunks.append(np.asarray(positions, dtype=np.uint32))
+        elif with_positions:
+            pos_chunks.append(np.arange(len(terms), dtype=np.uint32))
+        if len(codes_buf) >= 1 << 20:
+            code_chunks.append(np.array(codes_buf, dtype=np.int64))
+            codes_buf = []
+    if codes_buf:
+        code_chunks.append(np.array(codes_buf, dtype=np.int64))
 
-    if not chunks:
+    n_terms = len(vocab)
+    if n_terms == 0:
         empty64 = np.zeros(1, dtype=np.int64)
         return InvertedBatch(
             terms=pa.array([], pa.large_string()),
@@ -145,51 +149,62 @@ def invert_texts(
             doc_lengths=doc_lengths,
         )
 
-    tok = pa.concat_tables(chunks)
-    sort_keys = [("term", "ascending"), ("docid", "ascending")]
-    if with_positions:
-        sort_keys.append(("pos", "ascending"))
-    tok = tok.sort_by(sort_keys).combine_chunks()
+    codes = (
+        np.concatenate(code_chunks) if len(code_chunks) > 1 else code_chunks[0]
+    )
+    # sorted unique terms + first-appearance-code → sorted-rank mapping
+    sorted_terms = sorted(vocab)
+    rank = np.empty(n_terms, dtype=np.int64)
+    for i, t in enumerate(sorted_terms):
+        rank[vocab[t]] = i
 
-    term_col = tok.column("term").chunk(0)
-    dict_col = term_col.dictionary_encode()
-    codes = np.asarray(dict_col.indices, dtype=np.int64)
-    docids = np.asarray(tok.column("docid").chunk(0), dtype=np.int64)
+    lengths = np.array(len_per_doc, dtype=np.int64)
+    docid_per_tok = np.repeat(
+        np.arange(n_docs, dtype=np.int64), lengths
+    )
+    key = rank[codes] * n_docs + docid_per_tok
+    perm = np.argsort(key, kind="stable")  # stable keeps positions in order
+    skey = key[perm]
 
-    # run-length over (term_code, docid) → per-pair tf
-    combo = codes * (int(docids.max()) + 1) + docids
-    pair_start_mask = np.empty(len(combo), dtype=bool)
+    pair_start_mask = np.empty(len(skey), dtype=bool)
     pair_start_mask[0] = True
-    np.not_equal(combo[1:], combo[:-1], out=pair_start_mask[1:])
+    np.not_equal(skey[1:], skey[:-1], out=pair_start_mask[1:])
     pair_starts = np.flatnonzero(pair_start_mask)
-    pair_ends = np.append(pair_starts[1:], len(combo))
+    pair_ends = np.append(pair_starts[1:], len(skey))
     pair_tfs = (pair_ends - pair_starts).astype(np.uint32)
-    pair_docids = docids[pair_starts].astype(np.uint32)
-    pair_codes = codes[pair_starts]
+    pair_docids = (skey[pair_starts] % n_docs).astype(np.uint32)
+    pair_codes = skey[pair_starts] // n_docs
 
-    # run-length over term codes at pair granularity → per-term offsets
     term_start_mask = np.empty(len(pair_codes), dtype=bool)
     term_start_mask[0] = True
     np.not_equal(pair_codes[1:], pair_codes[:-1], out=term_start_mask[1:])
     term_starts = np.append(np.flatnonzero(term_start_mask), len(pair_codes))
 
-    uniq_terms = dict_col.dictionary  # first-appearance == sorted order here
+    # sorted_terms may include codes that never appear?? — every vocab
+    # entry appears at least once, but a term's rank might be absent only
+    # if analyze produced it then doc was empty — impossible; still, keep
+    # terms aligned with the distinct ranks actually present:
+    present = np.unique(pair_codes)
+    if len(present) != n_terms:
+        sorted_terms = [sorted_terms[i] for i in present]
 
     positions = None
     pos_starts = None
     if with_positions:
-        positions = np.asarray(tok.column("pos").chunk(0), dtype=np.uint32)
-        # token-level start offset of each term run
+        pos_all = (
+            np.concatenate(pos_chunks) if len(pos_chunks) > 1 else pos_chunks[0]
+        )
+        positions = pos_all[perm]
         tok_term_starts = pair_starts[term_start_mask]
-        pos_starts = np.append(tok_term_starts, len(positions))
+        pos_starts = np.append(tok_term_starts, len(positions)).astype(np.int64)
 
     return InvertedBatch(
-        terms=uniq_terms,
+        terms=pa.array(sorted_terms, pa.large_string()),
         term_starts=term_starts.astype(np.int64),
         pair_docids=pair_docids,
         pair_tfs=pair_tfs,
         positions=positions,
-        pos_starts=pos_starts.astype(np.int64) if pos_starts is not None else None,
+        pos_starts=pos_starts,
         doc_lengths=doc_lengths,
     )
 

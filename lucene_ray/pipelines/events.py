@@ -1,0 +1,132 @@
+"""Windowed aggregates over the ``events`` table — the streaming-shaped
+extension (the reference itself has no streaming tier, SURVEY §2.14; this
+is the Ray Data pattern for stream-shaped inputs: treat events as an
+ordered partitioned log, window inside ``groupby(key).map_groups`` /
+vectorized batch math)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_stats(sf_dir: str, window_s: int = 3600):
+    """→ per (event_type, hour window): count + sum/min/max of value.
+    Pre-aggregated per batch then reduced — no raw-row shuffle."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        w = pc.multiply(
+            pc.divide(us, pa.scalar(window_s * 1_000_000, pa.int64())),
+            pa.scalar(window_s * 1_000_000, pa.int64()),
+        )
+        return b.append_column("w_us", w)
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow")
+    out = windowed.groupby(["event_type", "w_us"]).aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "w_us": b.column("w_us"),
+                "n": b.column("n").cast(pa.int64()),
+                # values are 2-decimal; sum*100 is integer-ish, so round
+                # half-up — immune to cross-engine accumulation noise where
+                # floor() would coin-flip at the boundary
+                "sum_bp": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(b.column("sum_value"), pa.scalar(100.0)),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+                "min_bp": pc.cast(
+                    pc.floor(pc.multiply(b.column("min_value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "max_bp": pc.cast(
+                    pc.floor(pc.multiply(b.column("max_value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tumbling_window_stats(window_s: int = 3600) -> str:
+    # sum of doubles: DuckDB's accumulation order can differ from Ray's at
+    # ~1e-12 relative; *_bp floors at 1e-2 granularity to stay exact
+    return f"""
+select event_type,
+       (epoch_us(ts) // {window_s * 1_000_000}) * {window_s * 1_000_000} as w_us,
+       count(*)::bigint as n,
+       cast(floor(sum(value) * 100 + 0.5) as bigint) as sum_bp,
+       cast(floor(min(value) * 100) as bigint) as min_bp,
+       cast(floor(max(value) * 100) as bigint) as max_bp
+from events
+group by 1, 2
+"""
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """→ per (user_id, session): start, n_events, duration — classic
+    sessionization via ``groupby(user).map_groups`` over ts-sorted rows."""
+    import pandas as pd
+    import ray.data
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64") // 1_000_000
+        new = (ts.diff().fillna(gap_s + 1) > gap_s).cumsum()
+        out = g.assign(sess=new).groupby("sess").agg(
+            user_id=("user_id", "first"),
+            start_us=("ts", lambda s: int(s.iloc[0].value) // 1000),  # ns→µs
+            n_events=("ts", "size"),
+            dur_s=("ts", lambda s: int((s.iloc[-1] - s.iloc[0]).total_seconds())),
+        )
+        return out.reset_index(drop=True)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sql_sessionize(gap_s: int = 1800) -> str:
+    return f"""
+with o as (
+  select user_id, ts,
+         case when epoch(ts) - lag(epoch(ts)) over (partition by user_id order by ts)
+                   > {gap_s} or lag(ts) over (partition by user_id order by ts) is null
+              then 1 else 0 end as brk
+  from events
+),
+s as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts
+                        rows unbounded preceding) as sess
+  from o
+)
+select user_id, cast(epoch_us(min(ts)) as bigint) as start_us,
+       count(*)::bigint as n_events,
+       cast(floor(epoch(max(ts)) - epoch(min(ts))) as bigint) as dur_s
+from s group by user_id, sess
+"""

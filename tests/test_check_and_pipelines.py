@@ -1,0 +1,155 @@
+"""CheckIndex-analogue validator + dedup/events/multimodal pipeline tests."""
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.check import check_index, check_segment
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.manifest import load_manifest, segment_dir
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chk"))
+    build_index(DOCS, d, IndexConfig(rows_per_segment=200, num_buckets=2))
+    return d
+
+
+class TestCheckIndex:
+    def test_healthy_index_passes(self, index_dir):
+        assert check_index(index_dir) == []
+
+    def test_detects_corruption(self, index_dir, tmp_path):
+        import shutil
+
+        d = str(tmp_path / "corrupt")
+        shutil.copytree(index_dir, d)
+        man = load_manifest(d)
+        sdir = segment_dir(d, man.segments[0]["seg_id"])
+        # flip a byte in the postings file
+        path = os.path.join(sdir, "part_0000.postings.bin")
+        data = bytearray(open(path, "rb").read())
+        data[len(data) // 2] ^= 0xFF
+        open(path, "wb").write(bytes(data))
+        problems = check_segment(sdir)
+        assert problems, "corrupted postings must be detected"
+
+    def test_detects_stat_drift(self, index_dir, tmp_path):
+        import json
+        import shutil
+
+        d = str(tmp_path / "drift")
+        shutil.copytree(index_dir, d)
+        mp = os.path.join(d, "manifest.json")
+        man = json.load(open(mp))
+        man["field_stats"]["sum_ttf"] += 1
+        json.dump(man, open(mp, "w"))
+        assert any("sum_ttf" in p for p in check_index(d))
+
+
+class TestDedupPipelines:
+    def test_minhash_matches_exact(self, ray_session):
+        """LSH-found pairs == exact all-pairs trigram Jaccard ≥ 0.8."""
+        import duckdb
+
+        from lucene_ray.pipelines.dedup import minhash_lsh_dedup, sql_minhash_lsh_dedup
+
+        got = minhash_lsh_dedup(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from '{DOCS}'")
+        want = con.execute(sql_minhash_lsh_dedup()).df()
+        assert len(got) == len(want)
+        assert list(got["a"]) == list(want["a"])
+        assert list(got["j_bp"]) == list(want["j_bp"])
+        assert len(got) > 0, "testdata contains near-dups; must find some"
+
+    def test_simhash_deterministic_and_finds_neardups(self, ray_session):
+        from lucene_ray.pipelines.dedup import simhash_pairs
+
+        p1 = simhash_pairs(SF).to_pandas()
+        p2 = simhash_pairs(SF).to_pandas()
+        assert p1.equals(p2)
+        assert (p1["hamming"] <= 8).all()
+
+    def test_embedding_near_dup(self, ray_session):
+        import duckdb
+
+        from lucene_ray.pipelines.dedup import embedding_near_dup, sql_embedding_near_dup
+
+        got = embedding_near_dup(SF).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"create view embeddings as select * from '{SF}/embeddings.parquet'"
+        )
+        want = con.execute(sql_embedding_near_dup()).df()
+        assert list(got["a"]) == list(want["a"])
+        assert list(got["c_bp"]) == list(want["c_bp"])
+
+
+class TestEventsPipelines:
+    def test_window_matches_sql(self, ray_session):
+        import duckdb
+
+        from lucene_ray.pipelines.events import (
+            sql_tumbling_window_stats,
+            tumbling_window_stats,
+        )
+
+        got = (
+            tumbling_window_stats(SF)
+            .to_pandas()
+            .sort_values(["event_type", "w_us"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"create view events as select * from '{SF}/events.parquet'")
+        want = (
+            con.execute(sql_tumbling_window_stats())
+            .df()
+            .sort_values(["event_type", "w_us"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        for c in ["n", "sum_bp", "min_bp", "max_bp"]:
+            assert list(got[c]) == list(want[c]), c
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, ray_session, tmp_path):
+        from lucene_ray.corpus.generator import write_corpus
+        from lucene_ray.pipelines.multimodal import image_features
+
+        paths = write_corpus(str(tmp_path / "pages"), 200, n_files=2, use_ray=False)
+        out = image_features(paths, concurrency=2, batch_size=64).to_pandas()
+        assert len(out) == 200
+        assert set(out.columns) == {"url", "thumb", "thumb_mean", "payload_bytes"}
+        assert all(len(t) == 64 for t in out["thumb"])
+        # deterministic across runs
+        out2 = image_features(paths, concurrency=2, batch_size=64).to_pandas()
+        assert list(out["thumb_mean"]) == list(out2["thumb_mean"])
+
+    def test_frame_sampling(self, ray_session, tmp_path):
+        import ray.data
+
+        from lucene_ray.corpus.generator import write_corpus
+        from lucene_ray.pipelines.multimodal import SampleFrames
+
+        paths = write_corpus(str(tmp_path / "p2"), 50, n_files=1, use_ray=False)
+        ds = ray.data.read_parquet(paths, columns=["url", "html"])
+        ds = ds.map_batches(
+            lambda b: pa.table({"url": b.column("url"), "payload": b.column("html")}),
+            batch_format="pyarrow",
+        )
+        out = ds.map_batches(
+            SampleFrames, batch_format="pyarrow", batch_size=32, concurrency=2
+        ).to_pandas()
+        assert len(out) >= 50
+        assert (out["frame_idx"] % 4 == 0).all()
