@@ -34,7 +34,7 @@ Blob layout (little-endian):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -171,6 +171,176 @@ def encode_postings(
         prev_last = last
     header = np.array([n, n_blocks], dtype="<u4").tobytes()
     return header + directory.tobytes() + b"".join(data_parts)
+
+
+def encode_postings_batch(
+    pair_docids: np.ndarray,
+    pair_tfs: np.ndarray,
+    norms: np.ndarray,
+    term_starts: np.ndarray,
+) -> List[bytes]:
+    """Encode MANY terms' postings at once — same blob format as
+    :func:`encode_postings`, decoded by the same reader.
+
+    Single-block terms (df ≤ 256 — the Zipf tail, i.e. almost all terms)
+    are encoded with *global* vectorized passes: one diff for all gaps,
+    ``np.maximum.reduceat`` for widths, and one ``np.packbits`` call per
+    distinct bit width using pad-to-8-values alignment (8 values × w bits
+    is always whole bytes, so per-term slices stay byte-aligned).
+    Multi-block terms fall back to :func:`encode_postings`.
+
+    Deterministic: the same inputs always produce the same bytes (resume
+    checksums rely on this). Freq base widths here may be one bit wider
+    than the per-term PFor search would pick (no exception hunting in the
+    batch path); the directory records the width, so decode is identical.
+    """
+    n_terms = len(term_starts) - 1
+    docids = pair_docids.astype(np.int64)
+    tfs = pair_tfs.astype(np.uint32)
+    starts = term_starts[:-1]
+    ends = term_starts[1:]
+    dfs = (ends - starts).astype(np.int64)
+
+    out: List[Optional[bytes]] = [None] * n_terms
+    multi = np.flatnonzero(dfs > BLOCK_SIZE)
+    for ti in multi:
+        s, e = int(starts[ti]), int(ends[ti])
+        out[ti] = encode_postings(
+            pair_docids[s:e], pair_tfs[s:e], norms[pair_docids[s:e]]
+        )
+    single = np.flatnonzero(dfs <= BLOCK_SIZE)
+    if len(single) == 0:
+        return out  # type: ignore[return-value]
+
+    # ---- gaps for every pair in one pass (first gap = absolute docid) ----
+    gaps = np.empty(len(docids), dtype=np.int64)
+    if len(docids):
+        gaps[1:] = docids[1:] - docids[:-1]
+        gaps[starts] = docids[starts]
+    max_gap = np.maximum.reduceat(gaps, starts)  # per term (len>=1 each)
+    max_tf = np.maximum.reduceat(tfs.astype(np.int64), starts)
+    from lucene_ray.codecs.forutil import _POW2
+
+    gw = np.searchsorted(_POW2, max_gap, side="right")
+    fw = np.searchsorted(_POW2, max_tf, side="right")
+    first_doc = docids[starts]
+    last_doc = docids[ends - 1]
+
+    # bitset-vs-FOR decision per single-block term
+    span_bytes = (last_doc - first_doc + 1 + 7) // 8
+    for_bytes = (dfs * gw + 7) // 8
+    use_bitset = span_bytes < for_bytes
+
+    # ---- per-(term, norm) max freq → pareto impacts (pure-int inner loop
+    # over the few distinct norms per term) ----
+    pair_norms = norms[pair_docids].astype(np.int64)
+    term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
+    combo = term_idx * 256 + pair_norms
+    order = np.argsort(combo, kind="stable")
+    combo_s = combo[order]
+    tf_s = tfs[order].astype(np.int64)
+    grp_mask = np.empty(len(combo_s), dtype=bool)
+    if len(combo_s):
+        grp_mask[0] = True
+        np.not_equal(combo_s[1:], combo_s[:-1], out=grp_mask[1:])
+    grp_starts = np.flatnonzero(grp_mask)
+    grp_combo = combo_s[grp_starts]
+    grp_max = np.maximum.reduceat(tf_s, grp_starts) if len(grp_starts) else np.empty(0, np.int64)
+    grp_term = grp_combo // 256
+    grp_norm = grp_combo % 256
+    # per-term slices over the (term, norm) groups
+    tgrp_starts = np.searchsorted(grp_term, np.arange(n_terms))
+    tgrp_ends = np.searchsorted(grp_term, np.arange(n_terms) + 1)
+
+    # ---- batched packing per distinct width ----
+    def batched_pack(values: np.ndarray, starts_, counts, widths, sel):
+        """→ dict term_index -> packed bytes for the selected terms."""
+        blobs: Dict[int, bytes] = {}
+        for w in np.unique(widths[sel]):
+            w = int(w)
+            tsel = sel[widths[sel] == w]
+            if w == 0:
+                for ti in tsel:
+                    blobs[int(ti)] = b""
+                continue
+            padded = ((counts[tsel] + 7) // 8) * 8
+            total = int(padded.sum())
+            big = np.zeros(total, dtype=np.uint32)
+            pos = 0
+            offs = []
+            for ti, pc_ in zip(tsel, padded):
+                s, c = int(starts_[ti]), int(counts[ti])
+                big[pos : pos + c] = values[s : s + c]
+                offs.append((int(ti), pos, int(pc_)))
+                pos += int(pc_)
+            packed = np.packbits(
+                ((big[:, None] >> np.arange(w - 1, -1, -1, dtype=np.uint32)) & 1)
+                .astype(np.uint8)
+                .ravel()
+            ).tobytes()
+            for ti, p, pc_ in offs:
+                byte_lo = p * w // 8
+                blobs[ti] = packed[byte_lo : byte_lo + pc_ * w // 8]
+        return blobs
+
+    gap_blobs = batched_pack(
+        gaps.astype(np.uint32), starts, dfs, gw, single[~use_bitset[single]]
+    )
+    freq_blobs = batched_pack(tfs, starts, dfs, fw, single)
+
+    header_dir = np.zeros(1, dtype=_DIR_DTYPE)
+    for ti in single:
+        ti = int(ti)
+        s, e = int(starts[ti]), int(ends[ti])
+        df = e - s
+        if use_bitset[ti]:
+            span = int(last_doc[ti]) - int(first_doc[ti]) + 1
+            bs = np.zeros(((span + 7) // 8) * 8, dtype=np.uint8)
+            bs[docids[s:e] - first_doc[ti]] = 1
+            docid_data = np.packbits(bs).tobytes()
+            kind, width = 1, 0
+        else:
+            docid_data = gap_blobs[ti]
+            kind, width = 0, int(gw[ti])
+        # trim freq blob to the exact packed_size the reader expects, then
+        # keep it (padding after is harmless but offsets must be exact)
+        fwid = int(fw[ti])
+        fblob = freq_blobs[ti][: (df * fwid + 7) // 8]
+        dblob = (
+            docid_data
+            if kind == 1
+            else docid_data[: (df * width + 7) // 8]
+        )
+        # impacts: pareto over this term's (norm asc, maxfreq) pairs
+        gs, ge = int(tgrp_starts[ti]), int(tgrp_ends[ti])
+        imp_f: List[int] = []
+        imp_n: List[int] = []
+        best = 0
+        for gi in range(gs, ge):  # norms ascending (combo sort order)
+            f = int(grp_max[gi])
+            if f > best:
+                imp_f.append(f)
+                imp_n.append(int(grp_norm[gi]))
+                best = f
+        d = header_dir
+        d["first_docid"] = first_doc[ti]
+        d["last_docid"] = last_doc[ti]
+        d["data_offset"] = 0
+        d["docid_kind"], d["docid_width"] = kind, width
+        d["freq_width"], d["freq_n_exc"] = fwid, 0
+        d["n_impacts"] = len(imp_f)
+        d["block_len"] = df
+        out[ti] = b"".join(
+            [
+                np.array([df, 1], dtype="<u4").tobytes(),
+                d.tobytes(),
+                dblob,
+                fblob,
+                np.array(imp_f, dtype="<u4").tobytes(),
+                np.array(imp_n, dtype=np.uint8).tobytes(),
+            ]
+        )
+    return out  # type: ignore[return-value]
 
 
 class PostingsView:

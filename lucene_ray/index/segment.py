@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer
-from lucene_ray.codecs.postings import PostingsView, encode_postings
+from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 from lucene_ray.codecs.forutil import pack, packed_size, unpack
 from lucene_ray.codecs.smallfloat import encode_norms
 from lucene_ray.index.config import IndexConfig
@@ -58,6 +58,58 @@ def encode_uint_blocks(vals: np.ndarray) -> bytes:
         parts.append(bytes([w]))
         parts.append(pack(chunk, w))
     return b"".join(parts)
+
+
+def encode_uint_blocks_batch(values: np.ndarray, starts: np.ndarray) -> List[bytes]:
+    """Batched :func:`encode_uint_blocks` for many value runs (same blob
+    format): single-block runs (≤256 values — almost every term's
+    positions) share one ``np.packbits`` call per distinct width via
+    pad-to-8-values alignment; longer runs fall back to the scalar path."""
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    n_runs = len(starts) - 1
+    counts = (starts[1:] - starts[:-1]).astype(np.int64)
+    out: List[Optional[bytes]] = [None] * n_runs
+    multi = np.flatnonzero(counts > 256)
+    for ri in multi:
+        out[ri] = encode_uint_blocks(values[starts[ri] : starts[ri + 1]])
+    single = np.flatnonzero(counts <= 256)
+    if len(single) == 0:
+        return out  # type: ignore[return-value]
+    vals64 = values.astype(np.int64)
+    maxes = np.zeros(n_runs, dtype=np.int64)
+    nonempty = counts > 0
+    ne_idx = np.flatnonzero(nonempty)
+    if len(ne_idx):
+        maxes[ne_idx] = np.maximum.reduceat(vals64, starts[:-1][ne_idx])
+    from lucene_ray.codecs.forutil import _POW2
+
+    widths = np.searchsorted(_POW2, maxes, side="right")
+    for w in np.unique(widths[single]):
+        w = int(w)
+        sel = single[widths[single] == w]
+        if w == 0:
+            for ri in sel:
+                out[ri] = np.array([counts[ri]], "<u4").tobytes() + bytes([0])
+            continue
+        padded = ((counts[sel] + 7) // 8) * 8
+        big = np.zeros(int(padded.sum()), dtype=np.uint32)
+        pos = 0
+        offs = []
+        for ri, pc_ in zip(sel, padded):
+            c = int(counts[ri])
+            big[pos : pos + c] = values[starts[ri] : starts[ri] + c]
+            offs.append((int(ri), pos, int(pc_)))
+            pos += int(pc_)
+        packed = np.packbits(
+            ((big[:, None] >> np.arange(w - 1, -1, -1, dtype=np.uint32)) & 1)
+            .astype(np.uint8)
+            .ravel()
+        ).tobytes()
+        for ri, p, pc_ in offs:
+            c = int(counts[ri])
+            blob = packed[p * w // 8 : p * w // 8 + (c * w + 7) // 8]
+            out[ri] = np.array([c], "<u4").tobytes() + bytes([w]) + blob
+    return out  # type: ignore[return-value]
 
 
 def decode_uint_blocks(buf) -> np.ndarray:
@@ -247,6 +299,18 @@ def write_segment(
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
+    all_blobs = (
+        encode_postings_batch(
+            inv.pair_docids, inv.pair_tfs, norms, inv.term_starts
+        )
+        if n_terms
+        else []
+    )
+    all_pos_blobs = (
+        encode_uint_blocks_batch(inv.positions, inv.pos_starts)
+        if (config.positions and inv.positions is not None and n_terms)
+        else None
+    )
     buckets = (
         np.array([config.term_bucket(t) for t in term_strs], dtype=np.int32)
         if config.num_buckets > 1
@@ -265,9 +329,8 @@ def write_segment(
         pos_off = 0
         for ti in idx:
             s, e = inv.term_starts[ti], inv.term_starts[ti + 1]
-            docids = inv.pair_docids[s:e]
             tfs = inv.pair_tfs[s:e]
-            blob = encode_postings(docids, tfs, norms[docids])
+            blob = all_blobs[ti]
             rows["term"].append(term_strs[ti])
             rows["df"].append(int(e - s))
             ttf = int(tfs.sum())
@@ -276,9 +339,8 @@ def write_segment(
             rows["post_len"].append(len(blob))
             post_parts.append(blob)
             post_off += len(blob)
-            if config.positions and inv.positions is not None:
-                ps, pe = inv.pos_starts[ti], inv.pos_starts[ti + 1]
-                pblob = encode_uint_blocks(inv.positions[ps:pe])
+            if config.positions and all_pos_blobs is not None:
+                pblob = all_pos_blobs[ti]
                 rows["pos_off"].append(pos_off)
                 rows["pos_len"].append(len(pblob))
                 pos_parts.append(pblob)
