@@ -239,6 +239,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     fps = ds.map_batches(Fp, batch_format="pyarrow", concurrency=2).to_pandas()
+    # Ray block arrival order is nondeterministic; pin row order so the
+    # (a < b) pair orientation is stable across runs
+    fps = fps.sort_values("doc_id").reset_index(drop=True)
     ids = fps["doc_id"].to_numpy()
     v = fps["fp"].to_numpy().astype(np.uint64)
     out = []
