@@ -104,7 +104,8 @@ def run_bench() -> dict:
     # work (the scaling protocol compares parallelism, not plans)
     rows_per_seg = max(2000, n_docs // 64)
     cfg = IndexConfig(
-        key_col="url", text_col="text", rows_per_segment=rows_per_seg
+        key_col="url", text_col="text", rows_per_segment=rows_per_seg,
+        num_buckets=4,  # merge parallelism = merges × buckets
     )
 
     t0 = time.time()

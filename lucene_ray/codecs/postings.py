@@ -402,13 +402,15 @@ class PostingsView:
         return out
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Full decode → (docids, freqs).
+        """Full decode → (docids, freqs), batched across blocks:
 
-        Batched: full 256-doc FOR blocks sharing a bit width are gathered
-        and unpacked in ONE ``np.unpackbits`` call (blocks are
-        byte-aligned), instead of paying fixed NumPy overhead per block —
-        the hot loop of exhaustive scoring over high-df terms. Bitset
-        blocks and the short tail block decode individually.
+        - full FOR blocks grouped by bit width → one ``np.unpackbits`` per
+          width;
+        - full bitset blocks (dense head terms) → ONE ``np.unpackbits`` +
+          ``np.flatnonzero`` over their concatenated spans (byte-aligned
+          per block; padding bits are zero);
+        - freqs of all full blocks grouped by PFor width;
+        - the short tail block decodes individually.
         """
         if self.n_blocks <= 2:
             if self.n_blocks == 1:
@@ -424,24 +426,47 @@ class PostingsView:
         ids_out = np.empty(n, dtype=np.uint32)
         freqs_out = np.empty(n, dtype=np.uint32)
 
+        offs = d["data_offset"].astype(np.int64)
+        firsts = d["first_docid"].astype(np.int64)
+        lasts = d["last_docid"].astype(np.int64)
+        widths = d["docid_width"].astype(np.int64)
+        kinds = d["docid_kind"]
         full = blens == BLOCK_SIZE
-        slow = np.flatnonzero(~full | (d["docid_kind"] == 1))
-        for bi in slow:
+
+        for bi in np.flatnonzero(~full):  # tail block(s)
             ids, fr = self.decode_block(int(bi))
             lo = int(starts[bi])
             ids_out[lo : lo + len(ids)] = ids
             freqs_out[lo : lo + len(fr)] = fr
 
-        # ---- batched docids: full FOR blocks grouped by width ----
-        offs = d["data_offset"].astype(np.int64)
-        firsts = d["first_docid"].astype(np.int64)
-        widths = d["docid_width"].astype(np.int64)
-        fast = full & (d["docid_kind"] == 0)
-        for w in np.unique(widths[fast]):
+        # ---- full bitset blocks: one unpackbits + flatnonzero ----
+        bsel = np.flatnonzero(full & (kinds == 1))
+        if len(bsel):
+            spans = lasts[bsel] - firsts[bsel] + 1
+            nbytes = (spans + 7) // 8
+            big = np.concatenate([data[offs[bi] : offs[bi] + nb]
+                                  for bi, nb in zip(bsel, nbytes)])
+            bits = np.unpackbits(big)
+            setpos = np.flatnonzero(bits)
+            # block boundaries in bit space; padding bits are zero so the
+            # per-block set-bit count is exactly BLOCK_SIZE
+            assert len(setpos) == len(bsel) * BLOCK_SIZE
+            bit_starts = np.concatenate([[0], np.cumsum(nbytes * 8)[:-1]])
+            base = np.repeat(firsts[bsel] - bit_starts, BLOCK_SIZE)
+            abs_ids = (setpos + base).astype(np.uint32)
+            for j, bi in enumerate(bsel):
+                lo = int(starts[bi])
+                ids_out[lo : lo + BLOCK_SIZE] = abs_ids[
+                    j * BLOCK_SIZE : (j + 1) * BLOCK_SIZE
+                ]
+
+        # ---- full FOR blocks grouped by width ----
+        fastf = full & (kinds == 0)
+        for w in np.unique(widths[fastf]):
             w = int(w)
-            sel = np.flatnonzero(fast & (widths == w))
+            sel = np.flatnonzero(fastf & (widths == w))
             if w == 0:
-                for bi in sel:  # all-zero gaps: only possible for len-1 runs
+                for bi in sel:  # all-zero gaps: cannot occur beyond len 1
                     ids, _ = self.decode_block(int(bi))
                     ids_out[int(starts[bi]) : int(starts[bi]) + len(ids)] = ids
                 continue
@@ -454,30 +479,29 @@ class PostingsView:
                 lo = int(starts[bi])
                 ids_out[lo : lo + BLOCK_SIZE] = abs_ids[j].astype(np.uint32)
 
-        # ---- batched freqs: full blocks grouped by PFor base width ----
+        # ---- freqs of ALL full blocks grouped by PFor base width ----
+        docid_bytes = np.where(
+            kinds == 1, (lasts - firsts + 1 + 7) // 8, (blens * widths + 7) // 8
+        )
+        f_offs = offs + docid_bytes
         fwidths = d["freq_width"].astype(np.int64)
-        # freq data offset for batched (non-slow) blocks: docid kind is FOR
-        for w in np.unique(fwidths[fast]):
+        for w in np.unique(fwidths[full]):
             w = int(w)
-            sel = np.flatnonzero(fast & (fwidths == w))
+            sel = np.flatnonzero(full & (fwidths == w))
             if w == 0:
                 for bi in sel:
                     freqs_out[int(starts[bi]) : int(starts[bi]) + BLOCK_SIZE] = 0
             else:
                 nb = (BLOCK_SIZE * w) // 8
-                f_offs = offs[sel] + (BLOCK_SIZE * widths[sel]) // 8
-                buf = np.concatenate([data[o : o + nb] for o in f_offs])
+                buf = np.concatenate([data[o : o + nb] for o in f_offs[sel]])
                 vals = unpack(buf, BLOCK_SIZE * len(sel), w).reshape(len(sel), BLOCK_SIZE)
                 for j, bi in enumerate(sel):
                     lo = int(starts[bi])
                     freqs_out[lo : lo + BLOCK_SIZE] = vals[j]
-            # patch PFor exceptions
-            for bi in sel:
+            for bi in sel:  # patch PFor exceptions
                 n_exc = int(d["freq_n_exc"][bi])
                 if n_exc:
-                    eoff = int(offs[bi]) + (BLOCK_SIZE * int(widths[bi])) // 8 + (
-                        BLOCK_SIZE * w + 7
-                    ) // 8
+                    eoff = int(f_offs[bi]) + (BLOCK_SIZE * w + 7) // 8
                     pos = data[eoff : eoff + n_exc * 2].view("<u2")
                     val = data[eoff + n_exc * 2 : eoff + n_exc * 6].view("<u4")
                     lo = int(starts[bi])

@@ -58,7 +58,7 @@ def check_segment(seg_dir: str) -> List[str]:
     n_terms = 0
     for b in range(seg.n_parts):
         t = seg._terms[b]
-        terms = t["term"]
+        terms = seg.terms_list(b)
         for i in range(1, len(terms)):
             if not terms[i - 1] < terms[i]:
                 problems.append(f"{seg_dir} part{b}: terms not strictly sorted @ {i}")

@@ -119,36 +119,35 @@ class TieredMergePolicy:
         return merges
 
 
-def merge_segments(
-    index_dir: str, seg_ids: List[int], new_seg_id: int, config: IndexConfig
-) -> dict:
-    """Merge source segments (contiguous docid ranges) into one new segment."""
+def _open_sorted_readers(index_dir: str, seg_ids: List[int]):
     readers = [SegmentReader(segment_dir(index_dir, sid)) for sid in seg_ids]
     readers.sort(key=lambda r: r.base_docid)
     new_base = readers[0].base_docid
-    # rebase offsets: local docid in merged = old local + (old base - new base)
     rebase = [r.base_docid - new_base for r in readers]
     expect = new_base
     for r in readers:  # contiguity keeps global docids (and ranks) stable
         if r.base_docid != expect:
             raise ValueError(f"non-contiguous merge: {seg_ids}")
         expect += r.n_docs
-    n_docs = sum(r.n_docs for r in readers)
+    return readers, new_base, rebase
 
-    norms = np.concatenate([r.norms for r in readers])
-    keys = pa.concat_arrays([r.docmap for r in readers])
 
-    t0 = time.time()
-    tmp_root = os.path.join(index_dir, "segments", ".tmp")
-    os.makedirs(tmp_root, exist_ok=True)
-    sdir = segment_dir(index_dir, new_seg_id)
-    tmp_dir = os.path.join(tmp_root, f"seg_{new_seg_id:06d}.merge.{os.getpid()}")
-    os.makedirs(tmp_dir, exist_ok=True)
-
+def merge_bucket(
+    index_dir: str, seg_ids: List[int], b: int, tmp_dir: str
+) -> dict:
+    """Merge ONE term-hash bucket of the given segments into part files in
+    ``tmp_dir`` — the unit of merge parallelism (a merge fans out to
+    ``n_parts`` independent bucket tasks)."""
     import zlib as _zlib
 
     import pyarrow.parquet as pq
 
+    from lucene_ray.codecs.postings import PostingsView, encode_postings_batch
+    from lucene_ray.index.segment import encode_uint_blocks_batch
+
+    readers, new_base, rebase = _open_sorted_readers(index_dir, seg_ids)
+    norms = np.concatenate([r.norms for r in readers])
+    with_pos = bool(readers[0].meta["positions"])
     checksums: Dict[str, int] = {}
 
     def put(name: str, data: bytes):
@@ -156,103 +155,148 @@ def merge_segments(
             f.write(data)
         checksums[name] = _zlib.crc32(data)
 
-    put("norms.bin", norms.tobytes())
-    pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
-
-    n_parts = readers[0].n_parts
-    assert all(r.n_parts == n_parts for r in readers), "bucket counts differ"
-    with_pos = bool(readers[0].meta["positions"])
+    iters = []
+    heap = []
+    for ri, r in enumerate(readers):
+        t = r._terms[b]
+        terms_list = r.terms_list(b)
+        iters.append((terms_list, t))
+        if terms_list:
+            heapq.heappush(heap, (terms_list[0], ri, 0))
+    rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
+            "pos_off": [], "pos_len": []}
+    # k-way merge collecting concatenated pair arrays; the expensive
+    # re-encode happens ONCE per bucket via the batched encoders
+    ids_buf: List[np.ndarray] = []
+    tf_buf: List[np.ndarray] = []
+    pos_buf: List[np.ndarray] = []
+    term_starts = [0]
+    pos_starts = [0]
+    npairs = 0
+    npos = 0
     sum_df = 0
-    n_terms = 0
-    postings_bytes = 0
-    for b in range(n_parts):
-        # k-way merge of sorted term lists (MultiTermsEnum role)
-        streams = []
-        for ri, r in enumerate(readers):
-            t = r._terms[b]
-            streams.append((t["term"], ri, t))
-        rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
-                "pos_off": [], "pos_len": []}
-        post_parts: List[bytes] = []
-        pos_parts: List[bytes] = []
-        post_off = 0
-        pos_off = 0
-        heap = []
-        iters = []
-        for terms_list, ri, t in streams:
-            iters.append((terms_list, t))
-            if terms_list:
-                heapq.heappush(heap, (terms_list[0], ri, 0))
-        while heap:
-            term, ri, i = heapq.heappop(heap)
-            group = [(ri, i)]
-            while heap and heap[0][0] == term:
-                ri2, i2 = heapq.heappop(heap)[1:]
-                group.append((ri2, i2))
-            # concatenate postings in reader (docid-base) order
-            group.sort()
-            ids_parts, tf_parts, pos_blobs = [], [], []
-            df = 0
-            ttf = 0
-            for gri, gi in group:
-                t = iters[gri][1]
-                mm = readers[gri]._post_mm[b]
-                off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
-                from lucene_ray.codecs.postings import PostingsView
-
-                view = PostingsView(mm[off : off + ln])
-                ids, tfs = view.decode_all()
-                ids_parts.append(ids.astype(np.int64) + rebase[gri])
-                tf_parts.append(tfs)
-                df += int(t["df"][gi])
-                ttf += int(t["ttf"][gi])
-                if with_pos:
-                    pmm = readers[gri]._pos_mm[b]
-                    po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
-                    pos_blobs.append(decode_uint_blocks(pmm[po : po + pl]))
-            ids = np.concatenate(ids_parts).astype(np.uint32)
-            tfs = np.concatenate(tf_parts)
-            blob = encode_postings(ids, tfs, norms[ids])
-            rows["term"].append(term)
-            rows["df"].append(df)
-            rows["ttf"].append(ttf)
-            rows["post_off"].append(post_off)
-            rows["post_len"].append(len(blob))
-            post_parts.append(blob)
-            post_off += len(blob)
+    while heap:
+        term, ri, i = heapq.heappop(heap)
+        group = [(ri, i)]
+        while heap and heap[0][0] == term:
+            ri2, i2 = heapq.heappop(heap)[1:]
+            group.append((ri2, i2))
+        group.sort()  # reader order == docid-base order
+        df = 0
+        ttf = 0
+        for gri, gi in group:
+            t = iters[gri][1]
+            mm = readers[gri]._post_mm[b]
+            off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
+            view = PostingsView(mm[off : off + ln])
+            ids, tfs = view.decode_all()
+            ids_buf.append(ids.astype(np.int64) + rebase[gri])
+            tf_buf.append(tfs)
+            npairs += len(ids)
+            df += int(t["df"][gi])
+            ttf += int(t["ttf"][gi])
             if with_pos:
-                pblob = encode_uint_blocks(np.concatenate(pos_blobs))
-                rows["pos_off"].append(pos_off)
-                rows["pos_len"].append(len(pblob))
-                pos_parts.append(pblob)
-                pos_off += len(pblob)
-            else:
-                rows["pos_off"].append(0)
-                rows["pos_len"].append(0)
-            sum_df += df
-            n_terms += 1
-            # push next terms from the group's streams
-            for gri, gi in group:
-                terms_list = iters[gri][0]
-                if gi + 1 < len(terms_list):
-                    heapq.heappush(heap, (terms_list[gi + 1], gri, gi + 1))
-        put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
-        postings_bytes += post_off
-        if with_pos:
-            put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
-        terms_tbl = pa.table(
-            {
-                "term": pa.array(rows["term"], pa.large_string()),
-                "df": pa.array(rows["df"], pa.int64()),
-                "ttf": pa.array(rows["ttf"], pa.int64()),
-                "post_off": pa.array(rows["post_off"], pa.int64()),
-                "post_len": pa.array(rows["post_len"], pa.int64()),
-                "pos_off": pa.array(rows["pos_off"], pa.int64()),
-                "pos_len": pa.array(rows["pos_len"], pa.int64()),
-            }
-        )
-        pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
+                pmm = readers[gri]._pos_mm[b]
+                po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
+                pvals = decode_uint_blocks(pmm[po : po + pl])
+                pos_buf.append(pvals)
+                npos += len(pvals)
+        term_starts.append(npairs)
+        pos_starts.append(npos)
+        rows["term"].append(term)
+        rows["df"].append(df)
+        rows["ttf"].append(ttf)
+        sum_df += df
+        for gri, gi in group:
+            terms_list = iters[gri][0]
+            if gi + 1 < len(terms_list):
+                heapq.heappush(heap, (terms_list[gi + 1], gri, gi + 1))
 
+    if term_starts[-1] > 0:
+        big_ids = np.concatenate(ids_buf).astype(np.uint32)
+        big_tfs = np.concatenate(tf_buf).astype(np.uint32)
+        blobs = encode_postings_batch(
+            big_ids, big_tfs, norms, np.array(term_starts, dtype=np.int64)
+        )
+    else:
+        blobs = []
+    if with_pos and rows["term"]:
+        big_pos = (
+            np.concatenate(pos_buf).astype(np.uint32)
+            if pos_buf
+            else np.empty(0, np.uint32)
+        )
+        pos_blobs = encode_uint_blocks_batch(
+            big_pos, np.array(pos_starts, dtype=np.int64)
+        )
+    else:
+        pos_blobs = None
+    post_parts: List[bytes] = []
+    pos_parts: List[bytes] = []
+    post_off = 0
+    pos_off = 0
+    for ti in range(len(rows["term"])):
+        blob = blobs[ti]
+        rows["post_off"].append(post_off)
+        rows["post_len"].append(len(blob))
+        post_parts.append(blob)
+        post_off += len(blob)
+        if pos_blobs is not None:
+            pblob = pos_blobs[ti]
+            rows["pos_off"].append(pos_off)
+            rows["pos_len"].append(len(pblob))
+            pos_parts.append(pblob)
+            pos_off += len(pblob)
+        else:
+            rows["pos_off"].append(0)
+            rows["pos_len"].append(0)
+    put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
+    if with_pos:
+        put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
+    terms_tbl = pa.table(
+        {
+            "term": pa.array(rows["term"], pa.large_string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "ttf": pa.array(rows["ttf"], pa.int64()),
+            "post_off": pa.array(rows["post_off"], pa.int64()),
+            "post_len": pa.array(rows["post_len"], pa.int64()),
+            "pos_off": pa.array(rows["pos_off"], pa.int64()),
+            "pos_len": pa.array(rows["pos_len"], pa.int64()),
+        }
+    )
+    pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
+    return {
+        "checksums": checksums,
+        "sum_df": sum_df,
+        "n_terms": len(rows["term"]),
+        "postings_bytes": post_off,
+    }
+
+
+def _finalize_merge(
+    index_dir: str,
+    seg_ids: List[int],
+    new_seg_id: int,
+    tmp_dir: str,
+    bucket_results: List[dict],
+    t0: float,
+) -> dict:
+    """Write norms/docmap/meta and atomically publish the merged segment."""
+    import zlib as _zlib
+
+    import pyarrow.parquet as pq
+
+    readers, new_base, _ = _open_sorted_readers(index_dir, seg_ids)
+    sdir = segment_dir(index_dir, new_seg_id)
+    norms = np.concatenate([r.norms for r in readers])
+    keys = pa.concat_arrays([r.docmap for r in readers])
+    norm_bytes = norms.tobytes()
+    with open(os.path.join(tmp_dir, "norms.bin"), "wb") as f:
+        f.write(norm_bytes)
+    pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+    checksums: Dict[str, int] = {"norms.bin": _zlib.crc32(norm_bytes)}
+    for br in bucket_results:
+        checksums.update(br["checksums"])
     build_s = time.time() - t0
     lineage = []
     for r in readers:
@@ -261,6 +305,7 @@ def merge_segments(
             lineage.extend(src)
         elif src:
             lineage.append(src)
+    n_docs = sum(r.n_docs for r in readers)
     seg_bytes = sum(
         os.path.getsize(os.path.join(tmp_dir, f)) for f in os.listdir(tmp_dir)
     )
@@ -271,10 +316,10 @@ def merge_segments(
         "n_docs": n_docs,
         "doc_count": sum(r.meta["doc_count"] for r in readers),
         "sum_ttf": sum(r.meta["sum_ttf"] for r in readers),
-        "sum_df": sum_df,
-        "n_terms": n_terms,
-        "n_parts": n_parts,
-        "positions": with_pos,
+        "sum_df": sum(br["sum_df"] for br in bucket_results),
+        "n_terms": sum(br["n_terms"] for br in bucket_results),
+        "n_parts": readers[0].n_parts,
+        "positions": bool(readers[0].meta["positions"]),
         "key_type": readers[0].meta["key_type"],
         "checksums": checksums,
         "lineage": lineage,
@@ -282,7 +327,7 @@ def merge_segments(
         "metrics": {
             "build_s": round(build_s, 4),
             "docs_per_s": round(n_docs / build_s, 2) if build_s > 0 else None,
-            "postings_bytes": postings_bytes,
+            "postings_bytes": sum(br["postings_bytes"] for br in bucket_results),
         },
     }
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
@@ -293,6 +338,24 @@ def merge_segments(
             return json.load(f)
     os.replace(tmp_dir, sdir)
     return meta
+
+
+def merge_segments(
+    index_dir: str, seg_ids: List[int], new_seg_id: int, config: IndexConfig
+) -> dict:
+    """Merge source segments (contiguous docid ranges) into one new segment
+    (serial per-bucket; ``merge_round`` fans buckets out as Ray tasks)."""
+    readers, _, _ = _open_sorted_readers(index_dir, seg_ids)
+    t0 = time.time()
+    tmp_root = os.path.join(index_dir, "segments", ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    tmp_dir = os.path.join(tmp_root, f"seg_{new_seg_id:06d}.merge.{os.getpid()}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    results = [
+        merge_bucket(index_dir, seg_ids, b, tmp_dir)
+        for b in range(readers[0].n_parts)
+    ]
+    return _finalize_merge(index_dir, seg_ids, new_seg_id, tmp_dir, results, t0)
 
 
 def merge_round(
@@ -319,32 +382,44 @@ def merge_round(
     ]
     config = man.config
 
-    from ray.data import DataContext
+    import time as _time
 
-    ctx = DataContext.get_current()
-    prev_min = ctx.target_min_block_size
-    ctx.target_min_block_size = 1
-    try:
-        work = ray.data.from_items(specs)
-        if len(specs) > 1:
-            work = work.repartition(len(specs))
+    t0 = _time.time()
+    n_parts = man.segments[0]["n_parts"]
+    tmp_root = os.path.join(index_dir, "segments", ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
 
-        def run(batch):
-            out = []
-            for i in range(len(batch["new_seg_id"])):
-                ids = json.loads(batch["seg_ids"][i])
-                meta = merge_segments(
-                    index_dir, ids, int(batch["new_seg_id"][i]), config
-                )
-                out.append(json.dumps(meta))
-            return {"meta": out}
+    @ray.remote
+    def bucket_task(seg_ids_json: str, b: int, tmp_dir: str) -> str:
+        return json.dumps(
+            merge_bucket(index_dir, json.loads(seg_ids_json), b, tmp_dir)
+        )
 
-        new_metas = [
-            json.loads(r["meta"])
-            for r in work.map_batches(run, batch_format="numpy").take_all()
-        ]
-    finally:
-        ctx.target_min_block_size = prev_min
+    # one task per (merge, bucket): merge parallelism = n_merges × n_parts
+    futures = []
+    merge_tmp = []
+    for spec in specs:
+        tmp_dir = os.path.join(
+            tmp_root, f"seg_{int(spec['new_seg_id']):06d}.merge.{os.getpid()}"
+        )
+        os.makedirs(tmp_dir, exist_ok=True)
+        merge_tmp.append(tmp_dir)
+        futures.append(
+            [bucket_task.remote(spec["seg_ids"], b, tmp_dir) for b in range(n_parts)]
+        )
+    new_metas = []
+    for spec, tmp_dir, futs in zip(specs, merge_tmp, futures):
+        results = [json.loads(r) for r in ray.get(futs)]
+        new_metas.append(
+            _finalize_merge(
+                index_dir,
+                json.loads(spec["seg_ids"]),
+                int(spec["new_seg_id"]),
+                tmp_dir,
+                results,
+                t0,
+            )
+        )
 
     merged_away = {sid for ids in merges for sid in ids}
     survivors = [s for s in man.segments if s["seg_id"] not in merged_away]

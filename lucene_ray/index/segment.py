@@ -113,17 +113,49 @@ def encode_uint_blocks_batch(values: np.ndarray, starts: np.ndarray) -> List[byt
 
 
 def decode_uint_blocks(buf) -> np.ndarray:
+    """Decode a packed uint run; full 256-value blocks sharing a width are
+    gathered and unpacked in one ``np.unpackbits`` call (hot for head-term
+    positions: 100k+ values per term)."""
     buf = np.frombuffer(buf, dtype=np.uint8)
     n = int(buf[:4].view("<u4")[0])
     out = np.empty(n, dtype=np.uint32)
+    n_blocks = (n + 255) // 256
+    if n_blocks <= 2:
+        off = 4
+        for lo in range(0, n, 256):
+            cnt = min(256, n - lo)
+            w = int(buf[off])
+            off += 1
+            nb = packed_size(cnt, w)
+            out[lo : lo + cnt] = unpack(buf[off : off + nb], cnt, w)
+            off += nb
+        return out
+    # scan widths/offsets first (tiny), then batch same-width full blocks
+    widths = np.empty(n_blocks, dtype=np.int64)
+    offs = np.empty(n_blocks, dtype=np.int64)
     off = 4
-    for lo in range(0, n, 256):
-        cnt = min(256, n - lo)
-        w = int(buf[off])
-        off += 1
-        nb = packed_size(cnt, w)
-        out[lo : lo + cnt] = unpack(buf[off : off + nb], cnt, w)
-        off += nb
+    for bi in range(n_blocks):
+        cnt = min(256, n - bi * 256)
+        widths[bi] = buf[off]
+        offs[bi] = off + 1
+        off += 1 + packed_size(cnt, int(buf[off]))
+    full = np.arange(n_blocks) < (n // 256)
+    for bi in np.flatnonzero(~full):
+        cnt = n - bi * 256
+        w = int(widths[bi])
+        out[bi * 256 :] = unpack(buf[offs[bi] : offs[bi] + packed_size(cnt, w)], cnt, w)
+    for w in np.unique(widths[full]):
+        w = int(w)
+        sel = np.flatnonzero(full & (widths == w))
+        if w == 0:
+            for bi in sel:
+                out[bi * 256 : bi * 256 + 256] = 0
+            continue
+        nb = 256 * w // 8
+        big = np.concatenate([buf[offs[bi] : offs[bi] + nb] for bi in sel])
+        vals = unpack(big, 256 * len(sel), w).reshape(len(sel), 256)
+        for j, bi in enumerate(sel):
+            out[bi * 256 : bi * 256 + 256] = vals[j]
     return out
 
 
@@ -439,9 +471,11 @@ class SegmentReader:
             cols = {name: tbl.column(name) for name in tbl.column_names}
             self._terms.append(
                 {
-                    # python list → C-speed bisect in lookup (arrow scalar
-                    # .as_py() per probe is ~50x slower)
-                    "term": cols["term"].to_pylist(),
+                    # arrow array kept as-is: actor init stays cheap (no
+                    # 100k-string to_pylist); lookups binary-search with
+                    # ~17 scalar probes and are cached by the searcher
+                    "term": cols["term"].combine_chunks(),
+                    "term_list": None,  # lazy python list for merge/scan
                     "df": np.asarray(cols["df"], np.int64),
                     "ttf": np.asarray(cols["ttf"], np.int64),
                     "post_off": np.asarray(cols["post_off"], np.int64),
@@ -471,11 +505,24 @@ class SegmentReader:
         binary search in the term's hash bucket."""
         b = zlib.crc32(term.encode("utf-8")) % self._bucket_cfg_n if self._bucket_cfg_n > 1 else 0
         t = self._terms[b]
-        arr = t["term"]
-        import bisect
+        arr = t["term_list"]
+        if arr is not None:
+            import bisect
 
-        lo = bisect.bisect_left(arr, term)
-        if lo < len(arr) and arr[lo] == term:
+            lo = bisect.bisect_left(arr, term)
+        else:
+            a = t["term"]
+            lo, hi = 0, len(a)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if a[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            arr = a
+        if lo < len(arr) and (
+            arr[lo] == term if t["term_list"] is not None else arr[lo].as_py() == term
+        ):
             return TermInfo(
                 df=int(t["df"][lo]),
                 ttf=int(t["ttf"][lo]),
@@ -506,10 +553,18 @@ class SegmentReader:
             self._docmap = tbl.column("key").combine_chunks()
         return self._docmap
 
+    def terms_list(self, b: int) -> list:
+        """Materialized python term list for part ``b`` (merge/scan paths)."""
+        t = self._terms[b]
+        if t["term_list"] is None:
+            t["term_list"] = t["term"].to_pylist()
+        return t["term_list"]
+
     def all_terms(self):
         """Iterate (term, df, ttf, part, row) across parts in sorted order
         per part — used by merges and validators."""
         for b in range(self.n_parts):
             t = self._terms[b]
-            for i in range(len(t["term"])):
-                yield t["term"][i], int(t["df"][i]), int(t["ttf"][i]), b, i
+            terms = self.terms_list(b)
+            for i in range(len(terms)):
+                yield terms[i], int(t["df"][i]), int(t["ttf"][i]), b, i

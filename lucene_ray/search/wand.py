@@ -104,30 +104,50 @@ def wand_topk(
     """
     if gmaxes is None:
         gmaxes = [None] * len(term_infos)
-    cursors = [
-        _TermCursor(seg.postings(ti), w, norm_inverse, gm)
+    live = [
+        (ti, w, gm)
         for ti, w, gm in zip(term_infos, weights, gmaxes)
         if ti is not None
     ]
-    if not cursors:
+    if not live:
         return np.empty(0, np.uint32), np.empty(0, F32), theta, False, 0
     n = seg.n_docs
     n_win = (n + WINDOW - 1) // WINDOW
+
+    # Decode each term ONCE with the batched kernel (cheaper per element
+    # than per-block decoding), precompute its scores; the block-max
+    # metadata still drives WINDOW SKIPPING of the scoring/accumulation
+    # phase — the expensive part of a vectorized engine. (A per-block
+    # cursor design like the reference's pays off only when per-doc
+    # evaluation dominates; here batched decode is ~10x the per-block
+    # path, so pruning moves to the accumulate stage.)
+    terms_data = []
     ub = np.zeros(n_win, dtype=np.float64)
-    for c in cursors:
+    norms = seg.norms
+    for ti, w, gm in live:
+        view = seg.postings(ti)
+        if gm is None:
+            gm = block_gmax(view, norm_inverse)
+        bounds = (w * gm).astype(F32)
+        d = view.directory
+        first = d["first_docid"].astype(np.int64)
+        last = d["last_docid"].astype(np.int64)
         wmax = np.zeros(n_win, dtype=np.float64)
-        ws = (c.first // WINDOW).astype(np.int64)
-        we = (c.last // WINDOW).astype(np.int64)
+        ws = first // WINDOW
+        we = last // WINDOW
         for bi in range(len(ws)):
-            b = float(c.bounds[bi])
+            b = float(bounds[bi])
             lo, hi = int(ws[bi]), int(we[bi])
             if lo == hi:
                 if b > wmax[lo]:
                     wmax[lo] = b
             else:
-                seg_slice = wmax[lo : hi + 1]
-                np.maximum(seg_slice, b, out=seg_slice)
+                sl = wmax[lo : hi + 1]
+                np.maximum(sl, b, out=sl)
         ub += wmax
+        ids, freqs = view.decode_all()
+        scores = w - w / (F32(1.0) + freqs.astype(F32) * norm_inverse[norms[ids]])
+        terms_data.append((ids, scores))
 
     order = np.argsort(-ub, kind="stable")
     cand_ids: List[np.ndarray] = []
@@ -135,7 +155,6 @@ def wand_topk(
     n_cand = 0
     pruned = False
     evaluated = 0
-    norms = seg.norms
     for wi in order:
         bound = ub[wi]
         if bound <= 0:
@@ -150,19 +169,14 @@ def wand_topk(
         hi = min(lo + WINDOW, n)
         scores_w = np.zeros(hi - lo, dtype=F32)
         matched = np.zeros(hi - lo, dtype=bool)
-        for c in cursors:  # clause order — identical f32 sum order
-            for bi in c.blocks_overlapping(lo, hi):
-                ids, freqs = c.block(int(bi))
-                if ids[0] >= hi or ids[-1] < lo:
-                    continue
-                m = (ids >= lo) & (ids < hi)
-                if not m.any():
-                    continue
-                sel = ids[m].astype(np.int64) - lo
-                w = c.weight
-                s = w - w / (F32(1.0) + freqs[m].astype(F32) * c.norm_inverse[norms[ids[m]]])
-                scores_w[sel] += s
-                matched[sel] = True
+        for ids, tscores in terms_data:  # clause order — same f32 sum order
+            s = int(np.searchsorted(ids, lo))
+            e = int(np.searchsorted(ids, hi))
+            if s == e:
+                continue
+            sel = ids[s:e].astype(np.int64) - lo
+            scores_w[sel] += tscores[s:e]
+            matched[sel] = True
         hits = np.flatnonzero(matched)
         if len(hits) == 0:
             continue
