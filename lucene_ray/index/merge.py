@@ -395,6 +395,15 @@ def merge_round(
             merge_bucket(index_dir, json.loads(seg_ids_json), b, tmp_dir)
         )
 
+    @ray.remote
+    def finalize_task(seg_ids_json: str, new_seg_id: int, tmp_dir: str,
+                      *bucket_jsons: str) -> str:
+        results = [json.loads(r) for r in bucket_jsons]
+        return json.dumps(
+            _finalize_merge(index_dir, json.loads(seg_ids_json), new_seg_id,
+                            tmp_dir, results, t0)
+        )
+
     # one task per (merge, bucket): merge parallelism = n_merges × n_parts
     futures = []
     merge_tmp = []
@@ -407,19 +416,15 @@ def merge_round(
         futures.append(
             [bucket_task.remote(spec["seg_ids"], b, tmp_dir) for b in range(n_parts)]
         )
-    new_metas = []
-    for spec, tmp_dir, futs in zip(specs, merge_tmp, futures):
-        results = [json.loads(r) for r in ray.get(futs)]
-        new_metas.append(
-            _finalize_merge(
-                index_dir,
-                json.loads(spec["seg_ids"]),
-                int(spec["new_seg_id"]),
-                tmp_dir,
-                results,
-                t0,
-            )
+    # finalize also runs remotely; bucket futures resolve as task args, so
+    # merges pipeline independently (no driver-side serial finalize)
+    final_futs = [
+        finalize_task.remote(
+            spec["seg_ids"], int(spec["new_seg_id"]), tmp_dir, *futs
         )
+        for spec, tmp_dir, futs in zip(specs, merge_tmp, futures)
+    ]
+    new_metas = [json.loads(r) for r in ray.get(final_futs)]
 
     merged_away = {sid for ids in merges for sid in ids}
     survivors = [s for s in man.segments if s["seg_id"] not in merged_away]
