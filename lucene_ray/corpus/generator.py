@@ -64,8 +64,14 @@ def generate_pages(
     seed: int = 42,
     vocab: Optional[np.ndarray] = None,
     mean_len: int = 60,
+    dup_every: int = 0,
 ) -> pa.Table:
-    """Generate pages [start, start+count) — partition-pure."""
+    """Generate pages [start, start+count) — partition-pure.
+
+    ``dup_every > 0`` makes every ``dup_every``-th page reuse the url of an
+    earlier page with a LATER crawl timestamp and different text — the
+    FIXTURES.md §7 ``pages_dup`` fixture for update/dedup-by-key semantics
+    (``IndexWriter.updateDocument``, SURVEY §2.6)."""
     vocab = vocab if vocab is not None else make_vocab(seed=seed)
     nv = len(vocab)
     # Zipf ranks (α≈1.1 tail, clipped) — head-term skew like real text
@@ -79,17 +85,27 @@ def generate_pages(
         rng = np.random.default_rng((seed << 32) ^ i)
         n_tok = max(1, int(rng.poisson(mean_len)))
         if i % 97 == 13:  # edge docs at a fixed, deterministic rate
-            text = _EDGE_SNIPPETS[i % len(_EDGE_SNIPPETS)]
+            text = _EDGE_SNIPPETS[(i // 97) % len(_EDGE_SNIPPETS)]
         else:
             ranks = np.minimum((rng.zipf(1.1, size=n_tok) - 1), nv - 1)
             words = vocab[ranks]
             text = " ".join(words)
             if i % 11 == 3:
                 text += f" {rng.integers(0, 10**6)} v{rng.integers(1,9)}.{rng.integers(0,9)}"
-        urls.append(f"https://site{i % 1000}.example/{i:012x}")
+        if dup_every and i % dup_every == (dup_every - 1) and i >= dup_every:
+            # a multiple of dup_every is never itself a dup slot
+            dup_of = (i - dup_every) - ((i - dup_every) % dup_every)
+            urls.append(f"https://site{dup_of % 1000}.example/{dup_of:012x}")
+            ts[j] = (
+                base_ts
+                + np.timedelta64(int((dup_of * 2654435761) % (30 * 86400)), "s")
+                + np.timedelta64(3600 + i % 97, "s")  # strictly later recrawl
+            )
+        else:
+            urls.append(f"https://site{i % 1000}.example/{i:012x}")
+            ts[j] = base_ts + np.timedelta64(int((i * 2654435761) % (30 * 86400)), "s")
         texts.append(text)
         langs.append(str(LANGS[i % len(LANGS)]))
-        ts[j] = base_ts + np.timedelta64(int((i * 2654435761) % (30 * 86400)), "s")
     htmls = [_HTML_PRE + t.encode("utf-8") + _HTML_POST for t in texts]
     return pa.table(
         {
