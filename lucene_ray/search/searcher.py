@@ -311,16 +311,23 @@ class IndexSearcher:
         return None
 
     def search(
-        self, query, k: int = 10, mode: str = "auto"
+        self, query, k: int = 10, mode: str = "auto", after=None
     ) -> dict:
         """→ {"docids", "keys", "scores", "total_hits", "relation"} global
         top-k with TopDocs.merge tie-breaking.
 
         ``mode``: "auto" uses block-max pruning for eligible disjunctions
         (rank-identical by construction), "exhaustive" forces full scoring,
-        "wand" forces pruning (errors if ineligible)."""
+        "wand" forces pruning (errors if ineligible).
+
+        ``after=(score, global_docid)`` — cursor pagination: only hits
+        strictly after that sort position are returned
+        (``IndexSearcher.searchAfter``, ``core/search/IndexSearcher.java:587-599``;
+        forces the exhaustive path)."""
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        if after is not None:
+            mode = "exhaustive"
         if mode != "exhaustive":
             terms = self._wand_eligible(query)
             if terms is not None:
@@ -333,6 +340,13 @@ class IndexSearcher:
         for si in range(len(self.segments)):
             r = self._eval(query, si, states)
             total += len(r.docids)
+            if after is not None:
+                a_score = np.float32(after[0])
+                a_doc = int(after[1]) - self.segments[si].base_docid
+                keep = (r.scores < a_score) | (
+                    (r.scores == a_score) & (r.docids.astype(np.int64) > a_doc)
+                )
+                r = SegmentResult(r.docids[keep], r.scores[keep])
             ids, scores = self._topk_segment(r, k)
             for d, s in zip(ids, scores):
                 rows.append((-float(s), si, int(d)))
