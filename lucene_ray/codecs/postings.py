@@ -39,6 +39,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from lucene_ray.codecs.forutil import (
+    _POW2,
     bit_width,
     pack,
     packed_size,
@@ -219,8 +220,6 @@ def encode_postings_batch(
         gaps[starts] = docids[starts]
     max_gap = np.maximum.reduceat(gaps, starts)  # per term (len>=1 each)
     max_tf = np.maximum.reduceat(tfs.astype(np.int64), starts)
-    from lucene_ray.codecs.forutil import _POW2
-
     gw = np.searchsorted(_POW2, max_gap, side="right")
     fw = np.searchsorted(_POW2, max_tf, side="right")
     first_doc = docids[starts]

@@ -24,7 +24,8 @@ from typing import List
 
 import numpy as np
 
-from lucene_ray.codecs.postings import PostingsView, max_block_score
+from lucene_ray.codecs.postings import BLOCK_SIZE, PostingsView, max_block_score
+from lucene_ray.search.bm25 import BM25Similarity
 from lucene_ray.index.manifest import load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader
 
@@ -92,11 +93,7 @@ def check_segment(seg_dir: str) -> List[str]:
             # impact domination: g = 1 - 1/(1+f*inv) monotone in f per norm;
             # check bound >= every (freq, norm) pair's factor with a
             # reference normInverse built from an arbitrary avgdl
-            from lucene_ray.search.bm25 import BM25Similarity
-
             sc = BM25Similarity().scorer(1.0, max(2, n_docs), max(2, int(meta["sum_ttf"])), max(1, len(ids)))
-            from lucene_ray.codecs.postings import BLOCK_SIZE
-
             try:
                 for bi in range(view.n_blocks):
                     imp = view.impacts(bi)

@@ -44,9 +44,10 @@ from lucene_ray.index.segment import (
     SegmentReader,
     decode_uint_blocks,
     encode_uint_blocks,
+    encode_uint_blocks_batch,
     write_segment,
 )
-from lucene_ray.codecs.postings import encode_postings
+from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 
 
 @dataclass(frozen=True)
@@ -141,9 +142,6 @@ def merge_bucket(
     import zlib as _zlib
 
     import pyarrow.parquet as pq
-
-    from lucene_ray.codecs.postings import PostingsView, encode_postings_batch
-    from lucene_ray.index.segment import encode_uint_blocks_batch
 
     readers, new_base, rebase = _open_sorted_readers(index_dir, seg_ids)
     norms = np.concatenate([r.norms for r in readers])

@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
-from lucene_ray.codecs.forutil import pack, packed_size, unpack
+from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
 from lucene_ray.codecs.smallfloat import encode_norms
 from lucene_ray.index.config import IndexConfig
 
@@ -81,8 +81,6 @@ def encode_uint_blocks_batch(values: np.ndarray, starts: np.ndarray) -> List[byt
     ne_idx = np.flatnonzero(nonempty)
     if len(ne_idx):
         maxes[ne_idx] = np.maximum.reduceat(vals64, starts[:-1][ne_idx])
-    from lucene_ray.codecs.forutil import _POW2
-
     widths = np.searchsorted(_POW2, maxes, side="right")
     for w in np.unique(widths[single]):
         w = int(w)

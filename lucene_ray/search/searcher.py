@@ -32,6 +32,7 @@ from lucene_ray.index.config import IndexConfig
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
+from lucene_ray.search.wand import block_gmax, wand_topk
 from lucene_ray.search.query import (
     FILTER,
     MUST,
@@ -368,8 +369,6 @@ class IndexSearcher:
         }
 
     def _search_wand(self, terms: List[TermQuery], k: int) -> dict:
-        from lucene_ray.search.wand import block_gmax, wand_topk
-
         states = self.term_states([t.term for t in terms])
         theta = -np.inf
         rows = []
