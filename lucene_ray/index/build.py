@@ -73,6 +73,13 @@ def read_partition(
 ) -> pa.Table:
     """Read a row range using row-group pruning (only overlapping groups)."""
     pf = pq.ParquetFile(path)
+    missing = [c for c in columns if c not in pf.schema_arrow.names]
+    if missing:
+        raise ValueError(
+            f"{path} lacks column(s) {missing} (has {pf.schema_arrow.names}); "
+            "point --input at the document table, not a directory of "
+            "mixed tables, or set --key-col/--text-col"
+        )
     md = pf.metadata
     groups = []
     off = 0
