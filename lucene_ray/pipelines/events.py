@@ -94,7 +94,9 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
-        ts = g["ts"].astype("int64") // 1_000_000
+        # epoch seconds unit-independently: Timestamp.value is always ns,
+        # regardless of the column's datetime64 resolution (ADVICE r01)
+        ts = g["ts"].map(lambda t: t.value) // 1_000_000_000
         new = (ts.diff().fillna(gap_s + 1) > gap_s).cumsum()
         out = g.assign(sess=new).groupby("sess").agg(
             user_id=("user_id", "first"),

@@ -24,9 +24,15 @@ def _emb_path(sf_dir: str) -> str:
 
 
 def _load_queries(sf_dir: str) -> np.ndarray:
+    """Read ONLY the query vectors (predicate pushdown — never the full
+    embedding table on the driver)."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    tbl = pq.read_table(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(QUERY_VEC_IDS))],
+    )
     vid = np.asarray(tbl.column("vec_id"))
     order = {int(v): i for i, v in enumerate(vid)}
     rows = [tbl.column("embedding")[order[q]].as_py() for q in QUERY_VEC_IDS]
@@ -36,8 +42,9 @@ def _load_queries(sf_dir: str) -> np.ndarray:
 
 def knn_cosine(sf_dir: str):
     """→ (qid, rank, vec_id, sim_bp) — cosine top-k per query vector,
-    sim as integer basis points (round(sim*1e4)) for exact oracle comparison; ties broken by
-    lower vec_id (same rule as the engine's docid tie-break)."""
+    sim as integer basis points (floor(sim*1e4 + 0.5), the identical
+    expression on both engine and oracle sides) for exact comparison;
+    ties broken by lower vec_id (same rule as the docid tie-break)."""
     import ray
     import ray.data
 
@@ -55,20 +62,23 @@ def knn_cosine(sf_dir: str):
         sims = (emb / norms) @ qm.T  # (batch, nq)
         vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
-        k = KNN_K * 4  # margin so rounded-tie candidates survive the partial cut
         for qi in range(qm.shape[0]):
-            col = sims[:, qi]
-            n = len(col)
-            take = min(k, n)
-            part = np.argpartition(-col, take - 1)[:take] if n > take else np.arange(n)
-            out_q.extend([qi] * len(part))
-            out_v.extend(vec_ids[part])
-            out_s.extend(col[part])
+            # partial top-k by the FINAL ordering (bp desc, vec_id asc) so
+            # the per-batch cut can never drop a global winner (ADVICE r01:
+            # raw-score cuts could drop an equal-bp lower-vec_id tie).
+            # bp = floor(x*1e4 + 0.5): half-away rounding written as the
+            # SAME expression as the SQL oracle — self-pairs sit exactly on
+            # the integer boundary where plain floor() flips on ±1ulp
+            bp = np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64)
+            order = np.lexsort((vec_ids, -bp))[:KNN_K]
+            out_q.extend([qi] * len(order))
+            out_v.extend(vec_ids[order])
+            out_s.extend(bp[order])
         return pa.table(
             {
                 "qi": pa.array(out_q, pa.int32()),
                 "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "sim_bp": pa.array(out_s, pa.int64()),
             }
         )
 
@@ -79,7 +89,6 @@ def knn_cosine(sf_dir: str):
     rows = []
     for qi in range(len(QUERY_VEC_IDS)):
         sub = cand[cand.qi == qi].copy()
-        sub["sim_bp"] = np.round(sub["sim"] * 10000).astype(np.int64)
         sub = sub.sort_values(["sim_bp", "vec_id"], ascending=[False, True]).head(KNN_K)
         for rank, (_, r) in enumerate(sub.iterrows()):
             rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
@@ -101,7 +110,7 @@ with q as (
 ),
 sims as (
   select q.qid, e.vec_id,
-         cast(round(list_cosine_similarity(e.embedding, q.qe) * 10000) as bigint) as sim_bp
+         cast(floor(list_cosine_similarity(e.embedding, q.qe) * 10000 + 0.5) as bigint) as sim_bp
   from embeddings e, q
 ),
 ranked as (

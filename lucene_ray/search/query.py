@@ -110,6 +110,63 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
     return rewrite(BooleanQuery(tuple(clauses)))
 
 
+def _strip_boost(q: Query) -> Query:
+    """Key for duplicate detection: the query with boost reset to 1."""
+    import dataclasses
+
+    if isinstance(q, (TermQuery, PhraseQuery, MatchAllQuery)):
+        return dataclasses.replace(q, boost=1.0)
+    return q
+
+
+def deduplicate_clauses(q: Query, qtw) -> Query:
+    """Search-time rewrite merging repeated SHOULD/MUST clauses, the fork's
+    ``BooleanQuery.deduplicateClauses`` (``core/search/BooleanQuery.java:699-748``):
+    unweighted duplicates (all boosts 1.0) collapse to one clause with
+    boost = ``similarity.computeQueryTermWeight(qtf)`` (linear qtf when k3
+    is disabled, saturated ``((k3+1)qtf)/(k3+qtf)`` when enabled); clauses
+    with explicit boosts keep the linear boost sum. SHOULD dedup only when
+    ``minimumNumberShouldMatch <= 1`` (:432)."""
+    import dataclasses
+
+    if not isinstance(q, BooleanQuery):
+        return q
+    clauses = tuple((o, deduplicate_clauses(s, qtw)) for o, s in q.clauses)
+    for occur in (SHOULD, MUST):
+        if occur == SHOULD and q.minimum_should_match > 1:
+            continue
+        mine = [(i, s) for i, (o, s) in enumerate(clauses) if o == occur]
+        if len(mine) < 2:
+            continue
+        boosts: dict = {}
+        order: List = []
+        any_boosted = set()
+        for _, s in mine:
+            key = _strip_boost(s)
+            b = getattr(s, "boost", 1.0)
+            if key not in boosts:
+                boosts[key] = 0.0
+                order.append(key)
+            boosts[key] += float(b)
+            if b != 1.0:
+                any_boosted.add(key)
+        if len(boosts) == len(mine):
+            continue  # no duplicates of this occur kind
+        merged: List[Tuple[str, Query]] = []
+        for key in order:
+            bsum = boosts[key]
+            boost = bsum if key in any_boosted else float(qtw(int(round(bsum))))
+            s = (
+                dataclasses.replace(key, boost=boost)
+                if isinstance(key, (TermQuery, PhraseQuery, MatchAllQuery))
+                else key
+            )
+            merged.append((occur, s))
+        others = [(o, s) for o, s in clauses if o != occur]
+        clauses = tuple(merged) + tuple(others)
+    return BooleanQuery(clauses, q.minimum_should_match)
+
+
 def query_terms(q: Query) -> List[str]:
     """All scoring terms of a plan (for TermStates-style stat gathering)."""
     if isinstance(q, TermQuery):

@@ -43,6 +43,7 @@ from lucene_ray.search.query import (
     PhraseQuery,
     Query,
     TermQuery,
+    deduplicate_clauses,
     parse_query,
     query_terms,
 )
@@ -214,18 +215,33 @@ class IndexSearcher:
             decoded.append((ids, offs, pos))
         if q.slop == 0:
             # vectorized exact phrase: intersect int64 keys
-            # docid * 2^21 + (pos - term_index); pos < 2^21 (doclen cap)
-            SHIFT = 21
+            # docid << shift | (pos - term_index + n_terms). The +n_terms
+            # offset keeps the low field strictly positive (pos < i would
+            # otherwise underflow into the previous docid's key space) and
+            # the shift adapts to the longest document so high positions
+            # can't collide either (ADVICE r01: fixed 2^21 assumption).
+            nterms = len(decoded)
+            max_pos = max(
+                (int(p.max()) if len(p) else 0) for _, _, p in decoded
+            )
+            shift = max(21, int(max_pos + nterms + 1).bit_length())
+            if int(seg.n_docs) >= 1 << (63 - shift):
+                raise OverflowError(
+                    f"phrase key space exhausted: n_docs={seg.n_docs}, "
+                    f"max position={max_pos}"
+                )
             keys = None
             for i, (ids, offs, pos) in enumerate(decoded):
                 docid_per_pos = np.repeat(
                     ids.astype(np.int64), np.diff(offs).astype(np.int64)
                 )
-                k = (docid_per_pos << SHIFT) + (pos.astype(np.int64) - i)
+                k = (docid_per_pos << shift) + (
+                    pos.astype(np.int64) - i + nterms
+                )
                 keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
                 if len(keys) == 0:
                     return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-            docs = (keys >> SHIFT).astype(np.uint32)
+            docs = (keys >> shift).astype(np.uint32)
             ids, freqs32 = np.unique(docs, return_counts=True)
             freqs = freqs32.astype(np.uint32)
         else:
@@ -327,6 +343,9 @@ class IndexSearcher:
         forces the exhaustive path)."""
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        # search-time rewrite: merge repeated SHOULD/MUST clauses through
+        # Similarity.computeQueryTermWeight (fork k3 query-term saturation)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         if after is not None:
             mode = "exhaustive"
         if mode != "exhaustive":
