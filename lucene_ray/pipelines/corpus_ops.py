@@ -14,8 +14,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.index.manifest import load_manifest
+from lucene_ray.index.segment import SegmentReader
+from lucene_ray.pipelines.index_cache import get_or_build_index
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -93,30 +95,36 @@ from per_doc where len > 0
 
 def doc_norms(sf_dir: str):
     """Per-doc SmallFloat norm byte + quantized length, read from the
-    segment norms columns (uint8, ``Similarity.java:129-155``)."""
+    segment norms columns (uint8, ``Similarity.java:129-155``) — one Ray
+    task per segment (no driver-side corpus concat)."""
     import ray.data
-
-    from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
-    from lucene_ray.index.segment import SegmentReader
 
     idx = get_or_build_index(sf_dir)
     man = load_manifest(idx)
-    tables = []
-    for s in man.segments:
-        seg = SegmentReader(os.path.join(idx, "segments", f"seg_{s['seg_id']:06d}"))
-        nb = seg.norms
-        tables.append(
-            pa.table(
-                {
-                    "doc_id": seg.docmap.cast(pa.int64()),
-                    "norm_byte": pa.array(nb.astype(np.int32), pa.int32()),
-                    "quantized_len": pa.array(
-                        LENGTH_TABLE_INT[nb], pa.int64()
-                    ),
-                }
+    items = [{"seg_id": int(s["seg_id"])} for s in man.segments]
+
+    def read_seg(batch: pa.Table) -> pa.Table:
+        out = []
+        for sid in batch.column("seg_id").to_pylist():
+            seg = SegmentReader(
+                os.path.join(idx, "segments", f"seg_{int(sid):06d}")
             )
-        )
-    return pa.concat_tables(tables)
+            nb = seg.norms
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": seg.docmap.cast(pa.int64()),
+                        "norm_byte": pa.array(nb.astype(np.int32), pa.int32()),
+                        "quantized_len": pa.array(LENGTH_TABLE_INT[nb], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    ds = ray.data.from_items(items)
+    if len(items) > 1:
+        ds = ds.repartition(len(items))
+    return ds.map_batches(read_seg, batch_format="pyarrow")
 
 
 def sql_doc_norms() -> str:

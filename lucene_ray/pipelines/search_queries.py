@@ -117,19 +117,33 @@ def bm25_conjunction(sf_dir: str):
     return _run(sf_dir, CONJ_QUERIES)
 
 
+PHRASE_QUERIES: List[Tuple[int, str]] = [
+    (0, '"batch stream"'),
+    (1, '"merge sort"'),
+    (2, '"data data"'),
+]
+
+
 def phrase_search(sf_dir: str):
-    """Exact-phrase match set (unscored doc ids) for fixed bigrams."""
+    """Exact-phrase match set (full match set per phrase) through the same
+    searcher actor pool as every other query pipeline."""
+    import ray.data
+
     idx = get_or_build_index(sf_dir)
-    s = IndexSearcher(idx)
-    rows_q, rows_d = [], []
-    for qid, phrase in [(0, '"batch stream"'), (1, '"merge sort"'), (2, '"data data"')]:
-        res = s.search(phrase, k=10**9)
-        for d in res["keys"]:
-            rows_q.append(qid)
-            rows_d.append(int(d))
-    return pa.table(
-        {"qid": pa.array(rows_q, pa.int32()), "doc_id": pa.array(rows_d, pa.int64())}
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t, "k": 10**9} for q, t in PHRASE_QUERIES]
     )
+    res = search_dataset(idx, qds, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

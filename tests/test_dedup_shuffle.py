@@ -1,0 +1,132 @@
+"""Shuffle-native dedup/ANN plans: completeness properties vs brute force.
+
+The round-2 rewrites (pigeonhole-banded SimHash, distributed MinHash
+verify, block nested-loop embedding near-dup, bucketed LSH ANN) must
+produce exactly what the round-1 driver-side implementations produced —
+these tests pin the plans to small brute-force oracles.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+class TestSimhashBanding:
+    def test_banding_equals_bruteforce(self, ray_session):
+        from lucene_ray.pipelines.dedup import simhash_pairs, simhash64
+
+        got = simhash_pairs(SF, max_hamming=8).to_pandas()
+        got_pairs = set(zip(got["a"], got["b"], got["hamming"]))
+
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        cache = {}
+        ids = tbl.column("doc_id").to_pylist()
+        fps = np.array(
+            [simhash64(t or "", cache) for t in tbl.column("text").to_pylist()],
+            dtype=np.uint64,
+        )
+        order = np.argsort(np.asarray(ids))
+        ids = np.asarray(ids)[order]
+        fps = fps[order]
+        want = set()
+        for i in range(len(fps) - 1):
+            ham = _popcount64(fps[i] ^ fps[i + 1 :])
+            for j in np.flatnonzero(ham <= 8):
+                want.add((int(ids[i]), int(ids[i + 1 + j]), int(ham[j])))
+        assert got_pairs == want
+        assert len(want) > 0  # corpus has injected near-dups
+
+    def test_pigeonhole_band_layout(self):
+        # max_hamming+1 bands tile all 64 bits with no gaps/overlap
+        for mh in (3, 8):
+            bounds = np.linspace(0, 64, mh + 2).astype(np.int64)
+            assert bounds[0] == 0 and bounds[-1] == 64
+            assert (np.diff(bounds) >= 1).all()
+
+
+class TestMinhashDistributedVerify:
+    def test_matches_direct_jaccard(self, ray_session):
+        from lucene_ray.pipelines.dedup import (
+            JACCARD_TAU,
+            minhash_lsh_dedup,
+            shingle_hashes,
+        )
+
+        got = minhash_lsh_dedup(SF).to_pandas()
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sh = {
+            int(d): shingle_hashes(t or "")
+            for d, t in zip(
+                tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+            )
+        }
+        for a, b, j_bp in zip(got["a"], got["b"], got["j_bp"]):
+            sa, sb = sh[int(a)], sh[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            assert j >= JACCARD_TAU
+            assert int(np.floor(j * 10000)) == int(j_bp)
+        assert len(got) > 0
+
+
+class TestEmbeddingBlockJoin:
+    def test_block_pairs_equal_bruteforce(self, ray_session):
+        from lucene_ray.pipelines.dedup import embedding_near_dup
+
+        # tiny blocks force the multi-block path (block-pair tasks)
+        got = embedding_near_dup(SF, tau=0.45, block_rows=16).to_pandas()
+        got_set = set(zip(got["a"], got["b"], got["c_bp"]))
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        arr = tbl.column("embedding").combine_chunks()
+        mat = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        mat = mat / n
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
+        want = set()
+        for i, j in zip(ii, jj):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            want.add((a, b, int(np.floor(sims[i, j] * 10000))))
+        assert got_set == want
+        assert len(want) > 0
+
+    def test_no_duplicate_pairs(self, ray_session):
+        from lucene_ray.pipelines.dedup import embedding_near_dup
+
+        got = embedding_near_dup(SF, tau=0.45, block_rows=16).to_pandas()
+        assert not got.duplicated(["a", "b"]).any()
+        assert (got["a"] < got["b"]).all()
+
+
+class TestLshKnn:
+    def test_topk_subset_of_bruteforce_order(self, ray_session):
+        """Every returned hit must carry the exact cosine bp, ranks must
+        descend, and rank 0 for a query on itself is the query vector."""
+        from lucene_ray.pipelines.lsh_knn import lsh_knn
+
+        got = lsh_knn(SF, query_vec_ids=[0, 1, 2], k=5).to_pandas()
+        tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        arr = tbl.column("embedding").combine_chunks()
+        mat = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        nn = np.linalg.norm(mat, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        mat = mat / nn
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for qid, grp in got.groupby("qid"):
+            grp = grp.sort_values("rank")
+            assert grp.iloc[0]["vec_id"] == qid  # self is always in its bucket
+            assert (np.diff(grp["sim_bp"].to_numpy()) <= 0).all()
+            for _, r in grp.iterrows():
+                sim = float(mat[pos[int(qid)]] @ mat[pos[int(r.vec_id)]])
+                assert int(np.floor(sim * 10000 + 0.5)) == int(r.sim_bp)
