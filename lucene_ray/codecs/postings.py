@@ -507,6 +507,39 @@ class PostingsView:
                     freqs_out[lo + pos.astype(np.int64)] = val
         return ids_out, freqs_out
 
+    def lookup_docs(self, targets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Seek-style membership probe for a sorted candidate docid list:
+        decode ONLY the blocks whose [first, last] range contains a target
+        — the block directory plays the reference's skip structure
+        (``Lucene104PostingsReader.java:253-264`` ``skipLevel1To`` /
+        ``moveToNextLevel0Block``). Drives the leapfrog conjunction: blocks
+        with no surviving candidate are never touched.
+
+        → ``(mask bool[n], freqs uint32[n])`` aligned with ``targets``
+        (freq 0 where absent)."""
+        t = np.asarray(targets, dtype=np.int64)
+        mask = np.zeros(len(t), dtype=bool)
+        freqs = np.zeros(len(t), dtype=np.uint32)
+        if len(t) == 0 or self.n_blocks == 0:
+            return mask, freqs
+        d = self.directory
+        lasts = d["last_docid"].astype(np.int64)
+        firsts = d["first_docid"].astype(np.int64)
+        bi = np.searchsorted(lasts, t)  # first block whose last ≥ target
+        inb = bi < self.n_blocks
+        sub = np.flatnonzero(inb)
+        sub = sub[firsts[bi[sub]] <= t[sub]]
+        for b in np.unique(bi[sub]):
+            sel = sub[bi[sub] == b]
+            ids, fr = self.decode_block(int(b))
+            pos = np.searchsorted(ids, t[sel])
+            safe = np.minimum(pos, len(ids) - 1)
+            ok = ids[safe] == t[sel]
+            hit = sel[ok]
+            mask[hit] = True
+            freqs[hit] = fr[pos[ok]]
+        return mask, freqs
+
     def _freq_offset(self, bi: int) -> int:
         d = self.directory[bi]
         off = int(d["data_offset"])

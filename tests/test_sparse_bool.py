@@ -1,0 +1,146 @@
+"""Sparse Boolean evaluation + leapfrog conjunction: the pruned paths must
+be result-identical to exhaustive dense-style evaluation."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.search.query import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    PhraseQuery,
+    TermQuery,
+    parse_query,
+)
+from lucene_ray.search.searcher import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sbidx"))
+    build_index(DOCS, d, IndexConfig(rows_per_segment=120))
+    return IndexSearcher(d)
+
+
+def _eval_reference(s, q, seg_idx, states):
+    """Dense reference evaluator (the round-1 semantics, kept as oracle)."""
+    seg = s.segments[seg_idx]
+    n = seg.n_docs
+    F32 = np.float32
+    scores = np.zeros(n, dtype=F32)
+    should_count = np.zeros(n, dtype=np.int32)
+    must_mask = None
+    not_mask = np.zeros(n, dtype=bool)
+    n_should = 0
+    for occur, sub in q.clauses:
+        r = s._eval(sub, seg_idx, states)
+        if occur == SHOULD:
+            n_should += 1
+            scores[r.docids] += r.scores
+            should_count[r.docids] += 1
+        elif occur in (MUST, FILTER):
+            if occur == MUST:
+                scores[r.docids] += r.scores
+            m = np.zeros(n, dtype=bool)
+            m[r.docids] = True
+            must_mask = m if must_mask is None else (must_mask & m)
+        else:
+            not_mask[r.docids] = True
+    msm = q.minimum_should_match
+    match = None
+    if n_should:
+        need = msm if must_mask is not None else max(1, msm)
+        match = should_count >= need if need > 0 else None
+    if must_mask is None and match is None:
+        return np.empty(0, np.uint32), np.empty(0, F32)
+    mask = must_mask if must_mask is not None else match
+    if must_mask is not None and match is not None:
+        mask = must_mask & match
+    mask = mask & ~not_mask
+    ids = np.flatnonzero(mask).astype(np.uint32)
+    return ids, scores[ids]
+
+
+QUERIES = [
+    BooleanQuery(((MUST, TermQuery("data")), (MUST, TermQuery("spark")))),
+    BooleanQuery(((MUST, TermQuery("the")), (FILTER, TermQuery("data")))),
+    BooleanQuery(
+        (
+            (MUST, TermQuery("batch")),
+            (MUST, TermQuery("stream")),
+            (MUST_NOT, TermQuery("window")),
+        )
+    ),
+    BooleanQuery(
+        ((MUST, TermQuery("data")), (SHOULD, TermQuery("spark")))
+    ),
+    BooleanQuery(
+        (
+            (SHOULD, TermQuery("data")),
+            (SHOULD, TermQuery("spark")),
+            (SHOULD, TermQuery("merge")),
+        ),
+        minimum_should_match=2,
+    ),
+    BooleanQuery(
+        ((MUST, PhraseQuery(("batch", "stream"))), (MUST_NOT, TermQuery("the")))
+    ),
+    BooleanQuery(((MUST, TermQuery("zzzabsent")), (MUST, TermQuery("data")))),
+    BooleanQuery(((MUST_NOT, TermQuery("data")),)),  # no positive clause
+]
+
+
+class TestSparseEqualsDense:
+    @pytest.mark.parametrize("qi", range(len(QUERIES)))
+    def test_per_segment_identical(self, searcher, qi):
+        from lucene_ray.search.query import query_terms
+
+        q = QUERIES[qi]
+        states = searcher.term_states(query_terms(q))
+        for si in range(len(searcher.segments)):
+            want_ids, want_scores = _eval_reference(searcher, q, si, states)
+            got = searcher._eval_bool(q, si, states)
+            assert np.array_equal(got.docids, want_ids), f"seg {si}"
+            assert np.array_equal(got.scores, want_scores), f"seg {si}"
+
+    def test_conjunction_fast_path_taken(self, searcher):
+        from lucene_ray.search.query import query_terms
+
+        q = QUERIES[0]
+        states = searcher.term_states(query_terms(q))
+        assert searcher._eval_conj_terms(q, 0, states) is not None
+        # phrase clause → general path
+        qp = QUERIES[5]
+        states = searcher.term_states(query_terms(qp))
+        assert searcher._eval_conj_terms(qp, 0, states) is None
+
+    def test_end_to_end_search_identical(self, searcher):
+        r = searcher.search("+the +data -spark", k=10)
+        r2 = searcher.search("+the +data -spark", k=10, mode="exhaustive")
+        assert list(r["docids"]) == list(r2["docids"])
+        assert np.array_equal(r["scores"], r2["scores"])
+
+
+class TestLookupDocs:
+    def test_probe_matches_full_decode(self, searcher):
+        seg = searcher.segments[0]
+        ti = seg.lookup("the")
+        assert ti is not None
+        view = seg.postings(ti)
+        ids, freqs = view.decode_all()
+        # probe a mix of present and absent docids
+        targets = np.unique(
+            np.concatenate([ids[::3].astype(np.int64), np.arange(0, seg.n_docs, 7)])
+        )
+        mask, fr = view.lookup_docs(targets)
+        want_mask = np.isin(targets, ids.astype(np.int64))
+        assert np.array_equal(mask, want_mask)
+        pos = np.searchsorted(ids.astype(np.int64), targets[mask])
+        assert np.array_equal(fr[mask], freqs[pos])
+        assert (fr[~mask] == 0).all()
