@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
+        "bm25_topk_filtered": sq.bm25_topk_filtered,
+        "sort_by_field": sq.sort_by_field,
         "phrase_search": sq.phrase_search,
         "term_stats": co.term_stats,
         "collection_stats": co.collection_stats,
@@ -82,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
+        "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
+        "sort_by_field": sq.sql_sort_by_field(),
         "phrase_search": sq.sql_phrase_search(),
         "term_stats": co.sql_term_stats(),
         "collection_stats": co.sql_collection_stats(),

@@ -35,7 +35,11 @@ from lucene_ray.index.manifest import (
     completed_segments,
     segment_dir,
 )
-from lucene_ray.index.segment import invert_texts, write_segment
+from lucene_ray.index.segment import (
+    add_keyword_postings,
+    invert_texts,
+    write_segment,
+)
 
 
 def plan_partitions(paths: Sequence[str], rows_per_segment: int) -> List[dict]:
@@ -110,15 +114,24 @@ def build_partition(
     if os.path.exists(os.path.join(sdir, "meta.json")):
         with open(os.path.join(sdir, "meta.json")) as f:
             return json.load(f)
+    cols = [config.key_col, config.text_col]
+    cols += [c for c in config.keyword_cols if c not in cols]
+    cols += [c for c in config.dv_cols if c not in cols]
     tbl = read_partition(
-        item["path"], int(item["row_start"]), int(item["row_end"]),
-        [config.key_col, config.text_col],
+        item["path"], int(item["row_start"]), int(item["row_end"]), cols
     )
     analyzer = Analyzer(
         stopwords=config.stopwords, max_token_length=config.max_token_length
     )
     texts = tbl.column(config.text_col).to_pylist()
     inv = invert_texts(texts, analyzer, with_positions=config.positions)
+    kw_stats: dict = {}
+    if config.keyword_cols:
+        kw_cols = {c: tbl.column(c).to_pylist() for c in config.keyword_cols}
+        inv, kw_stats = add_keyword_postings(inv, kw_cols, config.positions)
+    dv_table = (
+        tbl.select(list(config.dv_cols)) if config.dv_cols else None
+    )
     keys = tbl.column(config.key_col).combine_chunks()
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
@@ -136,6 +149,8 @@ def build_partition(
                 "row_end": int(item["row_end"]),
             }
         },
+        dv_table=dv_table,
+        kw_stats=kw_stats,
     )
     return meta
 

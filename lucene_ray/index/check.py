@@ -53,10 +53,13 @@ def check_segment(seg_dir: str) -> List[str]:
     if len(seg.docmap) != meta["n_docs"]:
         problems.append(f"{seg_dir}: docmap length != n_docs")
 
+    from lucene_ray.index.config import FIELD_SEP
+
     n_docs = meta["n_docs"]
     sum_df = 0
     sum_ttf = 0
     n_terms = 0
+    kw_recount: dict = {}
     for b in range(seg.n_parts):
         t = seg._terms[b]
         terms = seg.terms_list(b)
@@ -108,8 +111,17 @@ def check_segment(seg_dir: str) -> List[str]:
                         )
             except Exception as e:
                 problems.append(f"{seg_dir} part{b} {term!r}: impacts check failed: {e}")
-        sum_df += int(t["df"].sum())
-        sum_ttf += int(t["ttf"].sum())
+        # text-field vs keyword-field stats accumulate separately (meta
+        # sum_df/sum_ttf are the text field's; keyword fields recount
+        # against meta.kw_stats)
+        for i, term in enumerate(terms):
+            if FIELD_SEP in term:
+                f = term.split(FIELD_SEP, 1)[0]
+                st = kw_recount.setdefault(f, {"sum_ttf": 0})
+                st["sum_ttf"] += int(t["ttf"][i])
+            else:
+                sum_df += int(t["df"][i])
+                sum_ttf += int(t["ttf"][i])
         n_terms += len(terms)
 
     if sum_df != meta["sum_df"]:
@@ -118,6 +130,12 @@ def check_segment(seg_dir: str) -> List[str]:
         problems.append(f"{seg_dir}: sum_ttf recount {sum_ttf} != meta {meta['sum_ttf']}")
     if n_terms != meta["n_terms"]:
         problems.append(f"{seg_dir}: n_terms recount != meta")
+    for f, st in (meta.get("kw_stats") or {}).items():
+        rc = kw_recount.get(f, {"sum_ttf": 0})
+        if rc["sum_ttf"] != st["sum_ttf"]:
+            problems.append(
+                f"{seg_dir}: kw field {f!r} sum_ttf recount {rc['sum_ttf']} != meta {st['sum_ttf']}"
+            )
     return problems
 
 

@@ -1,22 +1,47 @@
 """Index configuration — the Ray analogue of ``IndexWriterConfig`` +
 ``FieldType`` (``lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java``,
-``.../document/TextField.java:27-43``)."""
+``.../document/TextField.java:27-43``, ``.../document/StringField.java:27-42``)."""
 
 from __future__ import annotations
 
 import zlib
 from dataclasses import dataclass, field
-from typing import FrozenSet, Optional
+from typing import FrozenSet, Optional, Tuple
 
 from lucene_ray.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH
+
+# separates field name from value in the term dictionary key space for
+# non-default fields. U+001F never survives the standard tokenizer, and
+# keyword values containing it are rejected at index time.
+FIELD_SEP = "\x1f"
+DEFAULT_FIELD = "text"
+
+
+def term_key(fieldname: str, term: str) -> str:
+    """Term-dict key for a (field, term): the default text field keeps
+    bare terms (round-1 segment layout unchanged); other fields prefix
+    ``field + U+001F`` — the per-field term-dictionary role of
+    ``FieldInfos`` + per-field blocktree (``core/index/FieldInfos.java``,
+    ``core/codecs/perfield/PerFieldPostingsFormat.java:64-69``)."""
+    if fieldname == DEFAULT_FIELD:
+        return term
+    return fieldname + FIELD_SEP + term
 
 
 @dataclass(frozen=True)
 class IndexConfig:
     """Per-field/index knobs.
 
-    ``positions=True`` matches ``TextField`` (DOCS_AND_FREQS_AND_POSITIONS);
-    empty stopwords matches ``StandardAnalyzer``'s default.
+    - ``text_col`` — the one tokenized field (``TextField``:
+      DOCS_AND_FREQS_AND_POSITIONS when ``positions=True``); its logical
+      field name is always ``"text"``.
+    - ``keyword_cols`` — untokenized DOCS-only fields with norms omitted
+      (``StringField.java:27-42``): url / lang style exact-match filters.
+      Values index verbatim (no analyzer), term freq is 1, no positions.
+    - ``dv_cols`` — per-doc columns stored column-wise in the segment
+      (``dv.parquet``), the ``DocValues`` role: range filters, field
+      sort, faceting (``core/index/DocValuesType.java:25-51``).
+    - empty ``stopwords`` matches ``StandardAnalyzer``'s default.
     """
 
     text_col: str = "text"
@@ -30,6 +55,8 @@ class IndexConfig:
     # fraction of docs get split by docid range into this many salt groups.
     hot_term_df_ratio: float = 0.10
     num_salts: int = 8
+    keyword_cols: Tuple[str, ...] = ()
+    dv_cols: Tuple[str, ...] = ()
 
     def term_bucket(self, term: str) -> int:
         """Stable cross-process term→bucket routing (crc32, NOT python
@@ -47,6 +74,8 @@ class IndexConfig:
             "rows_per_segment": self.rows_per_segment,
             "hot_term_df_ratio": self.hot_term_df_ratio,
             "num_salts": self.num_salts,
+            "keyword_cols": list(self.keyword_cols),
+            "dv_cols": list(self.dv_cols),
         }
 
     @staticmethod
@@ -61,4 +90,6 @@ class IndexConfig:
             rows_per_segment=d["rows_per_segment"],
             hot_term_df_ratio=d.get("hot_term_df_ratio", 0.10),
             num_salts=d.get("num_salts", 8),
+            keyword_cols=tuple(d.get("keyword_cols", ())),
+            dv_cols=tuple(d.get("dv_cols", ())),
         )

@@ -78,13 +78,26 @@ class Manifest:
 def aggregate_field_stats(segments: List[dict]) -> dict:
     """Global collection statistics summed across segments — the role of
     ``IndexSearcher.collectionStatistics`` over leaves
-    (``core/index/Terms.java:103-121``)."""
-    return {
+    (``core/index/Terms.java:103-121``). Top-level keys are the default
+    text field (round-1 layout); ``per_field`` carries every non-default
+    field's stats (``FieldInfos`` accumulation role)."""
+    out = {
         "doc_count": sum(s["doc_count"] for s in segments),
         "sum_ttf": sum(s["sum_ttf"] for s in segments),
         "sum_df": sum(s["sum_df"] for s in segments),
         "n_docs": sum(s["n_docs"] for s in segments),
     }
+    per_field: Dict[str, dict] = {}
+    for s in segments:
+        for f, st in (s.get("kw_stats") or {}).items():
+            agg = per_field.setdefault(
+                f, {"doc_count": 0, "sum_ttf": 0}
+            )
+            for k in agg:
+                agg[k] += int(st[k])
+    if per_field:
+        out["per_field"] = per_field
+    return out
 
 
 def commit_manifest(

@@ -32,7 +32,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.config import FIELD_SEP, IndexConfig
 from lucene_ray.index.manifest import (
     Manifest,
     commit_manifest,
@@ -204,7 +204,8 @@ def merge_bucket(
         rows["term"].append(term)
         rows["df"].append(df)
         rows["ttf"].append(ttf)
-        sum_df += df
+        if FIELD_SEP not in term:  # text-field stats only (like write_segment)
+            sum_df += df
         for gri, gi in group:
             terms_list = iters[gri][0]
             if gi + 1 < len(terms_list):
@@ -292,6 +293,18 @@ def _finalize_merge(
     with open(os.path.join(tmp_dir, "norms.bin"), "wb") as f:
         f.write(norm_bytes)
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+    dv_cols = readers[0].meta.get("dv_cols") or []
+    if dv_cols:
+        dvs = [
+            pq.read_table(os.path.join(r.seg_dir, "dv.parquet")) for r in readers
+        ]
+        pq.write_table(pa.concat_tables(dvs), os.path.join(tmp_dir, "dv.parquet"))
+    kw_stats: Dict[str, dict] = {}
+    for r in readers:
+        for f_, st in (r.meta.get("kw_stats") or {}).items():
+            agg = kw_stats.setdefault(f_, {"doc_count": 0, "sum_ttf": 0})
+            for k in agg:
+                agg[k] += int(st[k])
     checksums: Dict[str, int] = {"norms.bin": _zlib.crc32(norm_bytes)}
     for br in bucket_results:
         checksums.update(br["checksums"])
@@ -319,6 +332,8 @@ def _finalize_merge(
         "n_parts": readers[0].n_parts,
         "positions": bool(readers[0].meta["positions"]),
         "key_type": readers[0].meta["key_type"],
+        "kw_stats": kw_stats,
+        "dv_cols": dv_cols,
         "checksums": checksums,
         "lineage": lineage,
         "merged_from": seg_ids,

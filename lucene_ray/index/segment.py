@@ -291,6 +291,104 @@ def invert_texts(
     )
 
 
+def add_keyword_postings(
+    inv: InvertedBatch,
+    kw_columns: "Dict[str, Sequence]",
+    with_positions: bool,
+) -> Tuple[InvertedBatch, Dict[str, dict]]:
+    """Merge untokenized keyword-field postings (``StringField`` semantics:
+    DOCS-only, tf=1, no positions, norms omitted —
+    ``core/document/StringField.java:27-42``) into a text-field
+    ``InvertedBatch``. Keyword terms enter the shared term dictionary
+    under ``field + U+001F + value`` keys (see ``config.term_key``), so
+    merge/search machinery needs no per-field special cases.
+
+    Returns the combined batch plus per-field stats
+    ``{field: {doc_count, sum_ttf, sum_df}}`` (the ``FieldInfos`` /
+    per-field ``Terms`` stats role)."""
+    from lucene_ray.index.config import FIELD_SEP, term_key
+
+    if not kw_columns:
+        return inv, {}
+    extra: List[Tuple[str, np.ndarray]] = []
+    kw_stats: Dict[str, dict] = {}
+    for fieldname in sorted(kw_columns):
+        vals = kw_columns[fieldname]
+        groups: Dict[str, List[int]] = {}
+        n_with = 0
+        for di, v in enumerate(vals):
+            if v is None:
+                continue
+            v = str(v)
+            if FIELD_SEP in v:
+                raise ValueError(
+                    f"keyword value for field {fieldname!r} contains U+001F"
+                )
+            n_with += 1
+            groups.setdefault(v, []).append(di)
+        # doc_count / sum_ttf are additive across segments (merge-safe);
+        # these feed the field's BM25 idf denominator and avgdl
+        kw_stats[fieldname] = {"doc_count": n_with, "sum_ttf": n_with}
+        for v in sorted(groups):
+            extra.append(
+                (term_key(fieldname, v), np.array(groups[v], dtype=np.uint32))
+            )
+    if not extra:
+        return inv, kw_stats
+
+    text_terms = inv.terms.to_pylist()
+    n1, n2 = len(text_terms), len(extra)
+    out_terms: List[str] = []
+    id_parts: List[np.ndarray] = []
+    tf_parts: List[np.ndarray] = []
+    pos_parts: List[np.ndarray] = []
+    term_starts = [0]
+    pos_starts = [0]
+    npairs = 0
+    npos = 0
+    i = j = 0
+    while i < n1 or j < n2:
+        take_text = j >= n2 or (i < n1 and text_terms[i] < extra[j][0])
+        if take_text:
+            s, e = int(inv.term_starts[i]), int(inv.term_starts[i + 1])
+            out_terms.append(text_terms[i])
+            id_parts.append(inv.pair_docids[s:e])
+            tf_parts.append(inv.pair_tfs[s:e])
+            npairs += e - s
+            if with_positions:
+                ps, pe = int(inv.pos_starts[i]), int(inv.pos_starts[i + 1])
+                pos_parts.append(inv.positions[ps:pe])
+                npos += pe - ps
+            i += 1
+        else:
+            key, ids = extra[j]
+            out_terms.append(key)
+            id_parts.append(ids)
+            tf_parts.append(np.ones(len(ids), dtype=np.uint32))
+            npairs += len(ids)
+            # no positions for keyword fields: zero-length run
+            j += 1
+        term_starts.append(npairs)
+        pos_starts.append(npos)
+
+    merged = InvertedBatch(
+        terms=pa.array(out_terms, pa.large_string()),
+        term_starts=np.array(term_starts, dtype=np.int64),
+        pair_docids=np.concatenate(id_parts) if id_parts else np.empty(0, np.uint32),
+        pair_tfs=np.concatenate(tf_parts) if tf_parts else np.empty(0, np.uint32),
+        positions=(
+            (np.concatenate(pos_parts) if pos_parts else np.empty(0, np.uint32))
+            if with_positions
+            else None
+        ),
+        pos_starts=(
+            np.array(pos_starts, dtype=np.int64) if with_positions else None
+        ),
+        doc_lengths=inv.doc_lengths,
+    )
+    return merged, kw_stats
+
+
 # --------------------------------------------------------------------------
 # segment writer
 # --------------------------------------------------------------------------
@@ -303,6 +401,8 @@ def write_segment(
     config: IndexConfig,
     tmp_root: Optional[str] = None,
     extra_meta: Optional[dict] = None,
+    dv_table: Optional[pa.Table] = None,
+    kw_stats: Optional[dict] = None,
 ) -> dict:
     """Write one segment atomically (tmp dir + rename). Returns meta dict.
 
@@ -326,6 +426,11 @@ def write_segment(
 
     put("norms.bin", norms.tobytes())
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+    if dv_table is not None and dv_table.num_columns:
+        # doc-values column store, row-aligned with local docids
+        pq.write_table(dv_table, os.path.join(tmp_dir, "dv.parquet"))
+
+    from lucene_ray.index.config import FIELD_SEP
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
@@ -378,8 +483,9 @@ def write_segment(
             else:
                 rows["pos_off"].append(0)
                 rows["pos_len"].append(0)
-            sum_df += int(e - s)
-            sum_ttf += ttf
+            if FIELD_SEP not in term_strs[ti]:  # text-field stats only
+                sum_df += int(e - s)
+                sum_ttf += ttf
         put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
         postings_bytes += post_off
         if config.positions:
@@ -413,6 +519,8 @@ def write_segment(
         "n_parts": config.num_buckets,
         "positions": config.positions,
         "key_type": str(keys.type),
+        "kw_stats": kw_stats or {},
+        "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
         "checksums": checksums,
         "metrics": {
             "build_s": round(build_s, 4),
@@ -494,6 +602,7 @@ class SegmentReader:
             else:
                 self._pos_mm.append(None)
         self._docmap: Optional[pa.Array] = None
+        self._dv_cache: Dict[str, pa.Array] = {}
         self._bucket_cfg_n = self.n_parts
 
     # -- term dict ---------------------------------------------------------
@@ -550,6 +659,20 @@ class SegmentReader:
             tbl = pq.read_table(os.path.join(self.seg_dir, "docmap.parquet"))
             self._docmap = tbl.column("key").combine_chunks()
         return self._docmap
+
+    def dv(self, col: str) -> pa.Array:
+        """Doc-values column (row-aligned with local docids) — the
+        ``DocValues`` role (``core/index/DocValuesType.java:25-51``).
+        Lazily loaded once per reader, column-pruned at read."""
+        hit = self._dv_cache.get(col)
+        if hit is None:
+            path = os.path.join(self.seg_dir, "dv.parquet")
+            if not os.path.exists(path):
+                raise KeyError(f"segment has no doc values ({col})")
+            tbl = pq.read_table(path, columns=[col])
+            hit = tbl.column(col).combine_chunks()
+            self._dv_cache[col] = hit
+        return hit
 
     def terms_list(self, b: int) -> list:
         """Materialized python term list for part ``b`` (merge/scan paths)."""

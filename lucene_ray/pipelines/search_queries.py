@@ -16,8 +16,18 @@ from typing import List, Sequence, Tuple
 
 import pyarrow as pa
 
+from lucene_ray.index.config import IndexConfig
 from lucene_ray.pipelines.index_cache import get_or_build_index
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
+
+# multi-field index over the documents table: lang/source as keyword
+# (StringField) fields, n_chars as a doc-values column
+MF_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    keyword_cols=("lang", "source"),
+    dv_cols=("n_chars",),
+)
 
 # (qid, query) — single terms spanning head/mid df + an absent term
 TERM_QUERIES: List[Tuple[int, str]] = [
@@ -42,6 +52,16 @@ CONJ_QUERIES: List[Tuple[int, str]] = [
     (0, "+spark +merge"),
     (1, "+batch +stream -window"),
     (2, "+the +customer -spark"),
+]
+
+# field-scoped: text scoring restricted by keyword-field FILTER clauses
+# and doc-values range filters (multi-field data model, round 2)
+FILTERED_QUERIES: List[Tuple[int, str]] = [
+    (0, "data #lang:en"),
+    (1, "spark merge #lang:de"),
+    (2, "+query #source:src3"),
+    (3, "data #n_chars:[150 TO 400]"),
+    (4, "+the #lang:zh #n_chars:[100 TO *]"),
 ]
 
 K = 10
@@ -111,6 +131,46 @@ def bm25_topk_shuffle(sf_dir: str):
 
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
+
+
+def bm25_topk_filtered(sf_dir: str):
+    """Field-scoped search: text scoring + keyword-field FILTER clauses
+    (`#lang:en`) + doc-values range filters — a real user's first query
+    shape (`lang:en +crawl`, round-1 VERDICT missing #1)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in FILTERED_QUERIES]
+    )
+    res = search_dataset(idx, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sort_by_field(sf_dir: str, k: int = 25):
+    """Field sort: lang:en match set ordered by n_chars desc — the
+    ``Sort``/``TopFieldCollector`` surface over doc values."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    r = s.search_sorted("#lang:en", "n_chars", k=k, descending=True)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "n_chars": pa.array([int(v) for v in r["sort_values"]], pa.int64()),
+        }
+    )
 
 
 def bm25_conjunction(sf_dir: str):
@@ -298,6 +358,83 @@ ranked as (
 select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
+"""
+
+
+def sql_bm25_topk_filtered() -> str:
+    """Text-term BM25 (same bit-exact algebra) with per-qid document
+    filters. SHOULD terms are optional when required/filter clauses exist
+    (Lucene BooleanQuery semantics), so filter-matching docs without the
+    text term rank with score 0."""
+    values = (
+        "(0, 0, 'data', 'SHOULD'), (1, 0, 'spark', 'SHOULD'), "
+        "(1, 1, 'merge', 'SHOULD'), (2, 0, 'query', 'MUST'), "
+        "(3, 0, 'data', 'SHOULD'), (4, 0, 'the', 'MUST')"
+    )
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {values}
+),
+tf as (
+  select q.qid, q.ti, q.occur, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3, 4
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.ti, tf.occur, tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join (
+    select d.term,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from df d
+  ) w on w.term = q.term
+  join fnorm f on f.doc_id = tf.doc_id
+),
+summed as (
+  select qid, doc_id,
+         (coalesce(max(s) filter (where ti = 0), cast(0 as float))
+          + coalesce(max(s) filter (where ti = 1), cast(0 as float))) as score,
+         count(*) filter (where occur = 'MUST') as n_must_hit
+  from tscore group by 1, 2
+),
+matchset as (
+  select q.qid, d.doc_id, coalesce(s.score, cast(0 as float)) as score
+  from (values (0), (1), (2), (3), (4)) q(qid)
+  cross join documents d
+  left join summed s on s.qid = q.qid and s.doc_id = d.doc_id
+  where ((q.qid = 0 and d.lang = 'en')
+      or (q.qid = 1 and d.lang = 'de')
+      or (q.qid = 2 and d.source = 'src3' and coalesce(s.n_must_hit, 0) >= 1)
+      or (q.qid = 3 and d.n_chars between 150 and 400)
+      or (q.qid = 4 and d.lang = 'zh' and d.n_chars >= 100
+          and coalesce(s.n_must_hit, 0) >= 1))
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from matchset
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_sort_by_field(k: int = 25) -> str:
+    return f"""
+with ranked as (
+  select doc_id, n_chars,
+         row_number() over (order by n_chars desc, doc_id asc) as rn
+  from documents where lang = 'en'
+)
+select cast(rn - 1 as int) as rank, doc_id, n_chars::bigint as n_chars
+from ranked where rn <= {k}
 """
 
 

@@ -26,8 +26,14 @@ FILTER = "FILTER"
 
 @dataclass(frozen=True)
 class TermQuery:
+    """Single-term query. ``field`` defaults to the tokenized text field;
+    other fields are StringField-style keywords whose values were indexed
+    verbatim (``core/search/TermQuery.java``, field-scoped per
+    ``QueryParser.jj:105`` ``field:term`` syntax)."""
+
     term: str
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -43,12 +49,27 @@ class MatchAllQuery:
 
 
 @dataclass(frozen=True)
+class RangeQuery:
+    """Doc-values range filter (``core/document/LongPoint.java`` /
+    ``PointRangeQuery`` role): matches docs whose ``field`` DV column
+    falls in [lo, hi] (None = unbounded). Constant-score: every match
+    scores ``boost`` (``ConstantScoreQuery`` semantics)."""
+
+    field: str
+    lo: Optional[object] = None
+    hi: Optional[object] = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
 
 
-Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery]
+Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery, RangeQuery]
 
 
 def rewrite(q: Query) -> Query:
@@ -66,9 +87,11 @@ def rewrite(q: Query) -> Query:
 
 _CLAUSE_RE = re.compile(
     r"""
-    (?P<occur>[+\-]?)
+    (?P<occur>[+\-\#]?)
+    (?:(?P<field>[A-Za-z_][A-Za-z0-9_]*):)?
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | \[(?P<rlo>[^\s\]]+)\ TO\ (?P<rhi>[^\s\]]+)\]
       | (?P<word>[^\s"^]+)
     )
     (?:\^(?P<boost>\d+(?:\.\d+)?))?
@@ -77,19 +100,56 @@ _CLAUSE_RE = re.compile(
 )
 
 
+def _range_bound(tok: str):
+    """``*`` = unbounded; numeric if it parses, else the raw string."""
+    if tok == "*":
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
+
 def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
-    """Parse a query string into a plan; terms run through ``analyzer``."""
+    """Parse a query string into a plan; text terms run through
+    ``analyzer``. Syntax (the classic-QueryParser subset +
+    extensions, ``lucene/queryparser/.../classic/QueryParser.jj:105``):
+
+    - ``term``, ``+required``, ``-prohibited``, ``#filtered`` (FILTER —
+      match without scoring, this engine's spelling of
+      ``BooleanClause.Occur.FILTER``), ``term^boost``
+    - ``"a phrase"~slop`` (text field only)
+    - ``field:term`` — non-default fields are keyword (StringField)
+      fields; their values are NOT analyzed (match is verbatim)
+    - ``field:[lo TO hi]`` — doc-values range, ``*`` = open bound
+    """
     analyzer = analyzer or Analyzer()
     clauses: List[Tuple[str, Query]] = []
     for m in _CLAUSE_RE.finditer(text):
-        occur = {"+": MUST, "-": MUST_NOT, "": SHOULD}[m.group("occur")]
+        occur = {"+": MUST, "-": MUST_NOT, "#": FILTER, "": SHOULD}[
+            m.group("occur")
+        ]
         boost = float(m.group("boost") or 1.0)
+        fieldname = m.group("field") or "text"
         if m.group("phrase") is not None:
             terms = [t for t, *_ in analyzer.analyze(m.group("phrase"))]
             if not terms:
                 continue
             slop = int(m.group("slop") or 0)
             q: Query = PhraseQuery(tuple(terms), slop=slop, boost=boost)
+        elif m.group("rlo") is not None:
+            q = RangeQuery(
+                fieldname,
+                lo=_range_bound(m.group("rlo")),
+                hi=_range_bound(m.group("rhi")),
+                boost=boost,
+            )
+        elif fieldname != "text":
+            # keyword field: the value indexes verbatim, so match verbatim
+            q = TermQuery(m.group("word"), boost=boost, field=fieldname)
         else:
             terms = [t for t, *_ in analyzer.analyze(m.group("word"))]
             if not terms:
@@ -114,7 +174,7 @@ def _strip_boost(q: Query) -> Query:
     """Key for duplicate detection: the query with boost reset to 1."""
     import dataclasses
 
-    if isinstance(q, (TermQuery, PhraseQuery, MatchAllQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery)):
         return dataclasses.replace(q, boost=1.0)
     return q
 
@@ -168,11 +228,14 @@ def deduplicate_clauses(q: Query, qtw) -> Query:
 
 
 def query_terms(q: Query) -> List[str]:
-    """All scoring terms of a plan (for TermStates-style stat gathering)."""
+    """All term-dictionary KEYS of a plan (for TermStates-style stat
+    gathering) — field-encoded via ``config.term_key``."""
+    from lucene_ray.index.config import term_key
+
     if isinstance(q, TermQuery):
-        return [q.term]
+        return [term_key(q.field, q.term)]
     if isinstance(q, PhraseQuery):
-        return list(q.terms)
+        return list(q.terms)  # phrases are text-field (bare keys)
     if isinstance(q, BooleanQuery):
         out: List[str] = []
         for _, sub in q.clauses:

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from lucene_ray.analysis.analyzer import Analyzer
-from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
@@ -42,6 +42,7 @@ from lucene_ray.search.query import (
     MatchAllQuery,
     PhraseQuery,
     Query,
+    RangeQuery,
     TermQuery,
     deduplicate_clauses,
     parse_query,
@@ -85,6 +86,12 @@ class IndexSearcher:
         avgdl = F32(self.sum_ttf / float(self.doc_count)) if self.doc_count else F32(1)
         self.avgdl = avgdl
         self.norm_inverse = self.sim.norm_inverse_cache(avgdl)
+        # non-default (keyword) field stats: doc_count + sum_ttf per field
+        # (FieldInfos / per-field Terms stats role). Keyword fields omit
+        # norms, so their scorer sees norm byte 1 (length 1) — the
+        # reference's norms==null path passes norm=1L to SimScorer.score.
+        self.per_field: Dict[str, dict] = dict(fs.get("per_field", {}))
+        self._kw_inv: Dict[str, np.float32] = {}
         self.analyzer = Analyzer(
             stopwords=self.config.stopwords,
             max_token_length=self.config.max_token_length,
@@ -118,8 +125,27 @@ class IndexSearcher:
 
     # -- evaluation --------------------------------------------------------
 
-    def _term_weight(self, df: int, boost: float) -> np.float32:
-        return F32(boost) * bm25_idf(df, self.doc_count)
+    def _field_doc_count(self, fieldname: str) -> int:
+        if fieldname == DEFAULT_FIELD:
+            return self.doc_count
+        return int(self.per_field.get(fieldname, {}).get("doc_count", 0))
+
+    def _term_weight(
+        self, df: int, boost: float, fieldname: str = DEFAULT_FIELD
+    ) -> np.float32:
+        return F32(boost) * bm25_idf(df, max(1, self._field_doc_count(fieldname)))
+
+    def _kw_norm_inv(self, fieldname: str) -> np.float32:
+        """Norm-inverse factor for a norms-omitted keyword field: norm
+        byte 1 (decoded length 1) against the FIELD's avgdl."""
+        hit = self._kw_inv.get(fieldname)
+        if hit is None:
+            st = self.per_field.get(fieldname, {})
+            dc = int(st.get("doc_count", 0))
+            avgdl = F32(int(st.get("sum_ttf", 0)) / float(dc)) if dc else F32(1)
+            hit = self.sim.norm_inverse_cache(avgdl)[1]
+            self._kw_inv[fieldname] = hit
+        return hit
 
     def _eval(
         self,
@@ -129,13 +155,16 @@ class IndexSearcher:
     ) -> SegmentResult:
         seg = self.segments[seg_idx]
         if isinstance(q, TermQuery):
-            infos, df = states[q.term]
+            infos, df = states[term_key(q.field, q.term)]
             ti = infos[seg_idx]
             if ti is None or df == 0:
                 return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
             ids, freqs = seg.postings(ti).decode_all()
-            w = self._term_weight(df, q.boost)
-            inv = self.norm_inverse[seg.norms[ids]]
+            w = self._term_weight(df, q.boost, q.field)
+            if q.field == DEFAULT_FIELD:
+                inv = self.norm_inverse[seg.norms[ids]]
+            else:
+                inv = self._kw_norm_inv(q.field)  # scalar: norms omitted
             scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
             return SegmentResult(ids, scores)
         if isinstance(q, PhraseQuery):
@@ -145,9 +174,35 @@ class IndexSearcher:
             return SegmentResult(
                 np.arange(n, dtype=np.uint32), np.full(n, F32(q.boost))
             )
+        if isinstance(q, RangeQuery):
+            return self._eval_range(q, seg_idx)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, seg_idx, states)
         raise TypeError(f"unknown query node {type(q)}")
+
+    def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
+        """Doc-values range filter, constant-score (``PointRangeQuery`` /
+        ``SortedNumericDocValuesRangeQuery`` role)."""
+        import pyarrow.compute as pc
+
+        seg = self.segments[seg_idx]
+        col = seg.dv(q.field)
+        mask: Optional[pa.ChunkedArray] = None
+
+        def _and(a, b):
+            return b if a is None else pc.and_kleene(a, b)
+
+        if q.lo is not None:
+            op = pc.greater_equal if q.include_lo else pc.greater
+            mask = _and(mask, op(col, q.lo))
+        if q.hi is not None:
+            op = pc.less_equal if q.include_hi else pc.less
+            mask = _and(mask, op(col, q.hi))
+        if mask is None:  # fully open range: matches docs with a value
+            mask = pc.is_valid(col)
+        m = np.asarray(pc.fill_null(mask, False))
+        ids = np.flatnonzero(m).astype(np.uint32)
+        return SegmentResult(ids, np.full(len(ids), F32(q.boost)))
 
     @staticmethod
     def _member(sorted_ids: np.ndarray, targets: np.ndarray) -> np.ndarray:
@@ -231,10 +286,12 @@ class IndexSearcher:
         seg = self.segments[seg_idx]
         empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         req = [(o, s) for o, s in q.clauses if o in (MUST, FILTER)]
+        keys = {id(s): term_key(s.field, s.term) for _, s in q.clauses}
         infos = []
         for _, s in req:
-            ti = states[s.term][0][seg_idx]
-            if ti is None or states[s.term][1] == 0:
+            k = keys[id(s)]
+            ti = states[k][0][seg_idx]
+            if ti is None or states[k][1] == 0:
                 return empty
             infos.append(ti)
         order = np.argsort([ti.df for ti in infos], kind="stable")
@@ -253,7 +310,7 @@ class IndexSearcher:
         for o, s in q.clauses:
             if o != MUST_NOT or len(cand) == 0:
                 continue
-            ti = states[s.term][0][seg_idx]
+            ti = states[keys[id(s)]][0][seg_idx]
             if ti is None:
                 continue
             m, _ = seg.postings(ti).lookup_docs(cand)
@@ -263,12 +320,13 @@ class IndexSearcher:
                 freqs_by_clause[k] = freqs_by_clause[k][keep]
         if len(cand) == 0:
             return empty
-        inv = self.norm_inverse[seg.norms[cand]]
+        text_inv = self.norm_inverse[seg.norms[cand]]
         acc = np.zeros(len(cand), dtype=F32)
         for ci, (o, s) in enumerate(req):  # clause order, MUST scored only
             if o != MUST:
                 continue
-            w = self._term_weight(states[s.term][1], s.boost)
+            w = self._term_weight(states[keys[id(s)]][1], s.boost, s.field)
+            inv = text_inv if s.field == DEFAULT_FIELD else self._kw_norm_inv(s.field)
             acc += w - w / (F32(1.0) + freqs_by_clause[ci].astype(F32) * inv)
         return SegmentResult(cand.astype(np.uint32), acc)
 
@@ -391,12 +449,16 @@ class IndexSearcher:
         """Pure SHOULD disjunction of term queries (msm ≤ 1) → its terms;
         the shapes ``BooleanScorerSupplier`` routes to the top-k scored-∪
         strategies (``core/search/BooleanScorerSupplier.java:130-353``)."""
-        if isinstance(q, TermQuery):
+        if isinstance(q, TermQuery) and q.field == DEFAULT_FIELD:
             return [q]
         if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and q.clauses:
             subs = []
             for occur, sub in q.clauses:
-                if occur != SHOULD or not isinstance(sub, TermQuery):
+                if (
+                    occur != SHOULD
+                    or not isinstance(sub, TermQuery)
+                    or sub.field != DEFAULT_FIELD
+                ):
                     return None
                 subs.append(sub)
             return subs
@@ -458,6 +520,54 @@ class IndexSearcher:
             "docids": docids,
             "keys": keys,
             "scores": scores,
+            "total_hits": total,
+            "relation": "EQ",
+        }
+
+    def search_sorted(
+        self,
+        query,
+        sort_field: str,
+        k: int = 10,
+        descending: bool = True,
+    ) -> dict:
+        """Field sort — the ``Sort``/``TopFieldCollector`` role
+        (``core/search/TopFieldCollectorManager.java``): top-k of the
+        query's match set ordered by a numeric doc-values column, ties
+        broken by (segment order, docid) exactly like ``TopDocs.merge``
+        for fields (``core/search/TopDocs.java:203-228``). The sort field
+        must be a non-null numeric ``dv_cols`` column.
+
+        → {"docids", "keys", "sort_values", "total_hits", "relation"}.
+        """
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        rows = []  # (sort_key, seg_idx, docid, raw_value)
+        total = 0
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            total += len(r.docids)
+            if len(r.docids) == 0:
+                continue
+            col = seg.dv(sort_field)
+            vals = np.asarray(col.take(pa.array(r.docids.astype(np.int64))))
+            skey = -vals if descending else vals
+            sel = np.lexsort((r.docids, skey))[:k]
+            for i in sel:
+                rows.append((skey[i], si, int(r.docids[i]), vals[i]))
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        rows = rows[:k]
+        docids = np.array(
+            [self.segments[si].base_docid + d for _, si, d, _ in rows],
+            dtype=np.int64,
+        )
+        keys = [self.segments[si].docmap[d].as_py() for _, si, d, _ in rows]
+        return {
+            "docids": docids,
+            "keys": keys,
+            "sort_values": [v.item() if hasattr(v, "item") else v for *_, v in rows],
             "total_hits": total,
             "relation": "EQ",
         }
