@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
         "sort_by_field": sq.sort_by_field,
+        "prefix_search": sq.prefix_search,
+        "wildcard_search": sq.wildcard_search,
+        "fuzzy_search": sq.fuzzy_search,
         "phrase_search": sq.phrase_search,
         "term_stats": co.term_stats,
         "collection_stats": co.collection_stats,
@@ -86,6 +89,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
         "sort_by_field": sq.sql_sort_by_field(),
+        "prefix_search": sq.sql_prefix_search(),
+        "wildcard_search": sq.sql_wildcard_search(),
+        "fuzzy_search": sq.sql_fuzzy_search(),
         "phrase_search": sq.sql_phrase_search(),
         "term_stats": co.sql_term_stats(),
         "collection_stats": co.sql_collection_stats(),

@@ -641,6 +641,59 @@ class SegmentReader:
             )
         return None
 
+    def term_info_at(self, b: int, i: int) -> TermInfo:
+        t = self._terms[b]
+        return TermInfo(
+            df=int(t["df"][i]),
+            ttf=int(t["ttf"][i]),
+            post_off=int(t["post_off"][i]),
+            post_len=int(t["post_len"][i]),
+            pos_off=int(t["pos_off"][i]),
+            pos_len=int(t["pos_len"][i]),
+            part=b,
+        )
+
+    def _buckets_for_prefix(self, key_prefix: str):
+        """Buckets a key-prefix range can touch: with range-partitioned
+        buckets (``meta.bucket_splits``) only the overlapping buckets;
+        with hash buckets, all of them (each is sorted, so per-bucket
+        scans stay cheap)."""
+        import bisect
+
+        splits = self.meta.get("bucket_splits")
+        if not splits or not key_prefix:
+            return range(self.n_parts)
+        lo = bisect.bisect_right(splits, key_prefix)
+        hi = bisect.bisect_right(splits, key_prefix + "\U0010ffff")
+        return range(lo, min(hi, self.n_parts - 1) + 1)
+
+    def expand_terms(self, key_prefix: str, match=None, exclude_field_sep=False):
+        """Dictionary expansion for MultiTermQuery evaluation
+        (``TermsEnum.seekCeil`` + scan; the reference intersects a term
+        automaton with the block tree, ``IntersectTermsEnum.java`` —
+        here: binary search to the prefix per sorted bucket, linear scan
+        while it holds, optional ``match`` predicate on the full key).
+
+        → sorted list of (key, TermInfo). ``exclude_field_sep`` skips
+        non-default-field keys when expanding the bare text field."""
+        import bisect
+
+        from lucene_ray.index.config import FIELD_SEP
+
+        out = []
+        for b in self._buckets_for_prefix(key_prefix):
+            terms = self.terms_list(b)
+            i = bisect.bisect_left(terms, key_prefix)
+            while i < len(terms) and terms[i].startswith(key_prefix):
+                t = terms[i]
+                if (not exclude_field_sep or FIELD_SEP not in t) and (
+                    match is None or match(t)
+                ):
+                    out.append((t, self.term_info_at(b, i)))
+                i += 1
+        out.sort(key=lambda x: x[0])
+        return out
+
     def postings(self, info: TermInfo) -> PostingsView:
         mm = self._post_mm[info.part]
         return PostingsView(mm[info.post_off : info.post_off + info.post_len])

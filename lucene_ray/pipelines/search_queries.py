@@ -177,6 +177,113 @@ def bm25_conjunction(sf_dir: str):
     return _run(sf_dir, CONJ_QUERIES)
 
 
+# MultiTermQuery family: dictionary-expanded, constant-score match sets
+PREFIX_QUERIES: List[Tuple[int, str]] = [
+    (0, "s*"),        # scan small slow sort spark stream ...
+    (1, "st*"),       # stream
+    (2, "lang:e*"),   # keyword-field prefix: en + es
+]
+WILDCARD_QUERIES: List[Tuple[int, str]] = [
+    (0, "s?an"),      # scan
+    (1, "*er"),       # customer filter order ...
+    (2, "w?nd*"),     # window
+]
+FUZZY_QUERIES: List[Tuple[int, str]] = [
+    (0, "scann~1"),
+    (1, "quer~2"),
+    (2, "data~1"),
+]
+
+
+def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]]):
+    """Full (qid, doc_id) match set of constant-score queries through the
+    searcher actor pool."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t, "k": 10**9} for q, t in queries]
+    )
+    res = search_dataset(idx, qds, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def prefix_search(sf_dir: str):
+    """PrefixQuery expansion (text + keyword fields)."""
+    return _matchset_run(sf_dir, PREFIX_QUERIES)
+
+
+def wildcard_search(sf_dir: str):
+    """WildcardQuery expansion (``*`` / ``?``), including a leading-``*``
+    full-dictionary scan."""
+    return _matchset_run(sf_dir, WILDCARD_QUERIES)
+
+
+def fuzzy_search(sf_dir: str):
+    """FuzzyQuery: Damerau-Levenshtein dictionary expansion, ≤2 edits."""
+    return _matchset_run(sf_dir, FUZZY_QUERIES)
+
+
+def sql_prefix_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+  select 0 as qid, doc_id from tok where term like 's%'
+  union
+  select 1 as qid, doc_id from tok where term like 'st%'
+  union
+  select 2 as qid, doc_id from documents where lang like 'e%'
+)
+select cast(qid as int) as qid, doc_id from m
+"""
+
+
+def sql_wildcard_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+  select 0 as qid, doc_id from tok where term like 's_an'
+  union
+  select 1 as qid, doc_id from tok where term like '%er'
+  union
+  select 2 as qid, doc_id from tok where term like 'w_nd%'
+)
+select cast(qid as int) as qid, doc_id from m
+"""
+
+
+def sql_fuzzy_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+  select 0 as qid, doc_id from tok where damerau_levenshtein(term, 'scann') <= 1
+  union
+  select 1 as qid, doc_id from tok where damerau_levenshtein(term, 'quer') <= 2
+  union
+  select 2 as qid, doc_id from tok where damerau_levenshtein(term, 'data') <= 1
+)
+select cast(qid as int) as qid, doc_id from m
+"""
+
+
 PHRASE_QUERIES: List[Tuple[int, str]] = [
     (0, '"batch stream"'),
     (1, '"merge sort"'),

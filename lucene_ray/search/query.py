@@ -64,12 +64,64 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class PrefixQuery:
+    """Terms starting with ``prefix`` (``core/search/PrefixQuery.java``),
+    expanded against the term dictionary at evaluation and matched
+    constant-score (``MultiTermQuery`` constant-score rewrite)."""
+
+    prefix: str
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    """``*`` = any run, ``?`` = one char (``core/search/WildcardQuery.java``).
+    The literal head before the first wildcard bounds the dictionary scan."""
+
+    pattern: str
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Terms within ``max_edits`` Damerau-Levenshtein edits
+    (``core/search/FuzzyQuery.java``; edit distance via dictionary scan +
+    banded DP instead of Levenshtein automata —
+    ``IntersectTermsEnum.java`` noted as the reference mechanism).
+    ``transpositions=True`` counts adjacent swaps as one edit using FULL
+    Damerau (matching DuckDB ``damerau_levenshtein`` so the oracle is
+    expressible; the reference uses optimal-string-alignment, which
+    differs only on pathological pairs like ``ca``→``abc``). Uncapped
+    expansion, constant-score (the reference's default fuzzy rewrite
+    keeps the 50 closest terms and blends scores — documented
+    divergence)."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    transpositions: bool = True
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
 
 
-Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery, RangeQuery]
+Query = Union[
+    TermQuery,
+    PhraseQuery,
+    BooleanQuery,
+    MatchAllQuery,
+    RangeQuery,
+    PrefixQuery,
+    WildcardQuery,
+    FuzzyQuery,
+]
 
 
 def rewrite(q: Query) -> Query:
@@ -92,7 +144,7 @@ _CLAUSE_RE = re.compile(
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
       | \[(?P<rlo>[^\s\]]+)\ TO\ (?P<rhi>[^\s\]]+)\]
-      | (?P<word>[^\s"^]+)
+      | (?P<word>[^\s"^~]+)(?:~(?P<fedits>\d+))?
     )
     (?:\^(?P<boost>\d+(?:\.\d+)?))?
     """,
@@ -147,6 +199,30 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
                 hi=_range_bound(m.group("rhi")),
                 boost=boost,
             )
+        elif m.group("fedits") is not None:
+            # fuzzy: the term is lowercased, not tokenized (classic parser
+            # lowercase_expanded_terms behavior), capped at 2 edits
+            from lucene_ray.analysis.lowercase import simple_lowercase
+
+            word = m.group("word")
+            if fieldname == "text":
+                word = simple_lowercase(word)
+            q = FuzzyQuery(
+                word,
+                max_edits=min(2, int(m.group("fedits"))),
+                boost=boost,
+                field=fieldname,
+            )
+        elif "*" in m.group("word") or "?" in m.group("word"):
+            from lucene_ray.analysis.lowercase import simple_lowercase
+
+            word = m.group("word")
+            if fieldname == "text":
+                word = simple_lowercase(word)
+            if word.endswith("*") and "?" not in word and "*" not in word[:-1]:
+                q = PrefixQuery(word[:-1], boost=boost, field=fieldname)
+            else:
+                q = WildcardQuery(word, boost=boost, field=fieldname)
         elif fieldname != "text":
             # keyword field: the value indexes verbatim, so match verbatim
             q = TermQuery(m.group("word"), boost=boost, field=fieldname)
@@ -174,7 +250,11 @@ def _strip_boost(q: Query) -> Query:
     """Key for duplicate detection: the query with boost reset to 1."""
     import dataclasses
 
-    if isinstance(q, (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery)):
+    if isinstance(
+        q,
+        (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery,
+         PrefixQuery, WildcardQuery, FuzzyQuery),
+    ):
         return dataclasses.replace(q, boost=1.0)
     return q
 

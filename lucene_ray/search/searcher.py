@@ -39,14 +39,23 @@ from lucene_ray.search.query import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
+    PrefixQuery,
     Query,
     RangeQuery,
     TermQuery,
+    WildcardQuery,
     deduplicate_clauses,
     parse_query,
     query_terms,
+)
+from lucene_ray.search.multiterm import (
+    damerau_levenshtein,
+    levenshtein,
+    wildcard_literal_head,
+    wildcard_regex,
 )
 
 F32 = np.float32
@@ -176,9 +185,50 @@ class IndexSearcher:
             )
         if isinstance(q, RangeQuery):
             return self._eval_range(q, seg_idx)
+        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
+            return self._eval_multiterm(q, seg_idx)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, seg_idx, states)
         raise TypeError(f"unknown query node {type(q)}")
+
+    def _eval_multiterm(self, q, seg_idx: int) -> SegmentResult:
+        """MultiTermQuery: dictionary expansion → union of matched terms'
+        doc sets, constant score = boost (``MultiTermQuery`` constant-
+        score rewrite; ``PrefixQuery.java`` / ``WildcardQuery.java`` /
+        ``FuzzyQuery.java``)."""
+        seg = self.segments[seg_idx]
+        fprefix = term_key(q.field, "")
+        if isinstance(q, PrefixQuery):
+            key_prefix = term_key(q.field, q.prefix)
+            match = None
+        elif isinstance(q, WildcardQuery):
+            key_prefix = term_key(q.field, wildcard_literal_head(q.pattern))
+            rx = wildcard_regex(q.pattern)
+            match = lambda key: rx.fullmatch(key[len(fprefix):]) is not None
+        else:  # FuzzyQuery
+            key_prefix = term_key(q.field, q.term[: q.prefix_length])
+            dist = damerau_levenshtein if q.transpositions else (
+                lambda a, b, cap=None: levenshtein(a, b)
+            )
+            term, k = q.term, q.max_edits
+
+            def match(key):
+                return dist(key[len(fprefix):], term, cap=k) <= k
+
+        matches = seg.expand_terms(
+            key_prefix, match, exclude_field_sep=(q.field == DEFAULT_FIELD)
+        )
+        if not matches:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        id_sets = [seg.postings(ti).decode_all()[0] for _, ti in matches]
+        ids = (
+            np.unique(np.concatenate(id_sets))
+            if len(id_sets) > 1
+            else id_sets[0]
+        )
+        return SegmentResult(
+            ids.astype(np.uint32), np.full(len(ids), F32(q.boost))
+        )
 
     def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
         """Doc-values range filter, constant-score (``PointRangeQuery`` /
