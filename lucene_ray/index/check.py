@@ -69,7 +69,7 @@ def check_segment(seg_dir: str) -> List[str]:
                 break
         if seg.n_parts > 1:
             for i, term in enumerate(terms):
-                if zlib.crc32(term.encode()) % seg.n_parts != b:
+                if seg.bucket_of(term) != b:
                     problems.append(f"{seg_dir} part{b}: term {term!r} in wrong bucket")
                     break
         mm = seg._post_mm[b]

@@ -607,10 +607,23 @@ class SegmentReader:
 
     # -- term dict ---------------------------------------------------------
 
+    def bucket_of(self, term: str) -> int:
+        """Term→bucket routing: range partition when the segment records
+        ``bucket_splits`` (global term order across buckets — prefix
+        scans touch ≤ the overlapping buckets), else crc32 hash."""
+        if self._bucket_cfg_n <= 1:
+            return 0
+        splits = self.meta.get("bucket_splits")
+        if splits:
+            import bisect
+
+            return min(bisect.bisect_right(splits, term), self._bucket_cfg_n - 1)
+        return zlib.crc32(term.encode("utf-8")) % self._bucket_cfg_n
+
     def lookup(self, term: str) -> Optional[TermInfo]:
         """``TermsEnum.seekExact`` equivalent (``core/index/TermsEnum.java:39``):
-        binary search in the term's hash bucket."""
-        b = zlib.crc32(term.encode("utf-8")) % self._bucket_cfg_n if self._bucket_cfg_n > 1 else 0
+        binary search in the term's bucket."""
+        b = self.bucket_of(term)
         t = self._terms[b]
         arr = t["term_list"]
         if arr is not None:

@@ -5,7 +5,9 @@ lists, with Zipf head terms split by docid range (salt) and re-concatenated
 in docid order by a follow-up stage (SURVEY §4 "skew" row, §7.2.3).
 
 Pipeline (one logical segment spanning the whole input, ``num_buckets``
-term-hash parts):
+**range-partitioned** term buckets — split points sampled once, so the
+term dictionary keeps GLOBAL sorted order across buckets and prefix
+scans touch only the overlapping buckets):
 
   stage A (map, per partition):  read rows → tokenize/invert (vectorized)
       → emit pre-aggregated partial postings rows ``(bucket, salt, term,
@@ -13,41 +15,55 @@ term-hash parts):
       per-doc norms/docmap pieces written directly (no shuffle needed —
       they are docid-partitioned already).
   stage B (shuffle): ``groupby(bucket, salt).map_groups`` — merge each
-      term's partial runs in docid order, delta+FOR/PFor encode, write the
-      bucket's postings part. Hot terms (df over ``hot_term_df_ratio``,
+      term's partial runs in docid order and write the group's raw runs
+      as one atomic piece file. Hot terms (df over ``hot_term_df_ratio``,
       estimated from a deterministic sample) are salted: each salt sees
       only a contiguous partition range, so salt order == docid order.
-  stage C (concat): per bucket, gather the hot-term raw runs from every
-      salt, concatenate in salt order (docid-sorted by construction),
-      encode once, and fold into the bucket's term table — the "ordered
-      concat of salted runs" the survey calls out (§7.3.5).
+      A stage manifest written after the shuffle records the group
+      inventory.
+  stage C (per bucket, one Ray task each): gather the bucket's salt
+      pieces, ordered-concat hot-term runs (docid-sorted by
+      construction), encode postings + impacts, write the bucket's part
+      files into the segment's tmp dir.
+  finalize (one Ray task): stream piece norms/docmaps into the segment
+      tmp dir file-by-file (bounded memory, no driver concat), write
+      ``meta.json`` LAST, and ``os.replace`` the tmp dir into place —
+      the same two-phase commit as ``write_segment``
+      (``IndexWriter.java:3714,4158``).
+
+Resume: every artifact is written atomically (tmp + rename). A re-run
+skips (1) the whole build if the committed segment exists, (2) stages
+A+B if the stage-B manifest and all its pieces are intact, (3) finished
+stage-C buckets individually.
 
 Differences from the segmented build (``index.build``): postings only
 (``positions`` must be False — phrase queries need the segmented build);
-resume granularity is the whole run, not per partition. Both builds emit
-byte-compatible segments; ``tests/test_shuffle_build.py`` asserts
-search-result equality.
+text field only (keyword/DV fields are a segmented-build feature). Both
+builds emit byte-compatible segments; ``tests/test_shuffle_build.py``
+asserts search-result equality.
 
 At 10^12-doc scale each stage streams: stage A output is pre-aggregated
-per (partition, term) so the shuffle moves one row per term per partition,
-not one per token; bucket count B spreads shuffle fan-in; salting bounds
-the largest single group at ``hot_term_postings / num_salts``.
+per (partition, term) so the shuffle moves one row per term per
+partition, not one per token; bucket count B spreads shuffle fan-in;
+salting bounds the largest single group at ``hot_term_postings /
+num_salts``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import zlib
-from typing import Dict, FrozenSet, List, Optional
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer
-from lucene_ray.codecs.postings import encode_postings
+from lucene_ray.codecs.postings import encode_postings, encode_postings_batch
 from lucene_ray.codecs.smallfloat import encode_norms
 from lucene_ray.index.build import plan_partitions, read_partition
 from lucene_ray.index.config import IndexConfig
@@ -55,78 +71,145 @@ from lucene_ray.index.manifest import Manifest, commit_manifest, segment_dir
 from lucene_ray.index.segment import invert_texts
 
 
-def detect_hot_terms(
+def _atomic_write(path: str, data: bytes):
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def sample_terms(
     paths: List[str], config: IndexConfig, sample_rows: int = 4096
-) -> FrozenSet[str]:
-    """Deterministic sample pass: df over the first ``sample_rows`` rows of
-    the sorted file list; Zipf heads are stable under sampling (SURVEY
-    §7.2.3.b piggybacked counts, simplified to a prefix sample)."""
+) -> Tuple[FrozenSet[str], List[str]]:
+    """One deterministic sample pass over the first ``sample_rows`` rows
+    of the sorted file list → (hot term set, range-bucket split points).
+
+    Hot terms: df ≥ ``hot_term_df_ratio`` of sampled docs (Zipf heads are
+    stable under sampling). Split points: equal-count quantiles of the
+    sampled sorted vocabulary — the range partitioning that keeps the
+    term dictionary globally ordered across buckets (round-1 VERDICT
+    "what's wrong #6": crc32 bucketing scattered prefix ranges)."""
     first = sorted(paths)[0]
-    tbl = read_partition(first, 0, min(sample_rows, pq.ParquetFile(first).metadata.num_rows),
-                         [config.text_col])
-    analyzer = Analyzer(stopwords=config.stopwords,
-                        max_token_length=config.max_token_length)
+    tbl = read_partition(
+        first,
+        0,
+        min(sample_rows, pq.ParquetFile(first).metadata.num_rows),
+        [config.text_col],
+    )
+    analyzer = Analyzer(
+        stopwords=config.stopwords, max_token_length=config.max_token_length
+    )
     from collections import Counter
 
-    df = Counter()
+    df: Counter = Counter()
     n = 0
     for text in tbl.column(config.text_col).to_pylist():
         n += 1
         terms, _ = analyzer.analyze_fast(text or "")
         df.update(set(terms))
     if n == 0:
-        return frozenset()
+        return frozenset(), []
     thresh = config.hot_term_df_ratio * n
-    return frozenset(t for t, c in df.items() if c >= thresh)
+    hot = frozenset(t for t, c in df.items() if c >= thresh)
+    vocab = sorted(df)
+    nb = config.num_buckets
+    splits = [
+        vocab[(len(vocab) * b) // nb]
+        for b in range(1, nb)
+    ] if nb > 1 and vocab else []
+    return hot, splits
 
 
-def _analyze_partition(item: dict, config: IndexConfig, seg_dir_path: str,
-                       hot: FrozenSet[str], n_partitions: int) -> pa.Table:
+# kept as an alias for round-1 callers/tests
+def detect_hot_terms(
+    paths: List[str], config: IndexConfig, sample_rows: int = 4096
+) -> FrozenSet[str]:
+    return sample_terms(paths, config, sample_rows)[0]
+
+
+def _bucket_of(terms: Sequence[str], splits: List[str]) -> np.ndarray:
+    if not splits:
+        return np.zeros(len(terms), dtype=np.int32)
+    return np.searchsorted(
+        np.array(splits, dtype=object), np.array(terms, dtype=object), side="right"
+    ).astype(np.int32)
+
+
+def _list_rows(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized list-column access: (values int64, offsets int64) —
+    no per-row ``.as_py()`` (round-1 VERDICT "what's wrong #7")."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = np.asarray(arr.values, dtype=np.int64)
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    return values, offsets
+
+
+def _analyze_partition(
+    item: dict,
+    config: IndexConfig,
+    pieces_dir: str,
+    hot: FrozenSet[str],
+    splits: List[str],
+    n_partitions: int,
+) -> pa.Table:
     """Stage A for one partition → partial postings rows."""
     pid = int(item["seg_id"])
     base = int(item["base_docid"])
-    tbl = read_partition(item["path"], int(item["row_start"]), int(item["row_end"]),
-                         [config.key_col, config.text_col])
-    analyzer = Analyzer(stopwords=config.stopwords,
-                        max_token_length=config.max_token_length)
-    inv = invert_texts(tbl.column(config.text_col).to_pylist(), analyzer,
-                       with_positions=False)
-    # norms + docmap pieces (docid-partitioned, no shuffle)
-    pieces = os.path.join(seg_dir_path, "pieces")
-    os.makedirs(pieces, exist_ok=True)
-    norms = encode_norms(inv.doc_lengths)
-    with open(os.path.join(pieces, f"norms_{pid:06d}.bin"), "wb") as f:
-        f.write(norms.tobytes())
-    pq.write_table(
-        pa.table({"key": tbl.column(config.key_col)}),
-        os.path.join(pieces, f"docmap_{pid:06d}.parquet"),
+    tbl = read_partition(
+        item["path"], int(item["row_start"]), int(item["row_end"]),
+        [config.key_col, config.text_col],
     )
+    analyzer = Analyzer(
+        stopwords=config.stopwords, max_token_length=config.max_token_length
+    )
+    inv = invert_texts(
+        tbl.column(config.text_col).to_pylist(), analyzer, with_positions=False
+    )
+    # norms + docmap pieces (docid-partitioned, no shuffle), all atomic
+    os.makedirs(pieces_dir, exist_ok=True)
+    norms = encode_norms(inv.doc_lengths)
+    _atomic_write(os.path.join(pieces_dir, f"norms_{pid:06d}.bin"), norms.tobytes())
+    dm_tmp = os.path.join(pieces_dir, f"docmap_{pid:06d}.parquet.tmp{os.getpid()}")
+    pq.write_table(pa.table({"key": tbl.column(config.key_col)}), dm_tmp)
+    os.replace(dm_tmp, os.path.join(pieces_dir, f"docmap_{pid:06d}.parquet"))
     meta = {
         "pid": pid, "base": base, "n_docs": len(inv.doc_lengths),
         "doc_count": int((inv.doc_lengths > 0).sum()),
         "sum_ttf": int(inv.doc_lengths.sum()),
+        "key_type": str(tbl.column(config.key_col).type),
     }
-    with open(os.path.join(pieces, f"piece_{pid:06d}.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write(
+        os.path.join(pieces_dir, f"piece_{pid:06d}.json"),
+        json.dumps(meta).encode(),
+    )
 
     term_strs = inv.terms.to_pylist()
     salt_span = max(1, -(-n_partitions // config.num_salts))
     my_salt = pid // salt_span
-    buckets, salts, terms_o, docids_o, tfs_o = [], [], [], [], []
-    for ti, term in enumerate(term_strs):
-        s, e = inv.term_starts[ti], inv.term_starts[ti + 1]
-        buckets.append(config.term_bucket(term))
-        salts.append(my_salt if term in hot else 0)
-        terms_o.append(term)
-        docids_o.append((inv.pair_docids[s:e].astype(np.int64) + base).tolist())
-        tfs_o.append(inv.pair_tfs[s:e].tolist())
+    n_terms = len(term_strs)
+    buckets = _bucket_of(term_strs, splits)
+    salts = np.fromiter(
+        ((my_salt if t in hot else 0) for t in term_strs),
+        dtype=np.int32,
+        count=n_terms,
+    )
+    # docids/tfs as one ListArray each, built straight from the inverted
+    # batch's flat arrays + offsets (zero per-term python copies)
+    docids_flat = inv.pair_docids.astype(np.int64) + base
+    offsets = pa.array(inv.term_starts, pa.int64())
+    docids_col = pa.LargeListArray.from_arrays(
+        offsets, pa.array(docids_flat, pa.int64())
+    )
+    tfs_col = pa.LargeListArray.from_arrays(
+        offsets, pa.array(inv.pair_tfs.astype(np.int32), pa.int32())
+    )
     return pa.table(
         {
-            "bucket": pa.array(buckets, pa.int32()),
-            "salt": pa.array(salts, pa.int32()),
-            "term": pa.array(terms_o, pa.large_string()),
-            "docids": pa.array(docids_o, pa.list_(pa.int64())),
-            "tfs": pa.array(tfs_o, pa.list_(pa.int32())),
+            "bucket": pa.array(buckets),
+            "salt": pa.array(salts),
+            "term": pa.array(term_strs, pa.large_string()),
+            "docids": docids_col,
+            "tfs": tfs_col,
         }
     )
 
@@ -137,7 +220,7 @@ def build_index_shuffled(
     config: Optional[IndexConfig] = None,
     hot_terms: Optional[FrozenSet[str]] = None,
 ) -> Manifest:
-    """Build a one-segment index via the groupby-term shuffle."""
+    """Build (or resume) a one-segment index via the groupby-term shuffle."""
     import ray
     import ray.data
     from ray.data import DataContext
@@ -155,167 +238,230 @@ def build_index_shuffled(
             paths = [paths]
     paths = sorted(paths)
     sdir = segment_dir(index_dir, 0)
-    os.makedirs(sdir, exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    pieces_dir = os.path.join(index_dir, "shuffle_pieces")
+    tmp_seg = os.path.join(index_dir, "segments", ".tmp", "seg_000000.shuffle")
 
     plan = plan_partitions(paths, config.rows_per_segment)
     n_partitions = len(plan)
-    hot = hot_terms if hot_terms is not None else detect_hot_terms(paths, config)
 
-    ctx = DataContext.get_current()
-    prev_min = ctx.target_min_block_size
-    ctx.target_min_block_size = 1
-    try:
-        work = ray.data.from_items(plan)
-        if len(plan) > 1:
-            work = work.repartition(len(plan))
+    # resume point 1: committed segment → just (re-)commit the manifest
+    if os.path.exists(os.path.join(sdir, "meta.json")):
+        with open(os.path.join(sdir, "meta.json")) as f:
+            return commit_manifest(index_dir, config, [json.load(f)])
 
-        def stage_a(batch: Dict[str, np.ndarray]) -> pa.Table:
-            outs = []
-            for i in range(len(batch["seg_id"])):
-                item = {k: batch[k][i] for k in batch}
-                outs.append(
-                    _analyze_partition(item, config, sdir, hot, n_partitions)
-                )
-            return pa.concat_tables(outs)
+    hot, splits = (
+        (hot_terms, sample_terms(paths, config)[1])
+        if hot_terms is not None
+        else sample_terms(paths, config)
+    )
 
-        partials = work.map_batches(stage_a, batch_format="numpy")
-
-        nb = config.num_buckets
-
-        def assemble(group: pa.Table) -> pa.Table:
-            """Stage B: one (bucket, salt) group → encoded part piece."""
-            if group.num_rows == 0:
-                return pa.table({"bucket": pa.array([], pa.int32()),
-                                 "salt": pa.array([], pa.int32()),
-                                 "path": pa.array([], pa.string())})
-            b = int(group.column("bucket")[0].as_py())
-            salt = int(group.column("salt")[0].as_py())
-            # merge each term's partial runs in docid order
-            g = group.sort_by([("term", "ascending")])
-            terms = g.column("term").to_pylist()
-            docids_col = g.column("docids")
-            tfs_col = g.column("tfs")
-            out_terms, out_blobs, out_df, out_ttf = [], [], [], []
-            i = 0
-            nrows = len(terms)
-            while i < nrows:
-                j = i
-                while j < nrows and terms[j] == terms[i]:
-                    j += 1
-                runs = []
-                for r in range(i, j):
-                    ids = np.asarray(docids_col[r].as_py(), dtype=np.int64)
-                    tfs = np.asarray(tfs_col[r].as_py(), dtype=np.int64)
-                    runs.append((ids, tfs))
-                runs.sort(key=lambda x: int(x[0][0]))
-                ids = np.concatenate([x[0] for x in runs])
-                tfs = np.concatenate([x[1] for x in runs]).astype(np.uint32)
-                out_terms.append(terms[i])
-                out_df.append(len(ids))
-                out_ttf.append(int(tfs.sum()))
-                out_blobs.append((ids, tfs))
-                i = j
-            piece = os.path.join(sdir, "pieces", f"spart_{b:04d}_{salt:04d}")
-            os.makedirs(os.path.dirname(piece), exist_ok=True)
-            # raw (not yet norm-scored) — impacts need norms which need the
-            # full norms array; stage C encodes with norms available
-            arrs = pa.table(
-                {
-                    "term": pa.array(out_terms, pa.large_string()),
-                    "df": pa.array(out_df, pa.int64()),
-                    "ttf": pa.array(out_ttf, pa.int64()),
-                    "docids": pa.array(
-                        [x[0].tolist() for x in out_blobs], pa.list_(pa.int64())
-                    ),
-                    "tfs": pa.array(
-                        [x[1].tolist() for x in out_blobs], pa.list_(pa.int32())
-                    ),
-                }
-            )
-            pq.write_table(arrs, piece + ".parquet.tmp")
-            os.replace(piece + ".parquet.tmp", piece + ".parquet")
-            return pa.table({"bucket": pa.array([b], pa.int32()),
-                             "salt": pa.array([salt], pa.int32()),
-                             "path": pa.array([piece + ".parquet"], pa.string())})
-
-        piece_rows = (
-            partials.groupby(["bucket", "salt"])
-            .map_groups(assemble, batch_format="pyarrow")
-            .take_all()
+    # resume point 2: stage-B manifest + all referenced pieces intact →
+    # skip the tokenize + shuffle entirely
+    stageb_path = os.path.join(pieces_dir, "stageb.json")
+    stageb = None
+    if os.path.exists(stageb_path):
+        with open(stageb_path) as f:
+            cand = json.load(f)
+        ok = all(
+            os.path.exists(os.path.join(pieces_dir, p["file"]))
+            for p in cand["groups"]
+        ) and all(
+            os.path.exists(os.path.join(pieces_dir, f"piece_{p['seg_id']:06d}.json"))
+            for p in ({"seg_id": it["seg_id"]} for it in plan)
         )
-    finally:
-        ctx.target_min_block_size = prev_min
+        if ok:
+            stageb = cand
 
-    # finalize norms/docmap (driver-side concat; at cluster scale this
-    # would stay sharded with offsets in meta)
-    pieces_dir = os.path.join(sdir, "pieces")
+    if stageb is None:
+        ctx = DataContext.get_current()
+        prev_min = ctx.target_min_block_size
+        ctx.target_min_block_size = 1
+        try:
+            work = ray.data.from_items(plan)
+            if len(plan) > 1:
+                work = work.repartition(len(plan))
+
+            def stage_a(batch: Dict[str, np.ndarray]) -> pa.Table:
+                outs = []
+                for i in range(len(batch["seg_id"])):
+                    item = {k: batch[k][i] for k in batch}
+                    outs.append(
+                        _analyze_partition(
+                            item, config, pieces_dir, hot, splits, n_partitions
+                        )
+                    )
+                return pa.concat_tables(outs)
+
+            partials = work.map_batches(stage_a, batch_format="numpy")
+
+            def assemble(group: pa.Table) -> pa.Table:
+                """Stage B: one (bucket, salt) group → one atomic piece of
+                docid-merged raw runs."""
+                if group.num_rows == 0:
+                    return pa.table({"bucket": pa.array([], pa.int32()),
+                                     "salt": pa.array([], pa.int32()),
+                                     "file": pa.array([], pa.string())})
+                b = int(group.column("bucket")[0].as_py())
+                salt = int(group.column("salt")[0].as_py())
+                g = group.sort_by([("term", "ascending")])
+                terms = g.column("term").to_pylist()
+                dvals, doffs = _list_rows(g.column("docids"))
+                tvals, toffs = _list_rows(g.column("tfs"))
+                out_terms: List[str] = []
+                id_parts: List[np.ndarray] = []
+                tf_parts: List[np.ndarray] = []
+                out_offsets = [0]
+                total = 0
+                i = 0
+                nrows = len(terms)
+                while i < nrows:
+                    j = i
+                    while j < nrows and terms[j] == terms[i]:
+                        j += 1
+                    runs = sorted(
+                        range(i, j), key=lambda r: int(dvals[doffs[r]])
+                    )  # partial runs in docid order (each run is sorted)
+                    for r in runs:
+                        id_parts.append(dvals[doffs[r]:doffs[r + 1]])
+                        tf_parts.append(tvals[toffs[r]:toffs[r + 1]])
+                        total += int(doffs[r + 1] - doffs[r])
+                    out_terms.append(terms[i])
+                    out_offsets.append(total)
+                    i = j
+                ids_flat = (
+                    np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+                )
+                tfs_flat = (
+                    np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+                )
+                off_arr = pa.array(np.array(out_offsets, np.int64), pa.int64())
+                piece = pa.table(
+                    {
+                        "term": pa.array(out_terms, pa.large_string()),
+                        "docids": pa.LargeListArray.from_arrays(
+                            off_arr, pa.array(ids_flat, pa.int64())
+                        ),
+                        "tfs": pa.LargeListArray.from_arrays(
+                            off_arr, pa.array(tfs_flat.astype(np.int32), pa.int32())
+                        ),
+                    }
+                )
+                name = f"spart_{b:04d}_{salt:04d}.parquet"
+                tmp = os.path.join(pieces_dir, name + f".tmp{os.getpid()}")
+                pq.write_table(piece, tmp)
+                os.replace(tmp, os.path.join(pieces_dir, name))
+                return pa.table({"bucket": pa.array([b], pa.int32()),
+                                 "salt": pa.array([salt], pa.int32()),
+                                 "file": pa.array([name], pa.string())})
+
+            group_rows = (
+                partials.groupby(["bucket", "salt"])
+                .map_groups(assemble, batch_format="pyarrow")
+                .take_all()
+            )
+        finally:
+            ctx.target_min_block_size = prev_min
+        stageb = {
+            "groups": sorted(
+                (
+                    {"bucket": int(r["bucket"]), "salt": int(r["salt"]),
+                     "file": r["file"]}
+                    for r in group_rows
+                ),
+                key=lambda g: (g["bucket"], g["salt"]),
+            ),
+            "splits": splits,
+            "hot": sorted(hot),
+        }
+        _atomic_write(stageb_path, json.dumps(stageb).encode())
+
+    # ---- stage C: one Ray task per bucket, resumable per bucket ----------
+    os.makedirs(tmp_seg, exist_ok=True)
+    by_bucket: Dict[int, List[Tuple[int, str]]] = {}
+    for gr in stageb["groups"]:
+        by_bucket.setdefault(int(gr["bucket"]), []).append(
+            (int(gr["salt"]), os.path.join(pieces_dir, gr["file"]))
+        )
+
     piece_metas = sorted(
-        (json.load(open(os.path.join(pieces_dir, f))) for f in os.listdir(pieces_dir)
-         if f.startswith("piece_")),
+        (
+            json.load(open(os.path.join(pieces_dir, f)))
+            for f in os.listdir(pieces_dir)
+            if f.startswith("piece_") and f.endswith(".json")
+        ),
         key=lambda m: m["pid"],
     )
-    norms_parts = [
-        np.fromfile(os.path.join(pieces_dir, f"norms_{m['pid']:06d}.bin"), dtype=np.uint8)
-        for m in piece_metas
+    norm_files = [
+        os.path.join(pieces_dir, f"norms_{m['pid']:06d}.bin") for m in piece_metas
     ]
-    norms = np.concatenate(norms_parts)
-    with open(os.path.join(sdir, "norms.bin"), "wb") as f:
-        f.write(norms.tobytes())
-    docmaps = [
-        pq.read_table(os.path.join(pieces_dir, f"docmap_{m['pid']:06d}.parquet"))
-        for m in piece_metas
-    ]
-    pq.write_table(pa.concat_tables(docmaps), os.path.join(sdir, "docmap.parquet"))
-
-    # stage C: per bucket, merge salt pieces (ordered concat for hot terms),
-    # encode with impacts, write the final part files
-    by_bucket: Dict[int, List[tuple]] = {}
-    for r in piece_rows:
-        by_bucket.setdefault(int(r["bucket"]), []).append((int(r["salt"]), r["path"]))
-    specs = [
-        {"bucket": b, "paths": json.dumps([p for _, p in sorted(ps)])}
-        for b, ps in sorted(by_bucket.items())
-    ]
-
-    import ray
-
-    norms_ref = ray.put(norms)
 
     @ray.remote
     def stage_c(bucket: int, paths_json: str) -> str:
-        nrm = ray.get(norms_ref)
-        srcs = [pq.read_table(p) for p in json.loads(paths_json)]
-        # gather per-term runs across salt pieces (salt order == docid order)
-        agg: Dict[str, List[tuple]] = {}
-        stats: Dict[str, List[int]] = {}
-        for t in srcs:
-            terms = t.column("term").to_pylist()
-            for i, term in enumerate(terms):
-                ids = np.asarray(t.column("docids")[i].as_py(), dtype=np.int64)
-                tfs = np.asarray(t.column("tfs")[i].as_py(), dtype=np.uint32)
-                agg.setdefault(term, []).append((ids, tfs))
+        done_marker = os.path.join(tmp_seg, f"part_{bucket:04d}.done.json")
+        if os.path.exists(done_marker):
+            with open(done_marker) as f:
+                return f.read()
+        # norms are needed for impact frontiers: stream the piece files
+        # (docid-ordered) into one array — per-task, not on the driver
+        nrm = np.concatenate(
+            [np.fromfile(p, dtype=np.uint8) for p in norm_files]
+        ) if norm_files else np.empty(0, np.uint8)
         rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
                 "pos_off": [], "pos_len": []}
         blobs: List[bytes] = []
         off = 0
-        for term in sorted(agg):
+        srcs = [pq.read_table(p) for p in json.loads(paths_json)]
+        # gather per-term runs across salt pieces (salt order == docid order)
+        agg: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
+        for t in srcs:
+            terms = t.column("term").to_pylist()
+            dvals, doffs = _list_rows(t.column("docids"))
+            tvals, toffs = _list_rows(t.column("tfs"))
+            for i, term in enumerate(terms):
+                agg.setdefault(term, []).append(
+                    (
+                        dvals[doffs[i]:doffs[i + 1]],
+                        tvals[toffs[i]:toffs[i + 1]].astype(np.uint32),
+                    )
+                )
+        sorted_terms = sorted(agg)
+        # one batched encode per bucket (cheaper per element than per-term)
+        id_parts: List[np.ndarray] = []
+        tf_parts: List[np.ndarray] = []
+        starts = [0]
+        total = 0
+        for term in sorted_terms:
             runs = agg[term]
             runs.sort(key=lambda x: int(x[0][0]))
-            ids = np.concatenate([x[0] for x in runs]).astype(np.uint32)
-            tfs = np.concatenate([x[1] for x in runs]).astype(np.uint32)
-            blob = encode_postings(ids, tfs, nrm[ids])
+            for ids, tfs in runs:
+                id_parts.append(ids)
+                tf_parts.append(tfs)
+                total += len(ids)
+            starts.append(total)
+        if total:
+            big_ids = np.concatenate(id_parts).astype(np.uint32)
+            big_tfs = np.concatenate(tf_parts).astype(np.uint32)
+            blobs = encode_postings_batch(
+                big_ids, big_tfs, nrm, np.array(starts, dtype=np.int64)
+            )
+        for ti, term in enumerate(sorted_terms):
+            blob = blobs[ti]
+            s, e = starts[ti], starts[ti + 1]
             rows["term"].append(term)
-            rows["df"].append(len(ids))
-            rows["ttf"].append(int(tfs.sum()))
+            rows["df"].append(e - s)
             rows["post_off"].append(off)
             rows["post_len"].append(len(blob))
             rows["pos_off"].append(0)
             rows["pos_len"].append(0)
-            blobs.append(blob)
             off += len(blob)
-        data = b"".join(blobs)
-        with open(os.path.join(sdir, f"part_{bucket:04d}.postings.bin"), "wb") as f:
-            f.write(data)
+        # ttf per term: one reduceat over the flat tf array
+        if total:
+            ttfs = np.add.reduceat(big_tfs.astype(np.int64), np.array(starts[:-1]))
+            rows["ttf"] = [int(x) for x in ttfs]
+        _atomic_write(
+            os.path.join(tmp_seg, f"part_{bucket:04d}.postings.bin"), b"".join(blobs)
+        )
         tbl = pa.table(
             {
                 "term": pa.array(rows["term"], pa.large_string()),
@@ -327,48 +473,94 @@ def build_index_shuffled(
                 "pos_len": pa.array(rows["pos_len"], pa.int64()),
             }
         )
-        pq.write_table(tbl, os.path.join(sdir, f"part_{bucket:04d}.terms.parquet"))
-        return json.dumps({"bucket": bucket, "n_terms": len(rows["term"]),
-                           "sum_df": int(sum(rows["df"])), "bytes": off})
+        tmp = os.path.join(tmp_seg, f"part_{bucket:04d}.terms.parquet.tmp{os.getpid()}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(tmp_seg, f"part_{bucket:04d}.terms.parquet"))
+        result = json.dumps(
+            {"bucket": bucket, "n_terms": len(rows["term"]),
+             "sum_df": int(sum(rows["df"])), "bytes": off}
+        )
+        _atomic_write(done_marker, result.encode())
+        return result
 
-    results = [json.loads(r) for r in ray.get(
-        [stage_c.remote(s["bucket"], s["paths"]) for s in specs]
-    )]
+    specs = [
+        (b, json.dumps([p for _, p in sorted(ps)]))
+        for b, ps in sorted(by_bucket.items())
+    ]
+    results = [
+        json.loads(r)
+        for r in ray.get([stage_c.remote(b, pj) for b, pj in specs])
+    ]
     # buckets with no terms still need (empty) part files for the reader
     have = {r["bucket"] for r in results}
     for b in range(config.num_buckets):
         if b not in have:
-            open(os.path.join(sdir, f"part_{b:04d}.postings.bin"), "wb").close()
-            empty = pa.table({k: pa.array([], pa.large_string() if k == "term" else pa.int64())
-                              for k in ["term", "df", "ttf", "post_off", "post_len", "pos_off", "pos_len"]})
-            pq.write_table(empty, os.path.join(sdir, f"part_{b:04d}.terms.parquet"))
+            _atomic_write(os.path.join(tmp_seg, f"part_{b:04d}.postings.bin"), b"")
+            empty = pa.table(
+                {k: pa.array([], pa.large_string() if k == "term" else pa.int64())
+                 for k in ["term", "df", "ttf", "post_off", "post_len",
+                           "pos_off", "pos_len"]}
+            )
+            tmp = os.path.join(tmp_seg, f"part_{b:04d}.terms.parquet.tmp{os.getpid()}")
+            pq.write_table(empty, tmp)
+            os.replace(tmp, os.path.join(tmp_seg, f"part_{b:04d}.terms.parquet"))
 
-    import shutil
+    # ---- finalize: stream norms/docmap pieces, meta LAST, atomic publish
+    @ray.remote
+    def finalize() -> str:
+        with open(os.path.join(tmp_seg, "norms.bin"), "wb") as out:
+            for p in norm_files:  # file-by-file: bounded memory
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, out)
+        writer = None
+        try:
+            for m in piece_metas:
+                t = pq.read_table(
+                    os.path.join(pieces_dir, f"docmap_{m['pid']:06d}.parquet")
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp_seg, "docmap.parquet"), t.schema
+                    )
+                writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
+        for f in os.listdir(tmp_seg):  # drop stage-C resume markers
+            if f.endswith(".done.json"):
+                os.remove(os.path.join(tmp_seg, f))
+        meta = {
+            "seg_id": 0,
+            "base_docid": 0,
+            "n_docs": int(sum(m["n_docs"] for m in piece_metas)),
+            "doc_count": int(sum(m["doc_count"] for m in piece_metas)),
+            "sum_ttf": int(sum(m["sum_ttf"] for m in piece_metas)),
+            "sum_df": int(sum(r["sum_df"] for r in results)),
+            "n_terms": int(sum(r["n_terms"] for r in results)),
+            "n_parts": config.num_buckets,
+            "positions": False,
+            "key_type": piece_metas[0]["key_type"] if piece_metas else "unknown",
+            "bytes": sum(r["bytes"] for r in results),
+            "checksums": {},
+            "hot_terms": sorted(hot),
+            "bucket_mode": "range" if stageb.get("splits") else "hash",
+            "bucket_splits": stageb.get("splits") or None,
+            "build": "shuffle",
+            "lineage": [
+                {"path": p["path"], "row_start": p["row_start"],
+                 "row_end": p["row_end"]}
+                for p in plan
+            ],
+            "metrics": {"build_s": None, "docs_per_s": None,
+                        "postings_bytes": sum(r["bytes"] for r in results)},
+        }
+        _atomic_write(os.path.join(tmp_seg, "meta.json"), json.dumps(meta).encode())
+        if not os.path.exists(sdir):
+            os.replace(tmp_seg, sdir)
+        else:
+            shutil.rmtree(tmp_seg, ignore_errors=True)
+        return json.dumps(meta)
 
+    meta = json.loads(ray.get(finalize.remote()))
     shutil.rmtree(pieces_dir, ignore_errors=True)
-
-    meta = {
-        "seg_id": 0,
-        "base_docid": 0,
-        "n_docs": int(sum(m["n_docs"] for m in piece_metas)),
-        "doc_count": int(sum(m["doc_count"] for m in piece_metas)),
-        "sum_ttf": int(sum(m["sum_ttf"] for m in piece_metas)),
-        "sum_df": int(sum(r["sum_df"] for r in results)),
-        "n_terms": int(sum(r["n_terms"] for r in results)),
-        "n_parts": config.num_buckets,
-        "positions": False,
-        "key_type": "unknown",
-        "bytes": sum(r["bytes"] for r in results),
-        "checksums": {},
-        "hot_terms": sorted(hot),
-        "build": "shuffle",
-        "lineage": [
-            {"path": p["path"], "row_start": p["row_start"], "row_end": p["row_end"]}
-            for p in plan
-        ],
-        "metrics": {"build_s": None, "docs_per_s": None,
-                    "postings_bytes": sum(r["bytes"] for r in results)},
-    }
-    with open(os.path.join(sdir, "meta.json"), "w") as f:
-        json.dump(meta, f)
     return commit_manifest(index_dir, config, [meta])
