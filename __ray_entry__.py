@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": sq.wildcard_search,
         "fuzzy_search": sq.fuzzy_search,
         "phrase_search": sq.phrase_search,
+        "sloppy_phrase_search": sq.sloppy_phrase_search,
         "term_stats": co.term_stats,
         "collection_stats": co.collection_stats,
         "doc_norms": co.doc_norms,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_search": sq.sql_wildcard_search(),
         "fuzzy_search": sq.sql_fuzzy_search(),
         "phrase_search": sq.sql_phrase_search(),
+        "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "term_stats": co.sql_term_stats(),
         "collection_stats": co.sql_collection_stats(),
         "doc_norms": co.sql_doc_norms(),

@@ -290,6 +290,61 @@ PHRASE_QUERIES: List[Tuple[int, str]] = [
     (2, '"data data"'),
 ]
 
+# 2-distinct-term sloppy phrases: the match set is SQL-expressible —
+# freq > 0 ⟺ ∃ (pa, pb) with |(pb − 1) − pa| ≤ slop (property-tested in
+# tests/test_sloppy_phrase.py against the exact SloppyPhraseMatcher)
+SLOPPY_QUERIES: List[Tuple[int, str, str, int]] = [
+    (0, "batch", "stream", 1),
+    (1, "data", "window", 2),
+    (2, "merge", "join", 3),
+]
+
+
+def sloppy_phrase_search(sf_dir: str):
+    """Sloppy-phrase match sets through the searcher actor pool."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [
+            {"qid": q, "query": f'"{a} {b}"~{s}', "k": 10**9}
+            for q, a, b, s in SLOPPY_QUERIES
+        ]
+    )
+    res = search_dataset(idx, qds, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_sloppy_phrase_search() -> str:
+    phr = ", ".join(
+        f"({q}, '{a}', '{b}', {s})" for q, a, b, s in SLOPPY_QUERIES
+    )
+    return f"""
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+ptok as (
+  select doc_id, i as pos, ws[i+1] as term
+  from w, unnest(range(array_length(ws))) as t(i)
+  where ws[i+1] <> ''
+),
+phr(qid, t1, t2, slop) as (values {phr})
+select distinct cast(p.qid as int) as qid, a.doc_id
+from phr p
+join ptok a on a.term = p.t1
+join ptok b on b.term = p.t2 and b.doc_id = a.doc_id
+where abs((b.pos - 1) - a.pos) <= p.slop
+"""
+
 
 def phrase_search(sf_dir: str):
     """Exact-phrase match set (full match set per phrase) through the same

@@ -432,7 +432,7 @@ class IndexSearcher:
             if not out_ids:
                 return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
             ids = np.array(out_ids, dtype=np.uint32)
-            freqs = np.array(out_freq, dtype=np.uint32)
+            freqs = np.array(out_freq, dtype=F32)  # float sloppy freqs
         # fall through to scoring
         # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
         idf_sum = float(
@@ -444,32 +444,29 @@ class IndexSearcher:
         return SegmentResult(ids, scores)
 
     @staticmethod
-    def _sloppy_phrase(q: PhraseQuery, decoded) -> Tuple[List[int], List[int]]:
-        """Simplified sloppy matching: an occurrence is an alignment where
-        every term's adjusted position fits within ``slop`` of the first
-        term's (an approximation of ``SloppyPhraseMatcher``; exact-slop
-        weighting is not replicated)."""
+    def _sloppy_phrase(
+        q: PhraseQuery, decoded
+    ) -> Tuple[List[int], List[np.float32]]:
+        """Exact sloppy matching per ``SloppyPhraseMatcher.java``
+        semantics (see search/sloppy.py): per-doc float phrase freq =
+        Σ 1/(1+matchLength) over the greedy least-position match stream,
+        repeat groups handled."""
+        from lucene_ray.search.sloppy import sloppy_phrase_freq
+
         common = decoded[0][0]
         for ids, _, _ in decoded[1:]:
             common = np.intersect1d(common, ids, assume_unique=True)
         out_ids: List[int] = []
-        out_freq: List[int] = []
+        out_freq: List[np.float32] = []
         for d in common:
             per_term = []
-            for i, (ids, offs, pos) in enumerate(decoded):
+            for ids, offs, pos in decoded:
                 j = int(np.searchsorted(ids, d))
-                per_term.append(pos[offs[j] : offs[j + 1]].astype(np.int64) - i)
-            base = per_term[0]
-            count = 0
-            for p0 in base:
-                ok = all(
-                    np.any(np.abs(pt - p0) <= q.slop) for pt in per_term[1:]
-                )
-                if ok:
-                    count += 1
-            if count:
+                per_term.append(pos[offs[j] : offs[j + 1]].astype(np.int64))
+            freq = sloppy_phrase_freq(q.terms, per_term, q.slop)
+            if freq > 0:
                 out_ids.append(int(d))
-                out_freq.append(count)
+                out_freq.append(freq)
         return out_ids, out_freq
 
     # -- top-k -------------------------------------------------------------
@@ -533,12 +530,10 @@ class IndexSearcher:
         # search-time rewrite: merge repeated SHOULD/MUST clauses through
         # Similarity.computeQueryTermWeight (fork k3 query-term saturation)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
-        if after is not None:
-            mode = "exhaustive"
         if mode != "exhaustive":
             terms = self._wand_eligible(query)
             if terms is not None:
-                return self._search_wand(terms, k)
+                return self._search_wand(terms, k, after=after)
             if mode == "wand":
                 raise ValueError("query not eligible for WAND pruning")
         states = self.term_states(query_terms(query))
@@ -622,7 +617,10 @@ class IndexSearcher:
             "relation": "EQ",
         }
 
-    def _search_wand(self, terms: List[TermQuery], k: int) -> dict:
+    def _search_wand(
+        self, terms: List[TermQuery], k: int, after=None,
+        total_hits_threshold: int = 1000,
+    ) -> dict:
         states = self.term_states([t.term for t in terms])
         theta = -np.inf
         rows = []
@@ -649,6 +647,11 @@ class IndexSearcher:
                     if len(self._gmax_cache) < 1_000_000:
                         self._gmax_cache[key] = gm
                 gmaxes.append(gm)
+            after_local = (
+                (after[0], int(after[1]) - seg.base_docid)
+                if after is not None
+                else None
+            )
             ids, scores, theta, pruned, ev = wand_topk(
                 seg,
                 [ti for ti, _ in live],
@@ -657,6 +660,9 @@ class IndexSearcher:
                 k,
                 theta,
                 gmaxes,
+                after=after_local,
+                total_hits_threshold=total_hits_threshold,
+                evaluated_so_far=total,
             )
             total += ev
             any_pruned = any_pruned or pruned

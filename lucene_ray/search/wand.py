@@ -96,11 +96,27 @@ def wand_topk(
     k: int,
     theta: float = -np.inf,
     gmaxes: Optional[List[Optional[np.ndarray]]] = None,
+    after: Optional[Tuple[float, int]] = None,
+    total_hits_threshold: int = 1000,
+    evaluated_so_far: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, float, bool, int]:
     """Top-k of a SHOULD-disjunction of terms over one segment.
 
     Returns ``(docids, scores, theta_out, pruned, evaluated_matches)``;
     docids local, result exact top-k by (score desc, docid asc).
+
+    ``after=(score, local_docid)``: cursor pagination on the pruned path —
+    hits at/above the cursor position are dropped BEFORE candidates are
+    collected, so θ tracks the k-th best *post-cursor* score and window
+    skipping stays rank-neutral for the page
+    (``IndexSearcher.searchAfter`` + ``PagingTopScoreDocCollector``).
+
+    ``total_hits_threshold``: θ starts rising only once
+    ``evaluated_so_far + evaluated`` matches have been counted — below
+    the threshold every window is evaluated, so hit counts are exact
+    (relation EQ); past it the count is a lower bound (GTE), the
+    reference's ``TotalHitCountCollector`` / threshold-1000 behavior
+    (``core/search/IndexSearcher.java:100``, ``TotalHits.java``).
     """
     if gmaxes is None:
         gmaxes = [None] * len(term_infos)
@@ -181,10 +197,21 @@ def wand_topk(
         if len(hits) == 0:
             continue
         evaluated += len(hits)
-        cand_ids.append((hits + lo).astype(np.uint32))
-        cand_scores.append(scores_w[hits])
-        n_cand += len(hits)
-        if n_cand >= k:
+        hit_ids = (hits + lo).astype(np.uint32)
+        hit_scores = scores_w[hits]
+        if after is not None:
+            a_score = np.float32(after[0])
+            a_doc = int(after[1])
+            keep = (hit_scores < a_score) | (
+                (hit_scores == a_score) & (hit_ids.astype(np.int64) > a_doc)
+            )
+            hit_ids, hit_scores = hit_ids[keep], hit_scores[keep]
+            if len(hit_ids) == 0:
+                continue
+        cand_ids.append(hit_ids)
+        cand_scores.append(hit_scores)
+        n_cand += len(hit_ids)
+        if n_cand >= k and evaluated_so_far + evaluated >= total_hits_threshold:
             allsc = np.concatenate(cand_scores)
             if len(allsc) >= k:
                 kth = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])

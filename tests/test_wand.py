@@ -80,3 +80,65 @@ class TestWandRankIdentical:
                 e = s.search(q, k, mode="exhaustive")
                 assert list(w["docids"]) == list(e["docids"]), q
                 assert np.array_equal(w["scores"], e["scores"]), q
+
+
+class TestHitCountThreshold:
+    """Exact hit counts below the 1000-doc threshold (EQ), lower bound
+    past it (GTE) — IndexSearcher.java:100 / TotalHits semantics."""
+
+    def test_exact_count_below_threshold(self, searcher):
+        # 500-doc corpus: every WAND query counts exactly, relation EQ
+        for q in ["the", "spark merge", "data"]:
+            w = searcher.search(q, k=5)
+            e = searcher.search(q, k=5, mode="exhaustive")
+            assert w["relation"] == "EQ"
+            assert w["total_hits"] == e["total_hits"]
+
+    def test_gte_past_threshold(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs = tmp_path / "big.parquet"
+        n = 3000
+        texts = [f"common filler{i % 7}" for i in range(n)]
+        pq.write_table(
+            pa.table({"doc_id": list(range(n)), "text": texts}), str(docs)
+        )
+        d = str(tmp_path / "idx")
+        build_index(str(docs), d, IndexConfig(rows_per_segment=4000))
+        s = IndexSearcher(d)
+        r = s.search("common filler0", k=5)
+        if r["relation"] == "GTE":
+            assert r["total_hits"] >= 1000
+        else:  # nothing was prunable — count must then be exact
+            assert r["total_hits"] == n
+        # forcing a tiny threshold produces a pruned lower-bound count
+        terms = s._wand_eligible(
+            __import__("lucene_ray.search.query", fromlist=["parse_query"])
+            .parse_query("common filler0")
+        )
+        r2 = s._search_wand(terms, k=5, total_hits_threshold=10)
+        e = s.search("common filler0", k=5, mode="exhaustive")
+        assert list(r2["docids"]) == list(e["docids"])  # still rank-exact
+        assert np.array_equal(r2["scores"], e["scores"])
+        if r2["relation"] == "GTE":
+            assert 10 <= r2["total_hits"] <= e["total_hits"]
+
+
+class TestSearchAfterOnWand:
+    def test_pagination_matches_exhaustive(self, searcher):
+        full = searcher.search("the a data", k=30, mode="exhaustive")
+        pages = []
+        cursor = None
+        for _ in range(3):
+            r = searcher.search("the a data", k=10, after=cursor)
+            assert searcher._wand_eligible(
+                __import__("lucene_ray.search.query", fromlist=["parse_query"])
+                .parse_query("the a data")
+            ) is not None  # the query takes the pruned path
+            pages.extend(zip(r["docids"], r["scores"]))
+            cursor = (float(r["scores"][-1]), int(r["docids"][-1]))
+        assert [d for d, _ in pages] == list(full["docids"])
+        assert np.array_equal(
+            np.array([s for _, s in pages], np.float32), full["scores"]
+        )
