@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import knn, lsh_knn
+    from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
 
     return {
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
         "embedding_near_dup": dedup.embedding_near_dup,
+        "image_decode": mm.image_decode,
         "events_window": ev.tumbling_window_stats,
         "events_sessionize": ev.sessionize,
     }
@@ -81,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
 
     return {
@@ -107,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
+        "image_decode": mm.sql_image_decode(),
         "events_window": ev.sql_tumbling_window_stats(),
         "events_sessionize": ev.sql_sessionize(),
     }

@@ -212,9 +212,14 @@ class StandardTokenizer:
     def terms(self, text: str) -> List[str]:
         """Token texts only — the indexing hot path (no offsets built)."""
         if text.isascii():
-            out: List[str] = []
+            toks = _ASCII_TOKEN.findall(text)
             maxlen = self.max_token_length
-            for t in _ASCII_TOKEN.findall(text):
+            # overlong tokens are rare: one C-level max() probe replaces
+            # the per-token length loop in the common case
+            if not toks or max(map(len, toks)) <= maxlen:
+                return toks
+            out: List[str] = []
+            for t in toks:
                 if len(t) <= maxlen:
                     out.append(t)
                 else:

@@ -223,30 +223,21 @@ def build_index(
     ]
 
     if pending:
-        from ray.data import DataContext
+        # One plain Ray task per partition. The build is a control-plane
+        # fan-out — 64-ish tiny work items whose outputs are segment
+        # DIRECTORIES, not dataset blocks — so the Dataset machinery
+        # (from_items → repartition all-to-all → map_batches stage) adds
+        # ~0.5 s of fixed pipeline cost for zero data-plane benefit; raw
+        # tasks keep the whole stage at task-launch cost (~20 ms) and
+        # materially improve small-job scaling efficiency. Per-record
+        # data paths everywhere else stay on ray.data.
+        @ray.remote
+        def run_partition(item_json: str) -> str:
+            return json.dumps(
+                build_partition(json.loads(item_json), config, index_dir)
+            )
 
-        ctx = DataContext.get_current()
-        prev_min = ctx.target_min_block_size
-        # one work item = one build task; stop Ray Data bundling the tiny
-        # work-item blocks into a single task (6x wall-time difference)
-        ctx.target_min_block_size = 1
-        try:
-            work = ray.data.from_items(pending)
-            if len(pending) > 1:
-                work = work.repartition(len(pending))
-
-            def run(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
-                out = []
-                n = len(batch["seg_id"])
-                for i in range(n):
-                    item = {k: batch[k][i] for k in batch}
-                    out.append(json.dumps(build_partition(item, config, index_dir)))
-                return {"meta": out}
-
-            results = work.map_batches(run, batch_format="numpy")
-            for row in results.take_all():
-                metas.append(json.loads(row["meta"]))
-        finally:
-            ctx.target_min_block_size = prev_min
+        futs = [run_partition.remote(json.dumps(p)) for p in pending]
+        metas.extend(json.loads(r) for r in ray.get(futs))
 
     return commit_manifest(index_dir, config, metas)

@@ -188,13 +188,10 @@ def invert_texts(
     """
     n_docs = len(texts)
     doc_lengths = np.zeros(n_docs, dtype=np.int64)
-    vocab: dict = {}
-    code_chunks: List[np.ndarray] = []
     len_per_doc: List[int] = []
     pos_chunks: List[np.ndarray] = [] if with_positions else None
-    codes_buf: List[int] = []
+    all_terms: List[str] = []
 
-    get = vocab.get
     for di, text in enumerate(texts):
         if not text:
             len_per_doc.append(0)
@@ -202,23 +199,24 @@ def invert_texts(
         terms, positions = analyzer.analyze_fast(text)
         doc_lengths[di] = len(terms)
         len_per_doc.append(len(terms))
-        for t in terms:
-            c = get(t)
-            if c is None:
-                c = len(vocab)
-                vocab[t] = c
-            codes_buf.append(c)
+        all_terms.extend(terms)
         if with_positions and positions is not None:
             pos_chunks.append(np.asarray(positions, dtype=np.uint32))
         elif with_positions:
             pos_chunks.append(np.arange(len(terms), dtype=np.uint32))
-        if len(codes_buf) >= 1 << 20:
-            code_chunks.append(np.array(codes_buf, dtype=np.int64))
-            codes_buf = []
-    if codes_buf:
-        code_chunks.append(np.array(codes_buf, dtype=np.int64))
 
-    n_terms = len(vocab)
+    # token → int code in ONE C pass (pandas factorize) — replaces the
+    # per-token Python dict loop (the TermsHashPerField role) and cuts
+    # most of the build task's Python overhead
+    n_terms = 0
+    if all_terms:
+        import pandas as pd
+
+        codes_first, uniques = pd.factorize(
+            np.asarray(all_terms, dtype=object), sort=False
+        )
+        uniques = np.asarray(uniques, dtype=object)
+        n_terms = len(uniques)
     if n_terms == 0:
         empty64 = np.zeros(1, dtype=np.int64)
         return InvertedBatch(
@@ -231,14 +229,12 @@ def invert_texts(
             doc_lengths=doc_lengths,
         )
 
-    codes = (
-        np.concatenate(code_chunks) if len(code_chunks) > 1 else code_chunks[0]
-    )
+    codes = codes_first.astype(np.int64)
     # sorted unique terms + first-appearance-code → sorted-rank mapping
-    sorted_terms = sorted(vocab)
+    sorted_idx = np.argsort(uniques, kind="stable")
+    sorted_terms = uniques[sorted_idx].tolist()
     rank = np.empty(n_terms, dtype=np.int64)
-    for i, t in enumerate(sorted_terms):
-        rank[vocab[t]] = i
+    rank[sorted_idx] = np.arange(n_terms, dtype=np.int64)
 
     lengths = np.array(len_per_doc, dtype=np.int64)
     docid_per_tok = np.repeat(

@@ -2,55 +2,72 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBBED (the container ships no
-image/audio libraries): ``DecodeImage`` uses a deterministic fake decoder
-over the binary payload so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested. Swapping
-``_fake_decode`` for PIL/ffmpeg is the only change needed on a real
-cluster (clearly marked below).
-
-Payloads here are the ``html:binary`` column of the synthetic pages
-corpus (the only binary column available) standing in for image bytes.
+``DecodeImage`` is a REAL decoder for PNG payloads (the container ships
+no image libraries — probed in round 2 — but PNG is zlib + scanline
+filters, both implementable with the stdlib: see ``pipelines.png``):
+decode → grayscale luma → nearest-neighbor thumbnail. Non-PNG payloads
+fall back to a clearly-marked deterministic digest stub so the plumbing
+still exercises arbitrary binary columns (e.g. the pages corpus's
+``html`` bytes). Audio/video decode would slot into the same actor shape
+with ffmpeg on a real cluster.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
 
+from lucene_ray.pipelines.png import (
+    PNG_SIGNATURE,
+    decode_png,
+    resize_nearest,
+    to_gray,
+)
+
 
 def _fake_decode(payload: bytes, target: int = 8) -> np.ndarray:
-    """STUB decoder: deterministic ``target×target`` uint8 'thumbnail'
-    derived from the payload digest. Replace with a real decoder
-    (``PIL.Image.open`` / ``torchvision``) on a cluster with the libs:
-
-        raise NotImplementedError("real image decode requires PIL")
-    """
+    """STUB for non-PNG payloads: deterministic ``target×target`` uint8
+    'thumbnail' from the payload digest. A real cluster would dispatch by
+    magic bytes to PIL/ffmpeg here; PNG already decodes for real."""
     h = hashlib.blake2b(payload, digest_size=target * target).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(target, target)
 
 
 class DecodeImage:
-    """Actor-pool stage: binary payload column → fixed-size feature grid +
-    metadata. Heavy setup (model load, codec init) belongs in __init__;
-    per-batch work stays vectorized over the batch."""
+    """Actor-pool stage: binary payload column → fixed-size grayscale
+    thumbnail + metadata. Heavy setup (codec/model init) belongs in
+    __init__; per-batch work stays vectorized over rows."""
 
     def __init__(self, payload_col: str = "payload", target: int = 8):
         self.payload_col = payload_col
         self.target = target
-        # real version: self.model = load_model(...)  # once per actor
+        # real version would also: self.model = load_model(...)  # once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
         grids = []
         means = []
         sizes = []
+        widths = []
+        heights = []
+        decoded = []
         for p in payloads:
             p = p or b""
-            g = _fake_decode(p, self.target)
+            if p[:8] == PNG_SIGNATURE:
+                img = decode_png(p)  # REAL decode (pipelines.png)
+                g = resize_nearest(to_gray(img), self.target, self.target)
+                widths.append(img.shape[1])
+                heights.append(img.shape[0])
+                decoded.append(True)
+            else:
+                g = _fake_decode(p, self.target)
+                widths.append(0)
+                heights.append(0)
+                decoded.append(False)
             grids.append(g.ravel().tolist())
             means.append(float(g.mean()))
             sizes.append(len(p))
@@ -61,6 +78,9 @@ class DecodeImage:
         out_cols["thumb"] = pa.array(grids, pa.list_(pa.uint8()))
         out_cols["thumb_mean"] = pa.array(means, pa.float64())
         out_cols["payload_bytes"] = pa.array(sizes, pa.int64())
+        out_cols["width"] = pa.array(widths, pa.int32())
+        out_cols["height"] = pa.array(heights, pa.int32())
+        out_cols["real_decode"] = pa.array(decoded, pa.bool_())
         return pa.table(out_cols)
 
 
@@ -81,6 +101,77 @@ def image_features(pages_paths, concurrency: int = 4, batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def image_decode(sf_dir: str):
+    """End-to-end REAL image decode with a DuckDB-checkable oracle: each
+    doc_id deterministically maps to a constant-color RGB PNG whose
+    dimensions and color are analytic functions of the id —
+
+        width  = 16 + doc_id % 13      height = 8 + doc_id % 7
+        rgb    = (id % 256, 3·id % 256, 7·id % 256)
+
+    encoded with scanline filter ``doc_id % 5`` (every PNG filter type
+    exercised), then decoded by the ``DecodeImage`` actor pool (zlib
+    inflate → unfilter → BT.601 luma → nearest resize). The decoded
+    width/height and integer thumbnail luma must equal the analytic
+    values — SQL-expressible, so this is a full-fidelity codec oracle."""
+    import ray.data
+
+    from lucene_ray.pipelines.png import encode_png
+
+    def make_images(b: pa.Table) -> pa.Table:
+        ids = [int(x) for x in b.column("doc_id").to_pylist()]
+        payloads = []
+        for i in ids:
+            w = 16 + i % 13
+            h = 8 + i % 7
+            img = np.empty((h, w, 3), np.uint8)
+            img[..., 0] = i % 256
+            img[..., 1] = (3 * i) % 256
+            img[..., 2] = (7 * i) % 256
+            payloads.append(encode_png(img, filter_type=i % 5))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    imgs = ds.map_batches(make_images, batch_format="pyarrow", batch_size=256)
+    decoded = imgs.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # constant-color image → integer thumbnail mean == the luma value
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "width": b.column("width").cast(pa.int64()),
+                "height": b.column("height").cast(pa.int64()),
+                "luma": pa.array(
+                    [int(round(m)) for m in b.column("thumb_mean").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return decoded.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_image_decode() -> str:
+    return """
+select doc_id,
+       16 + doc_id % 13 as width,
+       8 + doc_id % 7 as height,
+       (299 * (doc_id % 256) + 587 * ((3 * doc_id) % 256)
+        + 114 * ((7 * doc_id) % 256)) // 1000 as luma
+from documents
+"""
 
 
 class SampleFrames:

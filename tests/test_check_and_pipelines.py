@@ -130,7 +130,8 @@ class TestMultimodal:
         paths = write_corpus(str(tmp_path / "pages"), 200, n_files=2, use_ray=False)
         out = image_features(paths, concurrency=2, batch_size=64).to_pandas()
         assert len(out) == 200
-        assert set(out.columns) == {"url", "thumb", "thumb_mean", "payload_bytes"}
+        assert set(out.columns) == {"url", "thumb", "thumb_mean", "payload_bytes",
+                                    "width", "height", "real_decode"}
         assert all(len(t) == 64 for t in out["thumb"])
         # deterministic across runs
         out2 = image_features(paths, concurrency=2, batch_size=64).to_pandas()
