@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
         "sort_by_field": sq.sort_by_field,
+        "facet_lang": sq.facet_lang,
+        "grouped_topk": sq.grouped_topk,
         "prefix_search": sq.prefix_search,
         "wildcard_search": sq.wildcard_search,
         "fuzzy_search": sq.fuzzy_search,
@@ -93,6 +95,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
         "sort_by_field": sq.sql_sort_by_field(),
+        "facet_lang": sq.sql_facet_lang(),
+        "grouped_topk": sq.sql_grouped_topk(),
         "prefix_search": sq.sql_prefix_search(),
         "wildcard_search": sq.sql_wildcard_search(),
         "fuzzy_search": sq.sql_fuzzy_search(),

@@ -529,7 +529,18 @@ class PostingsView:
         inb = bi < self.n_blocks
         sub = np.flatnonzero(inb)
         sub = sub[firsts[bi[sub]] <= t[sub]]
-        for b in np.unique(bi[sub]):
+        needed = np.unique(bi[sub])
+        if len(needed) * 4 >= self.n_blocks:
+            # candidates touch most blocks: the batched full decode (one
+            # unpackbits per width) beats a per-block Python loop
+            ids, fr = self.decode_all()
+            pos = np.searchsorted(ids, t)
+            safe = np.minimum(pos, len(ids) - 1)
+            ok = ids[safe] == t
+            mask[ok] = True
+            freqs[ok] = fr[pos[ok]]
+            return mask, freqs
+        for b in needed:
             sel = sub[bi[sub] == b]
             ids, fr = self.decode_block(int(b))
             pos = np.searchsorted(ids, t[sel])

@@ -599,6 +599,9 @@ class SegmentReader:
                 self._pos_mm.append(None)
         self._docmap: Optional[pa.Array] = None
         self._dv_cache: Dict[str, pa.Array] = {}
+        self._decode_cache_post: Dict[tuple, tuple] = {}
+        self._decode_cache_pos: Dict[tuple, np.ndarray] = {}
+        self._decode_cache_bytes = 0
         self._bucket_cfg_n = self.n_parts
 
     # -- term dict ---------------------------------------------------------
@@ -707,11 +710,45 @@ class SegmentReader:
         mm = self._post_mm[info.part]
         return PostingsView(mm[info.post_off : info.post_off + info.post_len])
 
+    # decode caches: the LRUQueryCache role (``core/search/LRUQueryCache``)
+    # for a vectorized engine — what's worth caching per reader is the
+    # DECODED posting/position arrays of hot terms, reused across queries
+    # in the same searcher actor. Byte-capped; on overflow the cache
+    # clears wholesale (segments are immutable, so entries never go stale
+    # and refilling is cheap relative to tracking true LRU order).
+    DECODE_CACHE_BYTES = 128 << 20
+
+    def decoded(self, info: TermInfo) -> Tuple[np.ndarray, np.ndarray]:
+        """Cached ``postings(info).decode_all()``."""
+        key = (info.part, info.post_off)
+        hit = self._decode_cache_post.get(key)
+        if hit is None:
+            hit = self.postings(info).decode_all()
+            self._decode_cache_bytes += hit[0].nbytes + hit[1].nbytes
+            if self._decode_cache_bytes > self.DECODE_CACHE_BYTES:
+                self._decode_cache_post.clear()
+                self._decode_cache_pos.clear()
+                self._decode_cache_bytes = hit[0].nbytes + hit[1].nbytes
+            self._decode_cache_post[key] = hit
+        return hit
+
     def positions(self, info: TermInfo) -> np.ndarray:
         mm = self._pos_mm[info.part]
         if mm is None or info.pos_len == 0:
             raise ValueError("segment has no positions")
-        return decode_uint_blocks(mm[info.pos_off : info.pos_off + info.pos_len])
+        key = (info.part, info.pos_off)
+        hit = self._decode_cache_pos.get(key)
+        if hit is None:
+            hit = decode_uint_blocks(
+                mm[info.pos_off : info.pos_off + info.pos_len]
+            )
+            self._decode_cache_bytes += hit.nbytes
+            if self._decode_cache_bytes > self.DECODE_CACHE_BYTES:
+                self._decode_cache_post.clear()
+                self._decode_cache_pos.clear()
+                self._decode_cache_bytes = hit.nbytes
+            self._decode_cache_pos[key] = hit
+        return hit
 
     # -- doc values --------------------------------------------------------
 

@@ -26,7 +26,7 @@ MF_CONFIG = IndexConfig(
     rows_per_segment=2048,
     num_buckets=2,
     keyword_cols=("lang", "source"),
-    dv_cols=("n_chars",),
+    dv_cols=("n_chars", "lang"),
 )
 
 # (qid, query) — single terms spanning head/mid df + an absent term
@@ -585,6 +585,77 @@ ranked as (
 select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
+"""
+
+
+def facet_lang(sf_dir: str):
+    """Facet counts per lang over the 'data' match set (lucene/facet
+    role over DV columns)."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.facet_counts("data", "lang")
+    return pa.table({"lang": t.column("value"), "n": t.column("n")})
+
+
+def sql_facet_lang() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (select distinct doc_id from tok where term = 'data')
+select d.lang, count(*)::bigint as n
+from documents d join m using (doc_id)
+group by d.lang
+"""
+
+
+def grouped_topk(sf_dir: str, k_per_group: int = 3):
+    """Per-lang top-k BM25 for 'data' (lucene/grouping two-pass collector
+    role) — scores bit-exact, ties by docid."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.group_topk("data", "lang", k_per_group=k_per_group)
+    return pa.table(
+        {
+            "lang": t.column("group"),
+            "rank": t.column("rank"),
+            "doc_id": t.column("key").cast(pa.int64()),
+            "score": t.column("score"),
+        }
+    )
+
+
+def sql_grouped_topk(k_per_group: int = 3) -> str:
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (values (0, 0, 'data', 'SHOULD')),
+tf as (
+  select q.qid, q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join (
+    select d.term,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from df d
+  ) w on true
+  join fnorm f on f.doc_id = tf.doc_id
+),
+ranked as (
+  select d.lang, t.doc_id, t.s,
+         row_number() over (partition by d.lang order by t.s desc, t.doc_id asc) as rn
+  from tscore t join documents d using (doc_id)
+)
+select lang, cast(rn - 1 as int) as rank, doc_id, cast(s as float) as score
+from ranked where rn <= {k_per_group}
 """
 
 

@@ -168,7 +168,7 @@ class IndexSearcher:
             ti = infos[seg_idx]
             if ti is None or df == 0:
                 return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-            ids, freqs = seg.postings(ti).decode_all()
+            ids, freqs = seg.decoded(ti)
             w = self._term_weight(df, q.boost, q.field)
             if q.field == DEFAULT_FIELD:
                 inv = self.norm_inverse[seg.norms[ids]]
@@ -220,7 +220,7 @@ class IndexSearcher:
         )
         if not matches:
             return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-        id_sets = [seg.postings(ti).decode_all()[0] for _, ti in matches]
+        id_sets = [seg.decoded(ti)[0] for _, ti in matches]
         ids = (
             np.unique(np.concatenate(id_sets))
             if len(id_sets) > 1
@@ -346,7 +346,7 @@ class IndexSearcher:
             infos.append(ti)
         order = np.argsort([ti.df for ti in infos], kind="stable")
         lead = int(order[0])
-        lead_ids, lead_freqs = seg.postings(infos[lead]).decode_all()
+        lead_ids, lead_freqs = seg.decoded(infos[lead])
         cand = lead_ids.astype(np.int64)
         freqs_by_clause: Dict[int, np.ndarray] = {lead: lead_freqs}
         for oi in order[1:]:
@@ -390,8 +390,7 @@ class IndexSearcher:
             return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         decoded = []
         for ti in infos:
-            view = seg.postings(ti)
-            ids, freqs = view.decode_all()
+            ids, freqs = seg.decoded(ti)
             pos = seg.positions(ti)
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(freqs, out=offs[1:])
@@ -616,6 +615,82 @@ class IndexSearcher:
             "total_hits": total,
             "relation": "EQ",
         }
+
+    def facet_counts(self, query, facet_field: str) -> pa.Table:
+        """Facet counting over the query's match set — the
+        ``lucene/facet`` ``Facets.getTopChildren`` role
+        (``lucene/facet/src/java/org/apache/lucene/facet/Facets.java``)
+        expressed over the segment doc-values column: per segment,
+        gather the match set's DV values and count; sum across segments.
+
+        → table (value, n) sorted by (n desc, value asc)."""
+        import pyarrow.compute as pc
+
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        counts: Dict[object, int] = {}
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(facet_field).take(pa.array(r.docids.astype(np.int64)))
+            vc = pc.value_counts(vals)
+            for item in vc:
+                v = item["values"].as_py()
+                counts[v] = counts.get(v, 0) + int(item["counts"].as_py())
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "value": pa.array([v for v, _ in rows]),
+                "n": pa.array([n for _, n in rows], pa.int64()),
+            }
+        )
+
+    def group_topk(
+        self, query, group_field: str, k_per_group: int = 3
+    ) -> pa.Table:
+        """Grouped top-k — the ``lucene/grouping`` two-pass collector role
+        (``FirstPassGroupingCollector`` → ``TopGroupsCollector``):
+        score the match set, then keep the best ``k_per_group`` docs per
+        group value with the (score desc, segment, docid) tie-break.
+
+        → table (group, rank, key, docid, score)."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        per_group: Dict[object, List] = {}
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(group_field).take(
+                pa.array(r.docids.astype(np.int64))
+            ).to_pylist()
+            for d, s, g in zip(r.docids, r.scores, vals):
+                heap = per_group.setdefault(g, [])
+                heap.append((-float(s), si, int(d)))
+        out_g, out_rank, out_key, out_docid, out_score = [], [], [], [], []
+        for g in sorted(per_group, key=lambda x: (x is None, x)):
+            rows = sorted(per_group[g])[:k_per_group]
+            for rank, (ns, si, d) in enumerate(rows):
+                seg = self.segments[si]
+                out_g.append(g)
+                out_rank.append(rank)
+                out_key.append(seg.docmap[d].as_py())
+                out_docid.append(seg.base_docid + d)
+                out_score.append(-ns)
+        return pa.table(
+            {
+                "group": pa.array(out_g),
+                "rank": pa.array(out_rank, pa.int32()),
+                "key": pa.array(out_key),
+                "docid": pa.array(out_docid, pa.int64()),
+                "score": pa.array(out_score, pa.float32()),
+            }
+        )
 
     def _search_wand(
         self, terms: List[TermQuery], k: int, after=None,

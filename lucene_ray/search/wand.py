@@ -161,16 +161,52 @@ def wand_topk(
                 sl = wmax[lo : hi + 1]
                 np.maximum(sl, b, out=sl)
         ub += wmax
-        ids, freqs = view.decode_all()
+        ids, freqs = seg.decoded(ti)  # reader-level decode cache
         scores = w - w / (F32(1.0) + freqs.astype(F32) * norm_inverse[norms[ids]])
         terms_data.append((ids, scores))
 
-    order = np.argsort(-ub, kind="stable")
     cand_ids: List[np.ndarray] = []
     cand_scores: List[np.ndarray] = []
     n_cand = 0
     pruned = False
     evaluated = 0
+
+    if evaluated_so_far < total_hits_threshold:
+        # Below the exact-count threshold NO window may be skipped, so the
+        # per-window loop has nothing to prune — one dense vectorized pass
+        # (same clause-order float32 accumulation, identical scores) is
+        # cheaper and counts every hit exactly.
+        scores_all = np.zeros(n, dtype=F32)
+        matched_all = np.zeros(n, dtype=bool)
+        for ids, tscores in terms_data:
+            scores_all[ids] += tscores
+            matched_all[ids] = True
+        hits = np.flatnonzero(matched_all)
+        evaluated = len(hits)
+        hit_ids = hits.astype(np.uint32)
+        hit_scores = scores_all[hits]
+        if after is not None:
+            a_score = np.float32(after[0])
+            a_doc = int(after[1])
+            keep = (hit_scores < a_score) | (
+                (hit_scores == a_score) & (hit_ids.astype(np.int64) > a_doc)
+            )
+            hit_ids, hit_scores = hit_ids[keep], hit_scores[keep]
+        if len(hit_ids):
+            cand_ids.append(hit_ids)
+            cand_scores.append(hit_scores)
+            n_cand = len(hit_ids)
+            if n_cand >= k and evaluated_so_far + evaluated >= total_hits_threshold:
+                kth = float(
+                    np.partition(hit_scores, len(hit_scores) - k)[
+                        len(hit_scores) - k
+                    ]
+                )
+                if kth > theta:
+                    theta = kth
+        order = np.empty(0, dtype=np.int64)  # all windows already evaluated
+    else:
+        order = np.argsort(-ub, kind="stable")
     for wi in order:
         bound = ub[wi]
         if bound <= 0:

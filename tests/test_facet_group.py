@@ -1,0 +1,87 @@
+"""Facet counting + grouped top-k over match sets (lucene/facet and
+lucene/grouping roles over doc-values columns)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.search.searcher import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+CFG = IndexConfig(
+    rows_per_segment=150,
+    keyword_cols=("lang",),
+    dv_cols=("lang", "n_chars"),
+)
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fgidx"))
+    build_index(DOCS, d, CFG)
+    return IndexSearcher(d)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return pq.read_table(DOCS)
+
+
+class TestFacets:
+    def test_counts_match_bruteforce(self, searcher, corpus):
+        ids = corpus.column("doc_id").to_pylist()
+        langs = corpus.column("lang").to_pylist()
+        texts = corpus.column("text").to_pylist()
+        match = {d for d, t in zip(ids, texts) if "data" in (t or "").split()}
+        want = {}
+        for d, l in zip(ids, langs):
+            if d in match:
+                want[l] = want.get(l, 0) + 1
+        t = searcher.facet_counts("data", "lang")
+        got = dict(zip(t.column("value").to_pylist(), t.column("n").to_pylist()))
+        assert got == want
+        # sorted by (count desc, value asc)
+        ns = t.column("n").to_pylist()
+        assert ns == sorted(ns, reverse=True)
+
+    def test_empty_match_set(self, searcher):
+        t = searcher.facet_counts("zzzabsent", "lang")
+        assert t.num_rows == 0
+
+
+class TestGrouping:
+    def test_group_topk_matches_global_order(self, searcher, corpus):
+        ids = corpus.column("doc_id").to_pylist()
+        langs = {d: l for d, l in zip(ids, corpus.column("lang").to_pylist())}
+        full = searcher.search("data", k=10**9, mode="exhaustive")
+        per_group = {}
+        for d, s in zip(full["keys"], full["scores"]):
+            per_group.setdefault(langs[d], []).append((-float(s), d))
+        t = searcher.group_topk("data", "lang", k_per_group=3)
+        for g in set(t.column("group").to_pylist()):
+            want = [d for _, d in sorted(per_group[g])[:3]]
+            sel = [
+                (r, k)
+                for grp, r, k in zip(
+                    t.column("group").to_pylist(),
+                    t.column("rank").to_pylist(),
+                    t.column("key").to_pylist(),
+                )
+                if grp == g
+            ]
+            got = [k for _, k in sorted(sel)]
+            assert got == want
+
+    def test_group_scores_are_search_scores(self, searcher):
+        t = searcher.group_topk("data", "lang", k_per_group=1)
+        full = searcher.search("data", k=1)
+        # the overall best doc is rank 0 of its own group
+        best_key = full["keys"][0]
+        rows = dict(
+            zip(t.column("key").to_pylist(), t.column("score").to_pylist())
+        )
+        assert best_key in rows
+        assert np.float32(rows[best_key]) == full["scores"][0]
