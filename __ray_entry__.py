@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": sq.bm25_topk_filtered,
         "sort_by_field": sq.sort_by_field,
         "facet_lang": sq.facet_lang,
+        "synonym_search": sq.synonym_search,
         "grouped_topk": sq.grouped_topk,
         "prefix_search": sq.prefix_search,
         "wildcard_search": sq.wildcard_search,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
         "sort_by_field": sq.sql_sort_by_field(),
         "facet_lang": sq.sql_facet_lang(),
+        "synonym_search": sq.sql_synonym_search(),
         "grouped_topk": sq.sql_grouped_topk(),
         "prefix_search": sq.sql_prefix_search(),
         "wildcard_search": sq.sql_wildcard_search(),

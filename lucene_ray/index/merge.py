@@ -293,6 +293,21 @@ def _finalize_merge(
     with open(os.path.join(tmp_dir, "norms.bin"), "wb") as f:
         f.write(norm_bytes)
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
+    # tombstones carry forward (concatenated like norms): global docids
+    # are the rank tie-break contract, so merges never compact holes —
+    # reclamation is a rebuild (documented in index/deletes.py)
+    if any(r.deleted is not None for r in readers):
+        from lucene_ray.index.deletes import _write_deleted
+
+        dels = np.concatenate(
+            [
+                r.deleted
+                if r.deleted is not None
+                else np.zeros(r.n_docs, dtype=bool)
+                for r in readers
+            ]
+        )
+        _write_deleted(tmp_dir, dels, 1)
     dv_cols = readers[0].meta.get("dv_cols") or []
     if dv_cols:
         dvs = [

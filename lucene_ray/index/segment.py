@@ -597,6 +597,10 @@ class SegmentReader:
                 self._pos_mm.append(np.memmap(posf, dtype=np.uint8, mode="r"))
             else:
                 self._pos_mm.append(None)
+        from lucene_ray.index.deletes import load_deleted
+
+        # live docs: highest-generation tombstone bitmap (None = all live)
+        self.deleted: Optional[np.ndarray] = load_deleted(seg_dir, self.n_docs)
         self._docmap: Optional[pa.Array] = None
         self._dv_cache: Dict[str, pa.Array] = {}
         self._decode_cache_post: Dict[tuple, tuple] = {}

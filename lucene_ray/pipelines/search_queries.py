@@ -588,6 +588,77 @@ from ranked where rn <= {K}
 """
 
 
+SYNONYM_SETS: List[Tuple[int, Tuple[str, ...]]] = [
+    (0, ("batch", "stream")),
+    (1, ("data", "query", "merge")),
+]
+
+
+def synonym_search(sf_dir: str, k: int = 10):
+    """SynonymQuery: variants scored as one pseudo-term (freqs sum,
+    docFreq = max variant df). Bit-exact DuckDB oracle."""
+    from lucene_ray.search.query import SynonymQuery
+
+    idx = get_or_build_index(sf_dir)
+    s = IndexSearcher(idx)
+    rows_q, rows_r, rows_d, rows_s = [], [], [], []
+    for qid, terms in SYNONYM_SETS:
+        r = s.search(SynonymQuery(terms), k=k, mode="exhaustive")
+        for rank in range(len(r["docids"])):
+            rows_q.append(qid)
+            rows_r.append(rank)
+            rows_d.append(int(r["keys"][rank]))
+            rows_s.append(float(r["scores"][rank]))
+    return pa.table(
+        {
+            "qid": pa.array(rows_q, pa.int32()),
+            "rank": pa.array(rows_r, pa.int32()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score": pa.array(rows_s, pa.float32()),
+        }
+    )
+
+
+def sql_synonym_search(k: int = 10) -> str:
+    sets = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in SYNONYM_SETS for t in terms
+    )
+    return f"""{_PRELUDE},
+syn(qid, term) as (values {sets}),
+tf as (
+  select s.qid, tok.doc_id, count(*)::bigint as tf
+  from syn s join tok on tok.term = s.term
+  group by 1, 2
+),
+pseudo_df as (
+  select s.qid, max(d.df) as df
+  from syn s join (
+    select term, count(distinct doc_id) as df from tok group by term
+  ) d on d.term = s.term
+  group by 1
+),
+scored as (
+  select tf.qid, tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join (
+    select qid,
+           cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5)) as float) as w
+    from pseudo_df
+  ) w on w.qid = tf.qid
+  join fnorm f on f.doc_id = tf.doc_id
+),
+ranked as (
+  select qid, doc_id, s,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from scored
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(s as float) as score
+from ranked where rn <= {k}
+"""
+
+
 def facet_lang(sf_dir: str):
     """Facet counts per lang over the 'data' match set (lucene/facet
     role over DV columns)."""

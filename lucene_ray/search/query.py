@@ -107,6 +107,18 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class SynonymQuery:
+    """Terms scored as ONE pseudo-term (``core/search/SynonymQuery.java``):
+    per doc the frequencies of all variants sum, the document frequency
+    is the max variant df (never more than every doc once), total term
+    freq the sum — so synonyms don't out-score a plain term."""
+
+    terms: Tuple[str, ...]
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
@@ -121,6 +133,7 @@ Query = Union[
     PrefixQuery,
     WildcardQuery,
     FuzzyQuery,
+    SynonymQuery,
 ]
 
 
@@ -253,7 +266,7 @@ def _strip_boost(q: Query) -> Query:
     if isinstance(
         q,
         (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery,
-         PrefixQuery, WildcardQuery, FuzzyQuery),
+         PrefixQuery, WildcardQuery, FuzzyQuery, SynonymQuery),
     ):
         return dataclasses.replace(q, boost=1.0)
     return q
@@ -316,6 +329,8 @@ def query_terms(q: Query) -> List[str]:
         return [term_key(q.field, q.term)]
     if isinstance(q, PhraseQuery):
         return list(q.terms)  # phrases are text-field (bare keys)
+    if isinstance(q, SynonymQuery):
+        return [term_key(q.field, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
         out: List[str] = []
         for _, sub in q.clauses:

@@ -45,6 +45,7 @@ from lucene_ray.search.query import (
     PrefixQuery,
     Query,
     RangeQuery,
+    SynonymQuery,
     TermQuery,
     WildcardQuery,
     deduplicate_clauses,
@@ -156,6 +157,19 @@ class IndexSearcher:
             self._kw_inv[fieldname] = hit
         return hit
 
+    @staticmethod
+    def _live(seg, r: SegmentResult) -> SegmentResult:
+        """Filter a leaf match set to live docs (liveDocs applied at
+        evaluation, like the reference's collectors; statistics keep
+        deleted docs until compaction)."""
+        d = seg.deleted
+        if d is None or len(r.docids) == 0:
+            return r
+        keep = ~d[r.docids]
+        if keep.all():
+            return r
+        return SegmentResult(r.docids[keep], r.scores[keep])
+
     def _eval(
         self,
         q: Query,
@@ -175,16 +189,21 @@ class IndexSearcher:
             else:
                 inv = self._kw_norm_inv(q.field)  # scalar: norms omitted
             scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
-            return SegmentResult(ids, scores)
+            return self._live(seg, SegmentResult(ids, scores))
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, seg_idx, states)
         if isinstance(q, MatchAllQuery):
             n = seg.n_docs
-            return SegmentResult(
-                np.arange(n, dtype=np.uint32), np.full(n, F32(q.boost))
+            return self._live(
+                seg,
+                SegmentResult(
+                    np.arange(n, dtype=np.uint32), np.full(n, F32(q.boost))
+                ),
             )
         if isinstance(q, RangeQuery):
             return self._eval_range(q, seg_idx)
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(q, seg_idx, states)
         if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
             return self._eval_multiterm(q, seg_idx)
         if isinstance(q, BooleanQuery):
@@ -230,6 +249,41 @@ class IndexSearcher:
             ids.astype(np.uint32), np.full(len(ids), F32(q.boost))
         )
 
+    def _eval_synonym(self, q, seg_idx: int, states) -> SegmentResult:
+        """``SynonymQuery`` semantics (``core/search/SynonymQuery.java``):
+        the variants score as one pseudo-term — per-doc freq = Σ variant
+        freqs, pseudo docFreq = max variant df (for the idf), one BM25
+        weight."""
+        seg = self.segments[seg_idx]
+        keys = [term_key(q.field, t) for t in q.terms]
+        df = max((states[k][1] for k in keys), default=0)
+        if df == 0:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        pairs = [
+            seg.decoded(states[k][0][seg_idx])
+            for k in keys
+            if states[k][0][seg_idx] is not None
+        ]
+        if not pairs:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        if len(pairs) == 1:
+            ids, freqs = pairs[0]
+            ids = ids.astype(np.int64)
+            freqs = freqs.astype(np.int64)
+        else:
+            all_ids = np.concatenate([p[0] for p in pairs]).astype(np.int64)
+            all_fr = np.concatenate([p[1] for p in pairs]).astype(np.int64)
+            ids, inverse = np.unique(all_ids, return_inverse=True)
+            freqs = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(freqs, inverse, all_fr)
+        w = self._term_weight(df, q.boost, q.field)
+        if q.field == DEFAULT_FIELD:
+            inv = self.norm_inverse[seg.norms[ids]]
+        else:
+            inv = self._kw_norm_inv(q.field)
+        scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        return self._live(seg, SegmentResult(ids.astype(np.uint32), scores))
+
     def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
         """Doc-values range filter, constant-score (``PointRangeQuery`` /
         ``SortedNumericDocValuesRangeQuery`` role)."""
@@ -252,7 +306,9 @@ class IndexSearcher:
             mask = pc.is_valid(col)
         m = np.asarray(pc.fill_null(mask, False))
         ids = np.flatnonzero(m).astype(np.uint32)
-        return SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        return self._live(
+            seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        )
 
     @staticmethod
     def _member(sorted_ids: np.ndarray, targets: np.ndarray) -> np.ndarray:
@@ -349,6 +405,10 @@ class IndexSearcher:
         lead_ids, lead_freqs = seg.decoded(infos[lead])
         cand = lead_ids.astype(np.int64)
         freqs_by_clause: Dict[int, np.ndarray] = {lead: lead_freqs}
+        if seg.deleted is not None and len(cand):
+            keep = ~seg.deleted[cand]
+            cand = cand[keep]
+            freqs_by_clause[lead] = lead_freqs[keep]
         for oi in order[1:]:
             if len(cand) == 0:
                 return empty
@@ -440,7 +500,7 @@ class IndexSearcher:
         w = F32(q.boost) * F32(idf_sum)
         inv = self.norm_inverse[seg.norms[ids]]
         scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
-        return SegmentResult(ids, scores)
+        return self._live(seg, SegmentResult(ids, scores))
 
     @staticmethod
     def _sloppy_phrase(
@@ -738,6 +798,7 @@ class IndexSearcher:
                 after=after_local,
                 total_hits_threshold=total_hits_threshold,
                 evaluated_so_far=total,
+                deleted=seg.deleted,
             )
             total += ev
             any_pruned = any_pruned or pruned

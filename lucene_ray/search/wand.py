@@ -99,6 +99,7 @@ def wand_topk(
     after: Optional[Tuple[float, int]] = None,
     total_hits_threshold: int = 1000,
     evaluated_so_far: int = 0,
+    deleted: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, float, bool, int]:
     """Top-k of a SHOULD-disjunction of terms over one segment.
 
@@ -181,6 +182,8 @@ def wand_topk(
         for ids, tscores in terms_data:
             scores_all[ids] += tscores
             matched_all[ids] = True
+        if deleted is not None:
+            matched_all &= ~deleted  # live docs only (tombstone bitmap)
         hits = np.flatnonzero(matched_all)
         evaluated = len(hits)
         hit_ids = hits.astype(np.uint32)
@@ -232,9 +235,14 @@ def wand_topk(
         hits = np.flatnonzero(matched)
         if len(hits) == 0:
             continue
-        evaluated += len(hits)
         hit_ids = (hits + lo).astype(np.uint32)
         hit_scores = scores_w[hits]
+        if deleted is not None:
+            live = ~deleted[hit_ids]
+            hit_ids, hit_scores = hit_ids[live], hit_scores[live]
+            if len(hit_ids) == 0:
+                continue
+        evaluated += len(hit_ids)
         if after is not None:
             a_score = np.float32(after[0])
             a_doc = int(after[1])
