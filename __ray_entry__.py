@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
+        "classic_tfidf_topk": sq.classic_tfidf_topk,
+        "lmdirichlet_topk": sq.lmdirichlet_topk,
         "sort_by_field": sq.sort_by_field,
         "facet_lang": sq.facet_lang,
         "synonym_search": sq.synonym_search,
@@ -95,6 +97,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
+        "classic_tfidf_topk": sq.sql_classic_tfidf_topk(),
+        "lmdirichlet_topk": sq.sql_lmdirichlet_topk(),
         "sort_by_field": sq.sql_sort_by_field(),
         "facet_lang": sq.sql_facet_lang(),
         "synonym_search": sq.sql_synonym_search(),

@@ -98,17 +98,22 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    # warm the Ray worker pool (imports) so we time steady-state
-    # throughput, not interpreter cold start in every worker
-    warm = ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
-
-    def _warm(b):
-        import lucene_ray.index.build  # noqa: F401
+    # warm the Ray worker pool so we time steady-state throughput, not
+    # interpreter cold start: exercise the full build hot path once per
+    # worker (imports + pandas/numpy caches + first-touch heap growth —
+    # a worker's first invert pays page-fault costs that a long-running
+    # production worker amortizes over thousands of partitions)
+    @ray.remote
+    def _warm(i: int) -> int:
         import lucene_ray.search.searcher  # noqa: F401
+        from lucene_ray.analysis.analyzer import Analyzer
+        from lucene_ray.index.segment import invert_texts
 
-        return b
+        texts = [(f"w{j} warm up pad " * 20) for j in range(2000)]
+        invert_texts(texts, Analyzer(), with_positions=True)
+        return i
 
-    warm.map_batches(_warm, batch_format="pyarrow").count()
+    ray.get([_warm.remote(i) for i in range(NUM_CPUS * 3)])
 
     index_dir = f"/tmp/lucene_ray_bench/idx_{n_docs}_{NUM_CPUS}_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)

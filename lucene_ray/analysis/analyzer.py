@@ -94,6 +94,119 @@ class Analyzer:
                 positions.append(pos)
         return kept, positions
 
+    # -- batched hot path: whole document batches ---------------------------
+
+    def analyze_flat(self, texts):
+        """Batched ``analyze_fast`` over a document list.
+
+        → ``(terms, doc_lengths, positions)`` where ``terms`` is a flat
+        object ndarray (or list) of tokens in document order,
+        ``doc_lengths`` is ``int64[n_docs]``, and ``positions`` is a flat
+        ``uint32`` array aligned with ``terms`` — or ``None`` meaning the
+        dense ``0..len-1`` sequence per document (no stopword gaps).
+
+        All-ASCII batches with the default empty stop set take a
+        one-regex-pass path (``StandardTokenizer.terms_flat_from_joined``);
+        anything else falls back to the per-document chain, so output is
+        identical across paths.
+        """
+        import numpy as np
+
+        n = len(texts)
+        if not self.stopwords:
+            ascii_pos: List[int] = []
+            ascii_texts: List[str] = []
+            other_pos: List[int] = []
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                if t.isascii():
+                    ascii_pos.append(i)
+                    ascii_texts.append(t)
+                else:
+                    other_pos.append(i)
+            if ascii_texts:
+                joined = "\x00".join(ascii_texts)
+                # NUL inside a text would corrupt doc attribution: C-level
+                # count check, per-doc fallback on the (never-in-practice)
+                # collision
+                if joined.count("\x00") == len(ascii_texts) - 1:
+                    lowered = (
+                        simple_lowercase(joined) if self.lowercase else joined
+                    )
+                    res = self.tokenizer.terms_flat_from_joined(
+                        lowered, len(ascii_texts)
+                    )
+                    if res is not None:
+                        terms_a, _, lengths_a = res
+                        doc_lengths = np.zeros(n, dtype=np.int64)
+                        doc_lengths[ascii_pos] = lengths_a
+                        if not other_pos:
+                            return terms_a, doc_lengths, None
+                        # interleave the (rare) non-ASCII docs: tokenize
+                        # them per-doc, then scatter both groups into one
+                        # flat array by final offset (no np.split fan-out)
+                        other_toks = {}
+                        for i in other_pos:
+                            lowered_i = (
+                                simple_lowercase(texts[i])
+                                if self.lowercase
+                                else texts[i]
+                            )
+                            toks = self.tokenizer.terms(lowered_i)
+                            other_toks[i] = toks
+                            doc_lengths[i] = len(toks)
+                        final_starts = np.cumsum(doc_lengths) - doc_lengths
+                        terms = np.empty(int(doc_lengths.sum()), dtype=object)
+                        if len(terms_a):
+                            a_starts = np.cumsum(lengths_a) - lengths_a
+                            dest = (
+                                np.repeat(
+                                    final_starts[ascii_pos] - a_starts,
+                                    lengths_a,
+                                )
+                                + np.arange(len(terms_a), dtype=np.int64)
+                            )
+                            terms[dest] = terms_a
+                        for i in other_pos:
+                            s = final_starts[i]
+                            terms[s:s + doc_lengths[i]] = other_toks[i]
+                        return terms, doc_lengths, None
+            elif not other_pos:
+                return (
+                    np.empty(0, dtype=object),
+                    np.zeros(n, dtype=np.int64),
+                    None,
+                )
+        # general path: per-document chain (stopword gaps, NUL collision,
+        # overlong-token splitting, all-non-ASCII batches)
+        import numpy as np  # noqa: F811
+
+        doc_lengths = np.zeros(n, dtype=np.int64)
+        all_terms: List[str] = []
+        pos_chunks: List[np.ndarray] = []
+        dense = True
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            terms_i, positions_i = self.analyze_fast(t)
+            doc_lengths[i] = len(terms_i)
+            all_terms.extend(terms_i)
+            if positions_i is not None:
+                dense = False
+                pos_chunks.append(np.asarray(positions_i, dtype=np.uint32))
+            else:
+                pos_chunks.append(np.arange(len(terms_i), dtype=np.uint32))
+        terms = np.asarray(all_terms, dtype=object)
+        if dense:
+            return terms, doc_lengths, None
+        positions = (
+            np.concatenate(pos_chunks)
+            if pos_chunks
+            else np.empty(0, np.uint32)
+        )
+        return terms, doc_lengths, positions
+
 
 class StandardAnalyzer(Analyzer):
     """The canonical chain with the reference's defaults (empty stop set)."""

@@ -67,6 +67,9 @@ _ASCII_TOKEN = re.compile(
     r"(?:(?:(?<=[0-9])[.,;'](?=[0-9])|(?<=[A-Za-z])[.:'](?=[A-Za-z]))[0-9A-Za-z_]+)*"
 )
 _ASCII_HAS_LETTER = re.compile(r"[A-Za-z]")
+# batched variant: NUL doubles as a document separator (it is not a token
+# char and not a mid-punct char, so it can never extend or join tokens)
+_ASCII_TOKEN_OR_NUL = re.compile(_ASCII_TOKEN.pattern + "|\x00")
 
 # --------------------------------------------------------------------------
 # Unicode word-break classification (general path)
@@ -226,6 +229,58 @@ class StandardTokenizer:
                     out.extend(t[i:i + maxlen] for i in range(0, len(t), maxlen))
             return out
         return [t.text for t in self._tokenize_unicode(text)]
+
+    def terms_flat_from_joined(self, joined: str, n_docs: int):
+        """Batched ASCII hot path: ``joined`` = ``n_docs`` (already
+        lowercased, ASCII, NUL-free) texts joined by NUL. One ``findall``
+        over the whole batch replaces one regex call per document — the
+        build stage is allocation-bound at high task concurrency, and
+        shrinking per-document Python overhead is what makes the
+        index-build stage scale (BASELINE.md build-efficiency note).
+
+        Returns ``(terms, doc_of_term, lengths)``:
+        ``terms`` object ndarray of token texts in document order,
+        ``doc_of_term`` int64 ndarray mapping each token to its document
+        ordinal, ``lengths`` int64[n_docs] token counts. Overlong tokens
+        are split in place (maxTokenLength split-not-drop semantics,
+        ``StandardTokenizer.java:43-80``).
+        """
+        import numpy as np
+
+        toks = _ASCII_TOKEN_OR_NUL.findall(joined)
+        if not toks:
+            return (
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64),
+                np.zeros(n_docs, dtype=np.int64),
+            )
+        maxlen = self.max_token_length
+        if max(map(len, toks)) > maxlen:
+            # splice split chunks over the (rare) overlong tokens; the
+            # NUL separator is 1 char and never overlong
+            lens = np.fromiter(map(len, toks), np.int64, count=len(toks))
+            out: List[str] = []
+            prev = 0
+            for i in np.flatnonzero(lens > maxlen):
+                t = toks[i]
+                out.extend(toks[prev:i])
+                out.extend(t[j:j + maxlen] for j in range(0, len(t), maxlen))
+                prev = i + 1
+            out.extend(toks[prev:])
+            toks = out
+        arr = np.asarray(toks, dtype=object)
+        # NB: numpy would coerce the comparand "\x00" to a fixed-width
+        # unicode scalar and TRIM the trailing NUL (comparing against "");
+        # pandas' object-array scalar compare runs Python == per element
+        import pandas as pd
+
+        sep = (pd.Series(arr, dtype=object) == "\x00").to_numpy()
+        doc_of = np.cumsum(sep, dtype=np.int64)
+        keep = ~sep
+        terms = arr[keep]
+        doc_of_term = doc_of[keep]
+        lengths = np.bincount(doc_of_term, minlength=n_docs)
+        return terms, doc_of_term, lengths
 
     # -- ASCII fast path ---------------------------------------------------
 

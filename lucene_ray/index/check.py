@@ -24,6 +24,8 @@ from typing import List
 
 import numpy as np
 
+from lucene_ray.index.config import FIELD_SEP
+
 from lucene_ray.codecs.postings import BLOCK_SIZE, PostingsView, max_block_score
 from lucene_ray.search.bm25 import BM25Similarity
 from lucene_ray.index.manifest import load_manifest, segment_dir
@@ -52,8 +54,6 @@ def check_segment(seg_dir: str) -> List[str]:
         problems.append(f"{seg_dir}: norms length {len(seg.norms)} != n_docs")
     if len(seg.docmap) != meta["n_docs"]:
         problems.append(f"{seg_dir}: docmap length != n_docs")
-
-    from lucene_ray.index.config import FIELD_SEP
 
     n_docs = meta["n_docs"]
     sum_df = 0

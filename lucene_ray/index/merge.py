@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from lucene_ray.index.config import FIELD_SEP, IndexConfig
+from lucene_ray.index.deletes import _write_deleted
 from lucene_ray.index.manifest import (
     Manifest,
     commit_manifest,
@@ -297,8 +298,6 @@ def _finalize_merge(
     # are the rank tie-break contract, so merges never compact holes —
     # reclamation is a rebuild (documented in index/deletes.py)
     if any(r.deleted is not None for r in readers):
-        from lucene_ray.index.deletes import _write_deleted
-
         dels = np.concatenate(
             [
                 r.deleted

@@ -40,7 +40,8 @@ from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
 from lucene_ray.codecs.smallfloat import encode_norms
-from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.config import FIELD_SEP, IndexConfig, term_key
+from lucene_ray.index.deletes import load_deleted
 
 META_NAME = "meta.json"
 
@@ -187,29 +188,16 @@ def invert_texts(
     pressure (the build is bandwidth-bound at high task concurrency).
     """
     n_docs = len(texts)
-    doc_lengths = np.zeros(n_docs, dtype=np.int64)
-    len_per_doc: List[int] = []
-    pos_chunks: List[np.ndarray] = [] if with_positions else None
-    all_terms: List[str] = []
-
-    for di, text in enumerate(texts):
-        if not text:
-            len_per_doc.append(0)
-            continue
-        terms, positions = analyzer.analyze_fast(text)
-        doc_lengths[di] = len(terms)
-        len_per_doc.append(len(terms))
-        all_terms.extend(terms)
-        if with_positions and positions is not None:
-            pos_chunks.append(np.asarray(positions, dtype=np.uint32))
-        elif with_positions:
-            pos_chunks.append(np.arange(len(terms), dtype=np.uint32))
+    # batched analysis: one regex/lowercase pass over the whole batch
+    # (per-doc fallback inside analyze_flat keeps output identical)
+    all_terms, doc_lengths, flat_positions = analyzer.analyze_flat(texts)
+    lengths = doc_lengths
 
     # token → int code in ONE C pass (pandas factorize) — replaces the
     # per-token Python dict loop (the TermsHashPerField role) and cuts
     # most of the build task's Python overhead
     n_terms = 0
-    if all_terms:
+    if len(all_terms):
         import pandas as pd
 
         codes_first, uniques = pd.factorize(
@@ -236,7 +224,6 @@ def invert_texts(
     rank = np.empty(n_terms, dtype=np.int64)
     rank[sorted_idx] = np.arange(n_terms, dtype=np.int64)
 
-    lengths = np.array(len_per_doc, dtype=np.int64)
     docid_per_tok = np.repeat(
         np.arange(n_docs, dtype=np.int64), lengths
     )
@@ -269,9 +256,16 @@ def invert_texts(
     positions = None
     pos_starts = None
     if with_positions:
-        pos_all = (
-            np.concatenate(pos_chunks) if len(pos_chunks) > 1 else pos_chunks[0]
-        )
+        if flat_positions is None:
+            # dense 0..len-1 per doc, vectorized (empty stop set)
+            tok_starts = np.repeat(
+                np.cumsum(lengths) - lengths, lengths
+            )
+            pos_all = (
+                np.arange(len(docid_per_tok), dtype=np.int64) - tok_starts
+            ).astype(np.uint32)
+        else:
+            pos_all = flat_positions
         positions = pos_all[perm]
         tok_term_starts = pair_starts[term_start_mask]
         pos_starts = np.append(tok_term_starts, len(positions)).astype(np.int64)
@@ -302,8 +296,6 @@ def add_keyword_postings(
     Returns the combined batch plus per-field stats
     ``{field: {doc_count, sum_ttf, sum_df}}`` (the ``FieldInfos`` /
     per-field ``Terms`` stats role)."""
-    from lucene_ray.index.config import FIELD_SEP, term_key
-
     if not kw_columns:
         return inv, {}
     extra: List[Tuple[str, np.ndarray]] = []
@@ -425,8 +417,6 @@ def write_segment(
     if dv_table is not None and dv_table.num_columns:
         # doc-values column store, row-aligned with local docids
         pq.write_table(dv_table, os.path.join(tmp_dir, "dv.parquet"))
-
-    from lucene_ray.index.config import FIELD_SEP
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
@@ -597,8 +587,6 @@ class SegmentReader:
                 self._pos_mm.append(np.memmap(posf, dtype=np.uint8, mode="r"))
             else:
                 self._pos_mm.append(None)
-        from lucene_ray.index.deletes import load_deleted
-
         # live docs: highest-generation tombstone bitmap (None = all live)
         self.deleted: Optional[np.ndarray] = load_deleted(seg_dir, self.n_docs)
         self._docmap: Optional[pa.Array] = None
@@ -693,8 +681,6 @@ class SegmentReader:
         → sorted list of (key, TermInfo). ``exclude_field_sep`` skips
         non-default-field keys when expanding the bare text field."""
         import bisect
-
-        from lucene_ray.index.config import FIELD_SEP
 
         out = []
         for b in self._buckets_for_prefix(key_prefix):

@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.index.manifest import load_manifest
 from lucene_ray.index.segment import SegmentReader
@@ -195,8 +196,6 @@ def text_quality(sf_dir: str):
     """Per-doc quality metrics via the engine's analyzer (vectorized
     map_batches): token count, distinct terms, char length, max token len."""
     import ray.data
-
-    from lucene_ray.analysis.analyzer import Analyzer
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 

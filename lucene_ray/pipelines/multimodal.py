@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from lucene_ray.pipelines.png import (
+    encode_png,
     PNG_SIGNATURE,
     decode_png,
     resize_nearest,
@@ -117,8 +118,6 @@ def image_decode(sf_dir: str):
     width/height and integer thumbnail luma must equal the analytic
     values — SQL-expressible, so this is a full-fidelity codec oracle."""
     import ray.data
-
-    from lucene_ray.pipelines.png import encode_png
 
     def make_images(b: pa.Table) -> pa.Table:
         ids = [int(x) for x in b.column("doc_id").to_pylist()]

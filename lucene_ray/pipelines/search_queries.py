@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from lucene_ray.index.config import IndexConfig
 from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.search.query import SynonymQuery
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
 
 # multi-field index over the documents table: lang/source as keyword
@@ -67,12 +68,17 @@ FILTERED_QUERIES: List[Tuple[int, str]] = [
 K = 10
 
 
-def _run(sf_dir: str, queries: List[Tuple[int, str]], k: int = K):
+def _run(
+    sf_dir: str,
+    queries: List[Tuple[int, str]],
+    k: int = K,
+    similarity: str | None = None,
+):
     import ray.data
 
     idx = get_or_build_index(sf_dir)
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in queries])
-    res = search_dataset(idx, qds, k=k, concurrency=2)
+    res = search_dataset(idx, qds, k=k, concurrency=2, similarity=similarity)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -89,6 +95,21 @@ def _run(sf_dir: str, queries: List[Tuple[int, str]], k: int = K):
 
 def bm25_topk(sf_dir: str):
     return _run(sf_dir, TERM_QUERIES)
+
+
+def classic_tfidf_topk(sf_dir: str):
+    """Same term workload under ClassicSimilarity (TF-IDF): tf=sqrt(freq),
+    idf=ln((N+1)/(df+1))+1, lengthNorm=1/sqrt(len) via the SmallFloat INT
+    table — float32-exact vs the DuckDB oracle
+    (``ClassicSimilarity.java:43-72``, ``TFIDFSimilarity.java:436-472``)."""
+    return _run(sf_dir, TERM_QUERIES, similarity="classic")
+
+
+def lmdirichlet_topk(sf_dir: str):
+    """Same term workload under LMDirichletSimilarity (mu=2000): double
+    Dirichlet-smoothed LM score clamped at 0, narrowed to float32
+    (``LMDirichletSimilarity.java:76-81``)."""
+    return _run(sf_dir, TERM_QUERIES, similarity="lmdirichlet")
 
 
 def bm25_topk_shuffle(sf_dir: str):
@@ -469,6 +490,95 @@ from ranked where rn <= {K}
 """
 
 
+def sql_classic_tfidf_topk() -> str:
+    """ClassicSimilarity oracle: per step-narrowed float32
+    ``(f32(sqrt(tf)) * f32(ln((N+1)/(df+1))+1)) * f32(1/sqrt(declen))``
+    (FLOAT*FLOAT stays FLOAT in DuckDB, same per-op narrowing as the
+    engine's TableScorer)."""
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {_qterms_values(TERM_QUERIES)}
+),
+tf as (
+  select q.qid, q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+idf as (
+  select d.term,
+         cast(ln(cast((select doc_count from stats) + 1 as double)
+                 / cast(d.df + 1 as double)) + 1.0 as float) as qw
+  from df d
+),
+cnorm as (
+  select dn.doc_id, cast(1.0 / sqrt(cast(nt.dec as double)) as float) as norm
+  from docnorm dn join nt on nt.b = dn.nb
+),
+tscore as (
+  select tf.qid, tf.doc_id,
+         ((cast(sqrt(cast(tf.tf as double)) as float) * i.qw) * n.norm) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join idf i on i.term = q.term
+  join cnorm n on n.doc_id = tf.doc_id
+),
+ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_lmdirichlet_topk() -> str:
+    """LMDirichlet oracle: double math, clamp at 0, single narrow to
+    float32 (mu=2000, p=(ttf+1)/(sum_ttf+1), docLen = SmallFloat-decoded
+    norm length)."""
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {_qterms_values(TERM_QUERIES)}
+),
+tf as (
+  select q.qid, q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+ttfs as (
+  select term, count(*)::bigint as ttf from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.doc_id,
+         cast(greatest(
+           ln(1.0 + cast(tf.tf as double)
+                    / (2000.0 * ((t.ttf + 1.0)
+                       / ((select sum_ttf from stats) + 1.0))))
+           + ln(2000.0 / (cast(nt.dec as double) + 2000.0)),
+           0.0) as float) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join ttfs t on t.term = q.term
+  join docnorm dn on dn.doc_id = tf.doc_id
+  join nt on nt.b = dn.nb
+),
+ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
 def sql_bm25_disjunction() -> str:
     # left-associative float32 sum in clause (ti) order; FLOAT stays FLOAT
     return f"""{_PRELUDE},
@@ -597,8 +707,6 @@ SYNONYM_SETS: List[Tuple[int, Tuple[str, ...]]] = [
 def synonym_search(sf_dir: str, k: int = 10):
     """SynonymQuery: variants scored as one pseudo-term (freqs sum,
     docFreq = max variant df). Bit-exact DuckDB oracle."""
-    from lucene_ray.search.query import SynonymQuery
-
     idx = get_or_build_index(sf_dir)
     s = IndexSearcher(idx)
     rows_q, rows_r, rows_d, rows_s = [], [], [], []

@@ -17,6 +17,8 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Tuple, Union
 
 from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.analysis.lowercase import simple_lowercase
+from lucene_ray.index.config import term_key
 
 SHOULD = "SHOULD"
 MUST = "MUST"
@@ -215,8 +217,6 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
         elif m.group("fedits") is not None:
             # fuzzy: the term is lowercased, not tokenized (classic parser
             # lowercase_expanded_terms behavior), capped at 2 edits
-            from lucene_ray.analysis.lowercase import simple_lowercase
-
             word = m.group("word")
             if fieldname == "text":
                 word = simple_lowercase(word)
@@ -227,7 +227,6 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
                 field=fieldname,
             )
         elif "*" in m.group("word") or "?" in m.group("word"):
-            from lucene_ray.analysis.lowercase import simple_lowercase
 
             word = m.group("word")
             if fieldname == "text":
@@ -323,8 +322,6 @@ def deduplicate_clauses(q: Query, qtw) -> Query:
 def query_terms(q: Query) -> List[str]:
     """All term-dictionary KEYS of a plan (for TermStates-style stat
     gathering) — field-encoded via ``config.term_key``."""
-    from lucene_ray.index.config import term_key
-
     if isinstance(q, TermQuery):
         return [term_key(q.field, q.term)]
     if isinstance(q, PhraseQuery):

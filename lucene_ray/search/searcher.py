@@ -52,6 +52,7 @@ from lucene_ray.search.query import (
     parse_query,
     query_terms,
 )
+from lucene_ray.search.sloppy import sloppy_phrase_freq
 from lucene_ray.search.multiterm import (
     damerau_levenshtein,
     levenshtein,
@@ -73,13 +74,23 @@ class SegmentResult:
 class IndexSearcher:
     """Open once (per process / per Ray actor), search many times."""
 
-    def __init__(self, index_dir: str, similarity: Optional[BM25Similarity] = None):
+    def __init__(self, index_dir: str, similarity=None):
+        """``similarity``: a ``BM25Similarity`` (default; full pruned +
+        phrase/multiterm support) or any ``search.similarities.Similarity``
+        (classic TF-IDF, LMDirichlet, boolean — term/boolean/range/match-all
+        queries, exhaustive path). A registry name string also works
+        (``Codec.forName`` analogue)."""
         man = load_manifest(index_dir)
         if man is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.manifest: Manifest = man
         self.config: IndexConfig = man.config
+        if isinstance(similarity, str):
+            from lucene_ray.search.similarities import similarity_for_name
+
+            similarity = similarity_for_name(similarity)
         self.sim = similarity or BM25Similarity()
+        self.is_bm25 = isinstance(self.sim, BM25Similarity)
         self.segments: List[SegmentReader] = [
             SegmentReader(os.path.join(index_dir, "segments", f"seg_{s['seg_id']:06d}"))
             if "dir" not in s
@@ -95,7 +106,13 @@ class IndexSearcher:
         self.sum_ttf = int(fs["sum_ttf"])
         avgdl = F32(self.sum_ttf / float(self.doc_count)) if self.doc_count else F32(1)
         self.avgdl = avgdl
-        self.norm_inverse = self.sim.norm_inverse_cache(avgdl)
+        # BM25 keeps its fused 256-entry norm-inverse cache (the pruned
+        # path's algebra depends on it); generic similarities build
+        # per-(term-stats) scorers on demand instead
+        self.norm_inverse = (
+            self.sim.norm_inverse_cache(avgdl) if self.is_bm25 else None
+        )
+        self._scorer_cache: Dict[tuple, object] = {}
         # non-default (keyword) field stats: doc_count + sum_ttf per field
         # (FieldInfos / per-field Terms stats role). Keyword fields omit
         # norms, so their scorer sees norm byte 1 (length 1) — the
@@ -124,7 +141,8 @@ class IndexSearcher:
             if hit is None:
                 infos = [seg.lookup(t) for seg in self.segments]
                 df = sum(ti.df for ti in infos if ti is not None)
-                hit = (infos, df)
+                ttf = sum(ti.ttf for ti in infos if ti is not None)
+                hit = (infos, df, ttf)
                 if len(cache) < 100_000:
                     cache[t] = hit
             out[t] = hit
@@ -157,6 +175,55 @@ class IndexSearcher:
             self._kw_inv[fieldname] = hit
         return hit
 
+    def _field_stats(self, fieldname: str) -> Tuple[int, int]:
+        """(doc_count, sum_ttf) of a field — the ``CollectionStatistics``
+        handed to ``Similarity.scorer`` (``core/search/CollectionStatistics.java``)."""
+        if fieldname == DEFAULT_FIELD:
+            return self.doc_count, self.sum_ttf
+        st = self.per_field.get(fieldname, {})
+        return int(st.get("doc_count", 0)), int(st.get("sum_ttf", 0))
+
+    def _generic_scorer(self, fieldname: str, df: int, ttf: int, boost: float):
+        """Per-(field, term-stats, boost) scorer for a non-BM25 similarity,
+        cached — the Weight-holds-SimScorer role."""
+        key = (fieldname, df, ttf, float(boost))
+        hit = self._scorer_cache.get(key)
+        if hit is None:
+            dc, sttf = self._field_stats(fieldname)
+            hit = self.sim.scorer(boost, max(1, dc), max(1, sttf), df, ttf)
+            self._scorer_cache[key] = hit
+        return hit
+
+    def _score_postings(
+        self,
+        seg,
+        ids: np.ndarray,
+        freqs: np.ndarray,
+        df: int,
+        ttf: int,
+        boost: float,
+        fieldname: str,
+    ) -> np.ndarray:
+        """Score one term's (ids, freqs) on a segment under the active
+        similarity. BM25 keeps the fused norm-inverse algebra verbatim
+        (bit-exact vs the DuckDB oracle); generic similarities go through
+        ``Similarity.scorer`` with raw SmallFloat norm bytes (byte 1 for
+        norms-omitted keyword fields — the reference's ``norms == null``
+        path passes norm=1L to ``SimScorer.score``)."""
+        if self.is_bm25:
+            w = self._term_weight(df, boost, fieldname)
+            if fieldname == DEFAULT_FIELD:
+                inv = self.norm_inverse[seg.norms[ids]]
+            else:
+                inv = self._kw_norm_inv(fieldname)
+            return w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        scorer = self._generic_scorer(fieldname, df, ttf, boost)
+        if fieldname == DEFAULT_FIELD:
+            nb = seg.norms[ids]
+        else:
+            nb = np.full(len(ids), 1, dtype=np.uint8)
+        return scorer.score(freqs, nb)
+
     @staticmethod
     def _live(seg, r: SegmentResult) -> SegmentResult:
         """Filter a leaf match set to live docs (liveDocs applied at
@@ -178,17 +245,14 @@ class IndexSearcher:
     ) -> SegmentResult:
         seg = self.segments[seg_idx]
         if isinstance(q, TermQuery):
-            infos, df = states[term_key(q.field, q.term)]
+            infos, df, ttf = states[term_key(q.field, q.term)]
             ti = infos[seg_idx]
             if ti is None or df == 0:
                 return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
             ids, freqs = seg.decoded(ti)
-            w = self._term_weight(df, q.boost, q.field)
-            if q.field == DEFAULT_FIELD:
-                inv = self.norm_inverse[seg.norms[ids]]
-            else:
-                inv = self._kw_norm_inv(q.field)  # scalar: norms omitted
-            scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+            scores = self._score_postings(
+                seg, ids, freqs, df, ttf, q.boost, q.field
+            )
             return self._live(seg, SegmentResult(ids, scores))
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, seg_idx, states)
@@ -276,12 +340,12 @@ class IndexSearcher:
             ids, inverse = np.unique(all_ids, return_inverse=True)
             freqs = np.zeros(len(ids), dtype=np.int64)
             np.add.at(freqs, inverse, all_fr)
-        w = self._term_weight(df, q.boost, q.field)
-        if q.field == DEFAULT_FIELD:
-            inv = self.norm_inverse[seg.norms[ids]]
-        else:
-            inv = self._kw_norm_inv(q.field)
-        scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        # pseudo-term stats: docFreq = max variant df, totalTermFreq =
+        # Σ variant ttfs (SynonymQuery.java createWeight stats loop)
+        ttf = sum(states[k][2] for k in keys)
+        scores = self._score_postings(
+            seg, ids, freqs, df, ttf, q.boost, q.field
+        )
         return self._live(seg, SegmentResult(ids.astype(np.uint32), scores))
 
     def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
@@ -430,14 +494,29 @@ class IndexSearcher:
                 freqs_by_clause[k] = freqs_by_clause[k][keep]
         if len(cand) == 0:
             return empty
-        text_inv = self.norm_inverse[seg.norms[cand]]
+        text_inv = (
+            self.norm_inverse[seg.norms[cand]] if self.is_bm25 else None
+        )
         acc = np.zeros(len(cand), dtype=F32)
         for ci, (o, s) in enumerate(req):  # clause order, MUST scored only
             if o != MUST:
                 continue
-            w = self._term_weight(states[keys[id(s)]][1], s.boost, s.field)
-            inv = text_inv if s.field == DEFAULT_FIELD else self._kw_norm_inv(s.field)
-            acc += w - w / (F32(1.0) + freqs_by_clause[ci].astype(F32) * inv)
+            st = states[keys[id(s)]]
+            if self.is_bm25:
+                w = self._term_weight(st[1], s.boost, s.field)
+                inv = (
+                    text_inv
+                    if s.field == DEFAULT_FIELD
+                    else self._kw_norm_inv(s.field)
+                )
+                acc += w - w / (
+                    F32(1.0) + freqs_by_clause[ci].astype(F32) * inv
+                )
+            else:
+                acc += self._score_postings(
+                    seg, cand, freqs_by_clause[ci], st[1], st[2],
+                    s.boost, s.field,
+                )
         return SegmentResult(cand.astype(np.uint32), acc)
 
     def _eval_phrase(self, q: PhraseQuery, seg_idx: int, states) -> SegmentResult:
@@ -493,13 +572,30 @@ class IndexSearcher:
             ids = np.array(out_ids, dtype=np.uint32)
             freqs = np.array(out_freq, dtype=F32)  # float sloppy freqs
         # fall through to scoring
-        # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
-        idf_sum = float(
-            np.sum([float(bm25_idf(states[t][1], self.doc_count)) for t in q.terms])
-        )
-        w = F32(q.boost) * F32(idf_sum)
-        inv = self.norm_inverse[seg.norms[ids]]
-        scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        if self.is_bm25:
+            # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
+            idf_sum = float(
+                np.sum(
+                    [float(bm25_idf(states[t][1], self.doc_count)) for t in q.terms]
+                )
+            )
+            w = F32(q.boost) * F32(idf_sum)
+            inv = self.norm_inverse[seg.norms[ids]]
+            scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        else:
+            # PhraseWeight hands ALL the terms' stats to Similarity.scorer
+            # (PhraseQuery.java getStats); scored at the phrase freq
+            key = ("__phrase__", tuple(q.terms), float(q.boost))
+            sc = self._scorer_cache.get(key)
+            if sc is None:
+                sc = self.sim.scorer_multi(
+                    q.boost,
+                    max(1, self.doc_count),
+                    max(1, self.sum_ttf),
+                    [(states[t][1], states[t][2]) for t in q.terms],
+                )
+                self._scorer_cache[key] = sc
+            scores = sc.score(freqs, seg.norms[ids])
         return self._live(seg, SegmentResult(ids, scores))
 
     @staticmethod
@@ -510,8 +606,6 @@ class IndexSearcher:
         semantics (see search/sloppy.py): per-doc float phrase freq =
         Σ 1/(1+matchLength) over the greedy least-position match stream,
         repeat groups handled."""
-        from lucene_ray.search.sloppy import sloppy_phrase_freq
-
         common = decoded[0][0]
         for ids, _, _ in decoded[1:]:
             common = np.intersect1d(common, ids, assume_unique=True)
@@ -590,11 +684,18 @@ class IndexSearcher:
         # Similarity.computeQueryTermWeight (fork k3 query-term saturation)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         if mode != "exhaustive":
-            terms = self._wand_eligible(query)
-            if terms is not None:
-                return self._search_wand(terms, k, after=after)
-            if mode == "wand":
-                raise ValueError("query not eligible for WAND pruning")
+            # the block-max impact→bound conversion is derived for the
+            # BM25 algebra; generic similarities run exhaustively
+            # (rank-identical output never depends on pruning)
+            if not self.is_bm25:
+                if mode == "wand":
+                    raise ValueError("WAND pruning requires BM25 similarity")
+            else:
+                terms = self._wand_eligible(query)
+                if terms is not None:
+                    return self._search_wand(terms, k, after=after)
+                if mode == "wand":
+                    raise ValueError("query not eligible for WAND pruning")
         states = self.term_states(query_terms(query))
         rows = []  # (neg_score, seg_idx, docid) for merge ordering
         total = 0
@@ -851,8 +952,10 @@ class SearcherActor:
             {"index_dir": d, "k": 10}, concurrency=N, batch_format="pyarrow")
     """
 
-    def __init__(self, index_dir: str, k: int = 10):
-        self.searcher = IndexSearcher(index_dir)
+    def __init__(self, index_dir: str, k: int = 10, similarity: Optional[str] = None):
+        # similarity by REGISTRY NAME (picklable ctor kwargs for the
+        # actor pool; resolved per actor via similarity_for_name)
+        self.searcher = IndexSearcher(index_dir, similarity=similarity)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -873,12 +976,23 @@ class SearcherActor:
         return pa.concat_tables(parts)
 
 
-def search_dataset(index_dir: str, queries_ds, k: int = 10, concurrency: int = 4):
+def search_dataset(
+    index_dir: str,
+    queries_ds,
+    k: int = 10,
+    concurrency: int = 4,
+    similarity: Optional[str] = None,
+):
     """Distributed search: queries Dataset (qid, query[, k]) → results
-    Dataset (qid, rank, key, docid, score) via a searcher actor pool."""
+    Dataset (qid, rank, key, docid, score) via a searcher actor pool.
+    ``similarity``: registry name (None = BM25)."""
     return queries_ds.map_batches(
         SearcherActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "k": k,
+            "similarity": similarity,
+        },
         concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=32,
