@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_tfidf_topk": sq.classic_tfidf_topk,
         "lmdirichlet_topk": sq.lmdirichlet_topk,
         "sort_by_field": sq.sort_by_field,
+        "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "facet_lang": sq.facet_lang,
         "synonym_search": sq.synonym_search,
         "grouped_topk": sq.grouped_topk,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_topk": sq.sql_classic_tfidf_topk(),
         "lmdirichlet_topk": sq.sql_lmdirichlet_topk(),
         "sort_by_field": sq.sql_sort_by_field(),
+        "sort_by_field_indexsorted": sq.sql_sort_by_field(),
         "facet_lang": sq.sql_facet_lang(),
         "synonym_search": sq.sql_synonym_search(),
         "grouped_topk": sq.sql_grouped_topk(),

@@ -120,6 +120,25 @@ def build_partition(
     tbl = read_partition(
         item["path"], int(item["row_start"]), int(item["row_end"]), cols
     )
+    if config.index_sort:
+        # IndexWriterConfig.setIndexSort flush role (Sorter.java): reorder
+        # the partition's rows by the sort field BEFORE inversion, so
+        # segment-local docids follow the sort. Stable → ties keep row
+        # (original docid) order, matching Lucene's tie-break.
+        sfield, sdirection = config.index_sort
+        if sfield not in config.dv_cols:
+            raise ValueError(
+                f"index_sort field {sfield!r} must be in dv_cols {config.dv_cols}"
+            )
+        skey = np.asarray(tbl.column(sfield).combine_chunks())
+        if sdirection == "desc":
+            skey = -skey
+        elif sdirection != "asc":
+            raise ValueError(
+                f"index_sort direction must be asc|desc, got {sdirection!r}"
+            )
+        order = np.argsort(skey, kind="stable")
+        tbl = tbl.take(pa.array(order))
     analyzer = Analyzer(
         stopwords=config.stopwords, max_token_length=config.max_token_length
     )

@@ -55,6 +55,22 @@ def check_segment(seg_dir: str) -> List[str]:
     if len(seg.docmap) != meta["n_docs"]:
         problems.append(f"{seg_dir}: docmap length != n_docs")
 
+    isort = meta.get("index_sort")
+    if isort:
+        # index-sorted segment: the sort-field DV column must be ordered
+        # (CheckIndex.testSort role, ``core/index/CheckIndex.java``)
+        field, sdir_ = isort
+        try:
+            vals = np.asarray(seg.dv(field))
+            diffs = np.diff(vals)
+            ok = (diffs <= 0).all() if sdir_ == "desc" else (diffs >= 0).all()
+            if not ok:
+                problems.append(
+                    f"{seg_dir}: docs violate index_sort {field} {sdir_}"
+                )
+        except KeyError:
+            problems.append(f"{seg_dir}: index_sort field {field!r} has no DV")
+
     n_docs = meta["n_docs"]
     sum_df = 0
     sum_ttf = 0

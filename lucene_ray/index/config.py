@@ -57,6 +57,13 @@ class IndexConfig:
     num_salts: int = 8
     keyword_cols: Tuple[str, ...] = ()
     dv_cols: Tuple[str, ...] = ()
+    # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
+    # ("field", "asc"|"desc") — docids within every segment follow this
+    # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
+    # through merges (merge-sort doc remap). Enables early-terminating
+    # ``search_sorted`` when the query sort matches. The field must be in
+    # ``dv_cols``.
+    index_sort: Optional[Tuple[str, str]] = None
 
     def term_bucket(self, term: str) -> int:
         """Stable cross-process term→bucket routing (crc32, NOT python
@@ -76,6 +83,7 @@ class IndexConfig:
             "num_salts": self.num_salts,
             "keyword_cols": list(self.keyword_cols),
             "dv_cols": list(self.dv_cols),
+            "index_sort": list(self.index_sort) if self.index_sort else None,
         }
 
     @staticmethod
@@ -92,4 +100,7 @@ class IndexConfig:
             num_salts=d.get("num_salts", 8),
             keyword_cols=tuple(d.get("keyword_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
+            index_sort=(
+                tuple(d["index_sort"]) if d.get("index_sort") else None
+            ),
         )

@@ -134,6 +134,34 @@ def _open_sorted_readers(index_dir: str, seg_ids: List[int]):
     return readers, new_base, rebase
 
 
+def _index_sort_map(readers):
+    """Merge-sort doc remap for index-sorted segments — the
+    ``MergeState.DocMap`` built by ``Sorter.sort`` at merge time
+    (``core/index/Sorter.java``, ``MultiSorter.java``). Over the
+    concatenated (docid-base-ordered) reader-local docids returns
+    ``(index_sort, old_of_new, new_of_old)``; ``(None, None, None)``
+    when the segments are unsorted. Deterministic (stable argsort on the
+    sort-key column), so every bucket task and the finalize step derive
+    the identical permutation independently."""
+    isort = readers[0].meta.get("index_sort")
+    if not isort:
+        return None, None, None
+    for r in readers:
+        if r.meta.get("index_sort") != isort:
+            raise ValueError(
+                f"cannot merge segments with different index_sort: "
+                f"{isort} vs {r.meta.get('index_sort')}"
+            )
+    field, sdir = isort
+    skey = np.concatenate([np.asarray(r.dv(field)) for r in readers])
+    if sdir == "desc":
+        skey = -skey
+    old_of_new = np.argsort(skey, kind="stable").astype(np.int64)
+    new_of_old = np.empty_like(old_of_new)
+    new_of_old[old_of_new] = np.arange(len(old_of_new), dtype=np.int64)
+    return tuple(isort), old_of_new, new_of_old
+
+
 def merge_bucket(
     index_dir: str, seg_ids: List[int], b: int, tmp_dir: str
 ) -> dict:
@@ -145,7 +173,10 @@ def merge_bucket(
     import pyarrow.parquet as pq
 
     readers, new_base, rebase = _open_sorted_readers(index_dir, seg_ids)
+    _isort, _old_of_new, new_of_old = _index_sort_map(readers)
     norms = np.concatenate([r.norms for r in readers])
+    if _old_of_new is not None:
+        norms = norms[_old_of_new]  # impacts see NEW docid order
     with_pos = bool(readers[0].meta["positions"])
     checksums: Dict[str, int] = {}
 
@@ -183,23 +214,62 @@ def merge_bucket(
         group.sort()  # reader order == docid-base order
         df = 0
         ttf = 0
+        g_ids: List[np.ndarray] = []
+        g_tfs: List[np.ndarray] = []
+        g_pos: List[np.ndarray] = []
         for gri, gi in group:
             t = iters[gri][1]
             mm = readers[gri]._post_mm[b]
             off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
             view = PostingsView(mm[off : off + ln])
             ids, tfs = view.decode_all()
-            ids_buf.append(ids.astype(np.int64) + rebase[gri])
-            tf_buf.append(tfs)
-            npairs += len(ids)
+            g_ids.append(ids.astype(np.int64) + rebase[gri])
+            g_tfs.append(tfs)
             df += int(t["df"][gi])
             ttf += int(t["ttf"][gi])
             if with_pos:
                 pmm = readers[gri]._pos_mm[b]
                 po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
                 pvals = decode_uint_blocks(pmm[po : po + pl])
-                pos_buf.append(pvals)
-                npos += len(pvals)
+                g_pos.append(pvals)
+        if new_of_old is None:
+            # unsorted: rebase offsets are disjoint increasing ranges, so
+            # plain concatenation in reader order stays docid-sorted
+            ids_buf.extend(g_ids)
+            tf_buf.extend(g_tfs)
+            pos_buf.extend(g_pos)
+            npairs += sum(len(x) for x in g_ids)
+            npos += sum(len(x) for x in g_pos)
+        else:
+            # index-sorted merge: remap docids through the merge DocMap,
+            # re-sort the postings, and carry each doc's position run
+            # along with its posting
+            ids_c = np.concatenate(g_ids) if len(g_ids) > 1 else g_ids[0]
+            tfs_c = np.concatenate(g_tfs) if len(g_tfs) > 1 else g_tfs[0]
+            mapped = new_of_old[ids_c]
+            order = np.argsort(mapped, kind="stable")
+            ids_buf.append(mapped[order])
+            tf_buf.append(tfs_c[order])
+            npairs += len(ids_c)
+            if with_pos:
+                pos_c = (
+                    np.concatenate(g_pos) if len(g_pos) > 1 else g_pos[0]
+                )
+                lens = tfs_c.astype(np.int64)
+                total = int(pos_c.shape[0])
+                if total == 0:
+                    # keyword-field term: DOCS-only postings, no positions
+                    pos_buf.append(pos_c)
+                else:
+                    run_starts = np.cumsum(lens) - lens
+                    sel_starts = run_starts[order]
+                    sel_lens = lens[order]
+                    gather = np.repeat(sel_starts, sel_lens) + (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(sel_lens) - sel_lens, sel_lens)
+                    )
+                    pos_buf.append(pos_c[gather])
+                    npos += total
         term_starts.append(npairs)
         pos_starts.append(npos)
         rows["term"].append(term)
@@ -287,9 +357,17 @@ def _finalize_merge(
     import pyarrow.parquet as pq
 
     readers, new_base, _ = _open_sorted_readers(index_dir, seg_ids)
+    isort, old_of_new, _new_of_old = _index_sort_map(readers)
     sdir = segment_dir(index_dir, new_seg_id)
     norms = np.concatenate([r.norms for r in readers])
     keys = pa.concat_arrays([r.docmap for r in readers])
+    if old_of_new is not None:
+        # index-sorted merge: every row-aligned sidecar follows the
+        # merge DocMap (docids are reassigned by the sort — tie-breaks
+        # between equal-score docs follow the new sorted order)
+        take = pa.array(old_of_new)
+        norms = norms[old_of_new]
+        keys = keys.take(take)
     norm_bytes = norms.tobytes()
     with open(os.path.join(tmp_dir, "norms.bin"), "wb") as f:
         f.write(norm_bytes)
@@ -306,13 +384,18 @@ def _finalize_merge(
                 for r in readers
             ]
         )
+        if old_of_new is not None:
+            dels = dels[old_of_new]
         _write_deleted(tmp_dir, dels, 1)
     dv_cols = readers[0].meta.get("dv_cols") or []
     if dv_cols:
         dvs = [
             pq.read_table(os.path.join(r.seg_dir, "dv.parquet")) for r in readers
         ]
-        pq.write_table(pa.concat_tables(dvs), os.path.join(tmp_dir, "dv.parquet"))
+        dv_all = pa.concat_tables(dvs)
+        if old_of_new is not None:
+            dv_all = dv_all.take(pa.array(old_of_new))
+        pq.write_table(dv_all, os.path.join(tmp_dir, "dv.parquet"))
     kw_stats: Dict[str, dict] = {}
     for r in readers:
         for f_, st in (r.meta.get("kw_stats") or {}).items():

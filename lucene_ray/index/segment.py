@@ -505,6 +505,7 @@ def write_segment(
         "n_parts": config.num_buckets,
         "positions": config.positions,
         "key_type": str(keys.type),
+        "index_sort": list(config.index_sort) if config.index_sort else None,
         "kw_stats": kw_stats or {},
         "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
         "checksums": checksums,

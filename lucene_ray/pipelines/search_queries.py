@@ -198,6 +198,34 @@ def bm25_conjunction(sf_dir: str):
     return _run(sf_dir, CONJ_QUERIES)
 
 
+# index sorted by n_chars desc at build + through merges
+# (IndexWriterConfig.setIndexSort, Sorter.java)
+IDXSORT_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    keyword_cols=("lang", "source"),
+    dv_cols=("n_chars", "doc_id"),
+    index_sort=("n_chars", "desc"),
+)
+
+
+def sort_by_field_indexsorted(sf_dir: str, k: int = 25):
+    """Same field-sort workload over an INDEX-SORTED index: segment docid
+    order == sort order, so the collector early-terminates at k matches
+    per leaf (``TopFieldCollector`` canEarlyTerminate). Results must be
+    identical to ``sort_by_field`` — same DuckDB oracle."""
+    idx = get_or_build_index(sf_dir, IDXSORT_CONFIG)
+    s = IndexSearcher(idx)
+    r = s.search_sorted("#lang:en", "n_chars", k=k, descending=True)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "n_chars": pa.array([int(v) for v in r["sort_values"]], pa.int64()),
+        }
+    )
+
+
 # MultiTermQuery family: dictionary-expanded, constant-score match sets
 PREFIX_QUERIES: List[Tuple[int, str]] = [
     (0, "s*"),        # scan small slow sort spark stream ...

@@ -749,12 +749,27 @@ class IndexSearcher:
             query = parse_query(query, self.analyzer)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         states = self.term_states(query_terms(query))
+        # early termination when the index sort matches the query sort
+        # (``TopFieldCollector`` canEarlyTerminate over
+        # ``IndexWriterConfig.setIndexSort``-ed segments,
+        # ``core/search/TopFieldCollectorManager.java``): segment docid
+        # order IS the sort order, so the leaf top-k is the first k
+        # matches — no per-match key gather, no per-segment sort
+        want_dir = "desc" if descending else "asc"
+        early = self.config.index_sort == (sort_field, want_dir)
         rows = []  # (sort_key, seg_idx, docid, raw_value)
         total = 0
         for si, seg in enumerate(self.segments):
             r = self._eval(query, si, states)
             total += len(r.docids)
             if len(r.docids) == 0:
+                continue
+            if early:
+                ids = np.sort(r.docids.astype(np.int64))[:k]
+                vals = np.asarray(seg.dv(sort_field).take(pa.array(ids)))
+                skey = -vals if descending else vals
+                for key_, d, v in zip(skey, ids, vals):
+                    rows.append((key_, si, int(d), v))
                 continue
             col = seg.dv(sort_field)
             vals = np.asarray(col.take(pa.array(r.docids.astype(np.int64))))
