@@ -198,6 +198,43 @@ def bm25_conjunction(sf_dir: str):
     return _run(sf_dir, CONJ_QUERIES)
 
 
+# expression sort (lucene/expressions): rank the 'data' match set by a
+# compiled double-math expression over _score and doc-values fields
+# NB: oracle expressions stick to IEEE-exact double ops (+ - * /
+# sqrt min max abs) — transcendentals (ln/pow) differ from DuckDB's
+# libm in the last ulp at full double precision (covered by unit
+# tests instead)
+EXPR_QUERIES: List[Tuple[int, str]] = [
+    (0, "_score + 0.1 * sqrt(n_chars)"),
+    (1, "_score * 2 - 1"),
+    (2, "max(_score, 1 / n_chars) + sqrt(n_chars) / 10"),
+]
+
+
+def expression_sort(sf_dir: str, k: int = 10):
+    """ExpressionSortField over the BM25 match set of term 'data': every
+    qid is one expression, all float64 math — bit-exact vs the DuckDB
+    oracle (scores are f32 widened to double on both sides)."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    rows_q, rows_r, rows_d, rows_v = [], [], [], []
+    for qid, e in EXPR_QUERIES:
+        r = s.search_expr("data", e, k=k)
+        for rank, (key, v) in enumerate(zip(r["keys"], r["expr_values"])):
+            rows_q.append(qid)
+            rows_r.append(rank)
+            rows_d.append(int(key))
+            rows_v.append(float(v))
+    return pa.table(
+        {
+            "qid": pa.array(rows_q, pa.int32()),
+            "rank": pa.array(rows_r, pa.int32()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "expr_val": pa.array(rows_v, pa.float64()),
+        }
+    )
+
+
 # index sorted by n_chars desc at build + through merges
 # (IndexWriterConfig.setIndexSort, Sorter.java)
 IDXSORT_CONFIG = IndexConfig(
@@ -604,6 +641,47 @@ ranked as (
 select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
+"""
+
+
+def sql_expression_sort(k: int = 10) -> str:
+    """Expression-sort oracle: single-term f32 BM25 score widened to
+    double, then each qid's expression in plain double SQL math."""
+    return f"""{_PRELUDE},
+tf1 as (
+  select tok.doc_id, count(*)::bigint as tf from tok
+  where tok.term = 'data' group by 1
+),
+df1 as (select count(distinct doc_id) as df from tok where term = 'data'),
+sc as (
+  select tf1.doc_id,
+         cast(w.w - w.w / (cast(1 as float) + cast(tf1.tf as float) * f.inv)
+              as double) as s,
+         cast(d.n_chars as double) as nc
+  from tf1
+  cross join (
+    select cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5))
+                as float) as w
+    from df1
+  ) w
+  join fnorm f on f.doc_id = tf1.doc_id
+  join documents d on d.doc_id = tf1.doc_id
+),
+vals as (
+  select 0 as qid, doc_id, s + 0.1 * sqrt(nc) as v from sc
+  union all
+  select 1, doc_id, s * 2 - 1 from sc
+  union all
+  select 2, doc_id, greatest(s, 1 / nc) + sqrt(nc) / 10 from sc
+),
+ranked as (
+  select qid, doc_id, v,
+         row_number() over (partition by qid order by v desc, doc_id asc) as rn
+  from vals
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       v as expr_val
+from ranked where rn <= {k}
 """
 
 

@@ -792,6 +792,74 @@ class IndexSearcher:
             "relation": "EQ",
         }
 
+    def search_expr(
+        self,
+        query,
+        expr,
+        k: int = 10,
+        descending: bool = True,
+    ) -> dict:
+        """Expression sort — rank the match set by a compiled arithmetic
+        expression over doc-values fields and ``_score`` (the
+        ``ExpressionSortField`` / ``DoubleValuesSource`` surface,
+        ``lucene/expressions/src/java/org/apache/lucene/expressions/
+        ExpressionSortField.java``). ``expr`` is a source string or a
+        compiled ``Expression``; all math is float64 like the
+        reference's double-valued expressions. Ties break by
+        (segment order, docid) like every other collector here.
+
+        → {"docids", "keys", "expr_values", "scores", "total_hits",
+        "relation"}.
+        """
+        from lucene_ray.search.expressions import Expression
+
+        if isinstance(expr, str):
+            expr = Expression(expr)
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        rows = []  # (sort_key, seg_idx, docid, value, score)
+        total = 0
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            total += len(r.docids)
+            if len(r.docids) == 0:
+                continue
+            bindings = {}
+            take = pa.array(r.docids.astype(np.int64))
+            for var in expr.variables:
+                if var == "_score":
+                    bindings["_score"] = r.scores.astype(np.float64)
+                else:
+                    bindings[var] = np.asarray(
+                        seg.dv(var).take(take), dtype=np.float64
+                    )
+            vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+            if vals.shape == ():  # constant expression
+                vals = np.full(len(r.docids), float(vals))
+            skey = -vals if descending else vals
+            sel = np.lexsort((r.docids, skey))[:k]
+            for i in sel:
+                rows.append(
+                    (skey[i], si, int(r.docids[i]), vals[i], float(r.scores[i]))
+                )
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        rows = rows[:k]
+        docids = np.array(
+            [self.segments[si].base_docid + d for _, si, d, _, _ in rows],
+            dtype=np.int64,
+        )
+        keys = [self.segments[si].docmap[d].as_py() for _, si, d, _, _ in rows]
+        return {
+            "docids": docids,
+            "keys": keys,
+            "expr_values": [float(v) for *_, v, _ in rows],
+            "scores": np.array([s for *_, s in rows], dtype=F32),
+            "total_hits": total,
+            "relation": "EQ",
+        }
+
     def facet_counts(self, query, facet_field: str) -> pa.Table:
         """Facet counting over the query's match set — the
         ``lucene/facet`` ``Facets.getTopChildren`` role
