@@ -52,7 +52,11 @@ from lucene_ray.search.query import (
     parse_query,
     query_terms,
 )
+from lucene_ray.search.querycache import LRUQueryCache
 from lucene_ray.search.sloppy import sloppy_phrase_freq
+
+# sentinel: "caller did not pass query_cache" (None means disabled)
+_DEFAULT_CACHE = object()
 from lucene_ray.search.multiterm import (
     damerau_levenshtein,
     levenshtein,
@@ -74,12 +78,15 @@ class SegmentResult:
 class IndexSearcher:
     """Open once (per process / per Ray actor), search many times."""
 
-    def __init__(self, index_dir: str, similarity=None):
+    def __init__(self, index_dir: str, similarity=None, query_cache=_DEFAULT_CACHE):
         """``similarity``: a ``BM25Similarity`` (default; full pruned +
         phrase/multiterm support) or any ``search.similarities.Similarity``
         (classic TF-IDF, LMDirichlet, boolean — term/boolean/range/match-all
         queries, exhaustive path). A registry name string also works
-        (``Codec.forName`` analogue)."""
+        (``Codec.forName`` analogue).
+
+        ``query_cache``: an ``LRUQueryCache`` (default: fresh instance),
+        or None to disable constant-score match-set caching."""
         man = load_manifest(index_dir)
         if man is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -125,6 +132,11 @@ class IndexSearcher:
         )
         self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
         self._gmax_cache: Dict[tuple, np.ndarray] = {}
+        # constant-score match-set cache (LRUQueryCache role); pass
+        # query_cache=None to disable
+        self.query_cache: Optional[LRUQueryCache] = (
+            query_cache if query_cache is not _DEFAULT_CACHE else LRUQueryCache()
+        )
 
     # -- stats gathering (TermStates analogue) -----------------------------
 
@@ -278,8 +290,16 @@ class IndexSearcher:
         """MultiTermQuery: dictionary expansion → union of matched terms'
         doc sets, constant score = boost (``MultiTermQuery`` constant-
         score rewrite; ``PrefixQuery.java`` / ``WildcardQuery.java`` /
-        ``FuzzyQuery.java``)."""
+        ``FuzzyQuery.java``). Match sets are LRU-cached per (query,
+        segment) — dictionary scans are the expensive-to-recompute,
+        cheap-to-reuse case ``LRUQueryCache`` exists for."""
         seg = self.segments[seg_idx]
+        cached = self.query_cache.get(q, seg) if self.query_cache is not None else None
+        if cached is not None:
+            return self._live(
+                seg,
+                SegmentResult(cached, np.full(len(cached), F32(q.boost))),
+            )
         fprefix = term_key(q.field, "")
         if isinstance(q, PrefixQuery):
             key_prefix = term_key(q.field, q.prefix)
@@ -302,15 +322,23 @@ class IndexSearcher:
             key_prefix, match, exclude_field_sep=(q.field == DEFAULT_FIELD)
         )
         if not matches:
-            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            ids = np.empty(0, np.uint32)
+            if self.query_cache is not None:
+                self.query_cache.put(q, seg, ids)
+            return SegmentResult(ids, np.empty(0, F32))
         id_sets = [seg.decoded(ti)[0] for _, ti in matches]
         ids = (
             np.unique(np.concatenate(id_sets))
             if len(id_sets) > 1
             else id_sets[0]
         )
-        return SegmentResult(
-            ids.astype(np.uint32), np.full(len(ids), F32(q.boost))
+        if self.query_cache is not None:
+            self.query_cache.put(q, seg, ids.astype(np.uint32))
+        return self._live(
+            seg,
+            SegmentResult(
+                ids.astype(np.uint32), np.full(len(ids), F32(q.boost))
+            ),
         )
 
     def _eval_synonym(self, q, seg_idx: int, states) -> SegmentResult:
@@ -350,10 +378,17 @@ class IndexSearcher:
 
     def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
         """Doc-values range filter, constant-score (``PointRangeQuery`` /
-        ``SortedNumericDocValuesRangeQuery`` role)."""
+        ``SortedNumericDocValuesRangeQuery`` role). Match sets are
+        LRU-cached per (query, segment) (``LRUQueryCache``)."""
         import pyarrow.compute as pc
 
         seg = self.segments[seg_idx]
+        cached = self.query_cache.get(q, seg) if self.query_cache is not None else None
+        if cached is not None:
+            return self._live(
+                seg,
+                SegmentResult(cached, np.full(len(cached), F32(q.boost))),
+            )
         col = seg.dv(q.field)
         mask: Optional[pa.ChunkedArray] = None
 
@@ -370,6 +405,8 @@ class IndexSearcher:
             mask = pc.is_valid(col)
         m = np.asarray(pc.fill_null(mask, False))
         ids = np.flatnonzero(m).astype(np.uint32)
+        if self.query_cache is not None:
+            self.query_cache.put(q, seg, ids)
         return self._live(
             seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
         )
