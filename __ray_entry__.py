@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "synonym_search": sq.synonym_search,
+        "combined_field_topk": sq.combined_field_topk,
         "grouped_topk": sq.grouped_topk,
         "prefix_search": sq.prefix_search,
         "wildcard_search": sq.wildcard_search,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),
         "synonym_search": sq.sql_synonym_search(),
+        "combined_field_topk": sq.sql_combined_field_topk(),
         "grouped_topk": sq.sql_grouped_topk(),
         "prefix_search": sq.sql_prefix_search(),
         "wildcard_search": sq.sql_wildcard_search(),

@@ -36,6 +36,7 @@ from lucene_ray.index.manifest import (
     segment_dir,
 )
 from lucene_ray.index.segment import (
+    add_extra_text_postings,
     add_keyword_postings,
     invert_texts,
     write_segment,
@@ -115,6 +116,7 @@ def build_partition(
         with open(os.path.join(sdir, "meta.json")) as f:
             return json.load(f)
     cols = [config.key_col, config.text_col]
+    cols += [c for c in config.extra_text_cols if c not in cols]
     cols += [c for c in config.keyword_cols if c not in cols]
     cols += [c for c in config.dv_cols if c not in cols]
     tbl = read_partition(
@@ -144,10 +146,23 @@ def build_partition(
     )
     texts = tbl.column(config.text_col).to_pylist()
     inv = invert_texts(texts, analyzer, with_positions=config.positions)
+    field_norms: dict = {}
+    field_stats: dict = {}
+    if config.extra_text_cols:
+        field_invs = {
+            c: invert_texts(
+                tbl.column(c).to_pylist(), analyzer, config.positions
+            )
+            for c in config.extra_text_cols
+        }
+        inv, field_stats, field_norms = add_extra_text_postings(
+            inv, field_invs, config.positions
+        )
     kw_stats: dict = {}
     if config.keyword_cols:
         kw_cols = {c: tbl.column(c).to_pylist() for c in config.keyword_cols}
         inv, kw_stats = add_keyword_postings(inv, kw_cols, config.positions)
+    kw_stats.update(field_stats)
     dv_table = (
         tbl.select(list(config.dv_cols)) if config.dv_cols else None
     )
@@ -170,6 +185,7 @@ def build_partition(
         },
         dv_table=dv_table,
         kw_stats=kw_stats,
+        field_norms=field_norms,
     )
     return meta
 

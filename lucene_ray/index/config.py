@@ -38,6 +38,13 @@ class IndexConfig:
     - ``keyword_cols`` — untokenized DOCS-only fields with norms omitted
       (``StringField.java:27-42``): url / lang style exact-match filters.
       Values index verbatim (no analyzer), term freq is 1, no positions.
+    - ``extra_text_cols`` — ADDITIONAL tokenized fields (multi-field
+      ``TextField`` documents, e.g. title + body). Each is analyzed with
+      the same analyzer (the reference's ``CombinedFieldQuery`` likewise
+      assumes one shared analyzer), terms enter the shared dictionary
+      under ``field + U+001F + term`` keys, and each field keeps its own
+      SmallFloat norms (``norms_<field>.bin``) + collection stats —
+      the per-field ``FieldInfos``/``Terms`` role.
     - ``dv_cols`` — per-doc columns stored column-wise in the segment
       (``dv.parquet``), the ``DocValues`` role: range filters, field
       sort, faceting (``core/index/DocValuesType.java:25-51``).
@@ -56,6 +63,7 @@ class IndexConfig:
     hot_term_df_ratio: float = 0.10
     num_salts: int = 8
     keyword_cols: Tuple[str, ...] = ()
+    extra_text_cols: Tuple[str, ...] = ()
     dv_cols: Tuple[str, ...] = ()
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
@@ -82,6 +90,7 @@ class IndexConfig:
             "hot_term_df_ratio": self.hot_term_df_ratio,
             "num_salts": self.num_salts,
             "keyword_cols": list(self.keyword_cols),
+            "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
             "index_sort": list(self.index_sort) if self.index_sort else None,
         }
@@ -99,6 +108,7 @@ class IndexConfig:
             hot_term_df_ratio=d.get("hot_term_df_ratio", 0.10),
             num_salts=d.get("num_salts", 8),
             keyword_cols=tuple(d.get("keyword_cols", ())),
+            extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
             index_sort=(
                 tuple(d["index_sort"]) if d.get("index_sort") else None

@@ -371,6 +371,17 @@ def _finalize_merge(
     norm_bytes = norms.tobytes()
     with open(os.path.join(tmp_dir, "norms.bin"), "wb") as f:
         f.write(norm_bytes)
+    # extra tokenized fields' norms concatenate (and re-sort) identically
+    text_fields = sorted(readers[0].meta.get("text_fields") or [])
+    field_norm_crcs: Dict[str, int] = {}
+    for f_ in text_fields:
+        fn = np.concatenate([r.norms_for(f_) for r in readers])
+        if old_of_new is not None:
+            fn = fn[old_of_new]
+        fb = fn.tobytes()
+        with open(os.path.join(tmp_dir, f"norms_{f_}.bin"), "wb") as fh:
+            fh.write(fb)
+        field_norm_crcs[f"norms_{f_}.bin"] = _zlib.crc32(fb)
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
     # tombstones carry forward (concatenated like norms): global docids
     # are the rank tie-break contract, so merges never compact holes —
@@ -403,6 +414,7 @@ def _finalize_merge(
             for k in agg:
                 agg[k] += int(st[k])
     checksums: Dict[str, int] = {"norms.bin": _zlib.crc32(norm_bytes)}
+    checksums.update(field_norm_crcs)
     for br in bucket_results:
         checksums.update(br["checksums"])
     build_s = time.time() - t0
@@ -430,6 +442,7 @@ def _finalize_merge(
         "positions": bool(readers[0].meta["positions"]),
         "key_type": readers[0].meta["key_type"],
         "kw_stats": kw_stats,
+        "text_fields": text_fields,
         "dv_cols": dv_cols,
         "checksums": checksums,
         "lineage": lineage,

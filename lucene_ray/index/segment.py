@@ -377,6 +377,121 @@ def add_keyword_postings(
     return merged, kw_stats
 
 
+def add_extra_text_postings(
+    inv: InvertedBatch,
+    field_invs: "Dict[str, InvertedBatch]",
+    with_positions: bool,
+) -> Tuple[InvertedBatch, Dict[str, dict], Dict[str, np.ndarray]]:
+    """Merge ADDITIONAL tokenized fields' inverted batches into the main
+    one — the multi-field ``IndexingChain`` role (one ``FieldInvertState``
+    per field, ``core/index/IndexingChain.java``). Terms from field *f*
+    enter the shared dictionary under ``f + U+001F + term`` keys with
+    full freqs/positions; each field keeps its own doc-length norms.
+
+    Returns ``(merged_batch, {field: {doc_count, sum_ttf}}, {field:
+    uint8 norms})``. The merge is one argsort over the combined term-key
+    array + vectorized range gathers (no per-term Python loop).
+    """
+    from lucene_ray.codecs.smallfloat import encode_norms as _enc
+
+    field_stats: Dict[str, dict] = {}
+    field_norms: Dict[str, np.ndarray] = {}
+    sources: List[Tuple[np.ndarray, InvertedBatch]] = []
+    # main field first (bare keys)
+    keys_parts: List[np.ndarray] = [np.asarray(inv.terms.to_pylist(), dtype=object)]
+    sources.append(inv)
+    for fieldname in sorted(field_invs):
+        fb = field_invs[fieldname]
+        field_stats[fieldname] = {
+            "doc_count": int((fb.doc_lengths > 0).sum()),
+            "sum_ttf": int(fb.doc_lengths.sum()),
+        }
+        field_norms[fieldname] = _enc(fb.doc_lengths)
+        keys_parts.append(
+            np.asarray(
+                [term_key(fieldname, t) for t in fb.terms.to_pylist()],
+                dtype=object,
+            )
+            if len(fb.terms)
+            else np.empty(0, dtype=object)
+        )
+        sources.append(fb)
+    if not field_invs:
+        return inv, field_stats, field_norms
+
+    all_keys = np.concatenate(keys_parts)
+    if len(all_keys) == 0:
+        return inv, field_stats, field_norms
+    # per-term (df, pair-start) across concatenated sources
+    dfs_parts, starts_parts, pos_lens_parts, pos_starts_parts = [], [], [], []
+    pair_arrs_id, pair_arrs_tf, pos_arrs = [], [], []
+    pair_base = 0
+    pos_base = 0
+    for src in sources:
+        ts = src.term_starts
+        dfs_parts.append((ts[1:] - ts[:-1]).astype(np.int64))
+        starts_parts.append(ts[:-1].astype(np.int64) + pair_base)
+        pair_arrs_id.append(src.pair_docids)
+        pair_arrs_tf.append(src.pair_tfs)
+        pair_base += len(src.pair_docids)
+        if with_positions:
+            ps = (
+                src.pos_starts
+                if src.pos_starts is not None
+                else np.zeros(len(ts), dtype=np.int64)
+            )
+            pos_lens_parts.append((ps[1:] - ps[:-1]).astype(np.int64))
+            pos_starts_parts.append(ps[:-1].astype(np.int64) + pos_base)
+            parr = (
+                src.positions
+                if src.positions is not None
+                else np.empty(0, np.uint32)
+            )
+            pos_arrs.append(parr)
+            pos_base += len(parr)
+    dfs = np.concatenate(dfs_parts)
+    starts = np.concatenate(starts_parts)
+    big_ids = np.concatenate(pair_arrs_id)
+    big_tfs = np.concatenate(pair_arrs_tf)
+    order = np.argsort(all_keys, kind="stable")  # keys unique across fields
+
+    def _range_gather(starts_o, lens_o, total):
+        # flat indices covering [s, s+len) for each ordered term
+        if total == 0:
+            return np.empty(0, np.int64)
+        rep_starts = np.repeat(starts_o, lens_o)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_o) - lens_o, lens_o
+        )
+        return rep_starts + offs
+
+    lens_o = dfs[order]
+    gi = _range_gather(starts[order], lens_o, int(lens_o.sum()))
+    new_term_starts = np.concatenate(
+        [[0], np.cumsum(lens_o)]
+    ).astype(np.int64)
+    positions = None
+    new_pos_starts = None
+    if with_positions:
+        plens = np.concatenate(pos_lens_parts)
+        pstarts = np.concatenate(pos_starts_parts)
+        plens_o = plens[order]
+        big_pos = np.concatenate(pos_arrs) if pos_arrs else np.empty(0, np.uint32)
+        pg = _range_gather(pstarts[order], plens_o, int(plens_o.sum()))
+        positions = big_pos[pg]
+        new_pos_starts = np.concatenate([[0], np.cumsum(plens_o)]).astype(np.int64)
+    merged = InvertedBatch(
+        terms=pa.array(all_keys[order].tolist(), pa.large_string()),
+        term_starts=new_term_starts,
+        pair_docids=big_ids[gi],
+        pair_tfs=big_tfs[gi],
+        positions=positions,
+        pos_starts=new_pos_starts,
+        doc_lengths=inv.doc_lengths,
+    )
+    return merged, field_stats, field_norms
+
+
 # --------------------------------------------------------------------------
 # segment writer
 # --------------------------------------------------------------------------
@@ -391,6 +506,7 @@ def write_segment(
     extra_meta: Optional[dict] = None,
     dv_table: Optional[pa.Table] = None,
     kw_stats: Optional[dict] = None,
+    field_norms: Optional[Dict[str, np.ndarray]] = None,
 ) -> dict:
     """Write one segment atomically (tmp dir + rename). Returns meta dict.
 
@@ -413,6 +529,9 @@ def write_segment(
         checksums[name] = zlib.crc32(data)
 
     put("norms.bin", norms.tobytes())
+    for fname in sorted(field_norms or {}):
+        # per-field norms for extra tokenized fields (PerField norms role)
+        put(f"norms_{fname}.bin", field_norms[fname].tobytes())
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
     if dv_table is not None and dv_table.num_columns:
         # doc-values column store, row-aligned with local docids
@@ -507,6 +626,7 @@ def write_segment(
         "key_type": str(keys.type),
         "index_sort": list(config.index_sort) if config.index_sort else None,
         "kw_stats": kw_stats or {},
+        "text_fields": sorted(field_norms or {}),
         "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
         "checksums": checksums,
         "metrics": {
@@ -555,6 +675,7 @@ class SegmentReader:
         self.base_docid = int(self.meta["base_docid"])
         self.n_docs = int(self.meta["n_docs"])
         self.norms = np.fromfile(os.path.join(seg_dir, "norms.bin"), dtype=np.uint8)
+        self._field_norms: Dict[str, np.ndarray] = {}
         self.n_parts = int(self.meta["n_parts"])
         self._terms: List[dict] = []
         self._post_mm: List[np.ndarray] = []
@@ -739,6 +860,25 @@ class SegmentReader:
                 self._decode_cache_pos.clear()
                 self._decode_cache_bytes = hit.nbytes
             self._decode_cache_pos[key] = hit
+        return hit
+
+    # -- norms -------------------------------------------------------------
+
+    def norms_for(self, fieldname: str) -> np.ndarray:
+        """Per-field SmallFloat norms. The default text field uses
+        ``norms.bin``; extra tokenized fields load ``norms_<field>.bin``
+        lazily (per-field ``NumericDocValues`` norms role)."""
+        from lucene_ray.index.config import DEFAULT_FIELD
+
+        if fieldname == DEFAULT_FIELD:
+            return self.norms
+        hit = self._field_norms.get(fieldname)
+        if hit is None:
+            path = os.path.join(self.seg_dir, f"norms_{fieldname}.bin")
+            if not os.path.exists(path):
+                raise KeyError(f"segment has no norms for field {fieldname!r}")
+            hit = np.fromfile(path, dtype=np.uint8)
+            self._field_norms[fieldname] = hit
         return hit
 
     # -- doc values --------------------------------------------------------

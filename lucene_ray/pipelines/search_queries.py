@@ -963,3 +963,217 @@ select cast(qid as int) as qid, doc_id
 from documents, phrases
 where (' ' || text || ' ') like ('% ' || p || ' %')
 """
+
+
+# -- CombinedFieldQuery (BM25F) --------------------------------------------
+# A second tokenized field is derived DETERMINISTICALLY from the corpus
+# (title = first CF_TITLE_LEN whitespace tokens of text) in a streaming
+# map_batches pass, indexed via IndexConfig.extra_text_cols, and queried
+# with CombinedFieldQuery(text^1 + title^2) through the searcher actor
+# pool. The DuckDB oracle replicates the BM25F algebra bit-exactly
+# (integer weights keep every float32 accumulation exact):
+# ``core/search/CombinedFieldQuery.java:228-243,292-312``,
+# ``core/search/MultiNormsLeafSimScorer.java:168-180``.
+
+CF_TITLE_LEN = 8
+CF_FIELDS = (("text", 1.0), ("title", 2.0))
+CF_QUERIES: List[Tuple[int, str]] = [
+    (0, "data"),
+    (1, "spark"),
+    (2, "query"),
+    (3, "the"),
+    (4, "stream"),
+    (5, "zzzabsent"),
+]
+
+CF_CONFIG = IndexConfig(
+    rows_per_segment=2048, num_buckets=2, extra_text_cols=("title",)
+)
+
+
+def make_cfq(term: str):
+    """Picklable query factory for the actor pool."""
+    from lucene_ray.search.query import CombinedFieldQuery
+
+    return CombinedFieldQuery(term=term, fields=CF_FIELDS)
+
+
+def _cf_index(sf_dir: str) -> str:
+    """Derive the title column (streaming, vectorized Arrow kernels) and
+    build/cache the two-text-field index."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_ray.pipelines.index_cache import CACHE_ROOT
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"cf:{os.path.abspath(docs)}:{os.path.getmtime(docs)}:{CF_TITLE_LEN}:"
+        f"{sorted(CF_CONFIG.to_json().items())}".encode()
+    ).hexdigest()[:16]
+    derived = os.path.join(CACHE_ROOT, f"cfdocs_{tag}")
+    marker = os.path.join(derived, "_DONE")
+    if not os.path.exists(marker):
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+
+        def add_title(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b.column("text"), pattern=" ")
+            title = pc.binary_join(
+                pc.list_slice(toks, 0, CF_TITLE_LEN), " "
+            )
+            return b.append_column("title", title)
+
+        ds.map_batches(add_title, batch_format="pyarrow").write_parquet(derived)
+        with open(marker, "w"):
+            pass
+    idx = os.path.join(CACHE_ROOT, f"cfidx_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        from lucene_ray.index.build import build_index
+
+        os.makedirs(idx, exist_ok=True)
+        build_index(
+            [
+                os.path.join(derived, f)
+                for f in sorted(os.listdir(derived))
+                if f.endswith(".parquet")
+            ],
+            idx,
+            CF_CONFIG,
+        )
+    return idx
+
+
+def combined_field_topk(sf_dir: str):
+    import ray.data
+
+    idx = _cf_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in CF_QUERIES]
+    )
+    res = search_dataset(
+        idx, qds, k=K, concurrency=2, query_factory=make_cfq
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_combined_field_topk() -> str:
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in CF_QUERIES)
+    return f"""
+with base as (
+  select doc_id, text,
+         array_to_string(list_slice(string_split(text, ' '), 1, {CF_TITLE_LEN}), ' ') as title
+  from documents
+),
+tok as (
+  select doc_id, t.term from base, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+ttok as (
+  select doc_id, t.term from base, unnest(string_split(title, ' ')) as t(term)
+  where t.term <> ''
+),
+len_t as (select doc_id, count(*)::bigint as len from tok group by doc_id),
+len_ti as (select doc_id, count(*)::bigint as len from ttok group by doc_id),
+alldocs as (
+  select b.doc_id, coalesce(lt.len, 0) as len_text, coalesce(li.len, 0) as len_title
+  from base b left join len_t lt using (doc_id) left join len_ti li using (doc_id)
+),
+stats as (
+  select greatest(count(*) filter (where len_text > 0),
+                  count(*) filter (where len_title > 0)) as doc_count,
+         (sum(len_text) + 2 * sum(len_title))::bigint as sum_ttf
+  from alldocs
+),
+nt as (
+  select b, case when b < 24 then b
+           else 24 + (case when ((b-24)>>3) - 1 = -1 then (b-24)&7
+                      else (((b-24)&7)|8) << (((b-24)>>3) - 1) end)
+           end as dec
+  from (select unnest(range(256)) as b)
+),
+nb_t as (
+  select a.doc_id, max(nt.b) as nb from alldocs a join nt on nt.dec <= a.len_text
+  group by a.doc_id
+),
+nb_ti as (
+  select a.doc_id, max(nt.b) as nb from alldocs a join nt on nt.dec <= a.len_title
+  group by a.doc_id
+),
+cnorm as (
+  select a.doc_id, (n1.dec + 2 * n2.dec)::bigint as val
+  from alldocs a
+  join nb_t t on t.doc_id = a.doc_id join nt n1 on n1.b = t.nb
+  join nb_ti ti on ti.doc_id = a.doc_id join nt n2 on n2.b = ti.nb
+),
+cnb as (
+  select c.doc_id, max(nt.b) as nb from cnorm c join nt on nt.dec <= c.val
+  group by c.doc_id
+),
+finv as (
+  select cb.doc_id,
+         cast(1 as float) / (cast(1.2 as float) * ((cast(1 as float) - cast(0.75 as float))
+           + (cast(0.75 as float) * cast(nt.dec as float))
+             / (select cast(sum_ttf / cast(doc_count as double) as float) from stats)))
+         as inv
+  from cnb cb join nt on nt.b = cb.nb
+),
+qterms(qid, term) as (values {qvals}),
+df_t as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+df_ti as (
+  select term, count(distinct doc_id) as df from ttok
+  where term in (select term from qterms) group by term
+),
+dfq as (
+  select q.qid, greatest(coalesce(dt.df, 0), coalesce(dti.df, 0)) as df
+  from qterms q
+  left join df_t dt on dt.term = q.term
+  left join df_ti dti on dti.term = q.term
+),
+tf_t as (
+  select q.qid, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term group by 1, 2
+),
+tf_ti as (
+  select q.qid, ttok.doc_id, count(*)::bigint as tf
+  from qterms q join ttok on ttok.term = q.term group by 1, 2
+),
+matched as (
+  select coalesce(a.qid, b.qid) as qid, coalesce(a.doc_id, b.doc_id) as doc_id,
+         cast(coalesce(a.tf, 0) + 2 * coalesce(b.tf, 0) as float) as freq
+  from tf_t a full outer join tf_ti b on a.qid = b.qid and a.doc_id = b.doc_id
+),
+tscore as (
+  select m.qid, m.doc_id, w.w - w.w / (cast(1 as float) + m.freq * f.inv) as s
+  from matched m
+  join (
+    select d.qid,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from dfq d where d.df > 0
+  ) w on w.qid = m.qid
+  join finv f on f.doc_id = m.doc_id
+),
+ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""

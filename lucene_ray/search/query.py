@@ -121,6 +121,32 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery:
+    """One term scored against a SYNTHETIC field that is the
+    weight-blended union of several tokenized fields — BM25F
+    (``core/search/CombinedFieldQuery.java:46-80``): pseudo term stats
+    take ``df = max`` over fields and ``ttf = Σ weight·ttf``; pseudo
+    collection stats take ``docCount/maxDoc/sumDocFreq = max`` and
+    ``sumTotalTermFreq = Σ weight·sumTtf``; per doc the frequency is
+    ``Σ weight·tf_field`` and the norm re-encodes
+    ``round(Σ weight·decoded_norm_field)`` through SmallFloat
+    (``MultiNormsLeafSimScorer.java:168-180``). Weights must be ≥ 1
+    (``CombinedFieldQuery.Builder.addField``)."""
+
+    term: str
+    fields: Tuple[Tuple[str, float], ...]  # (field, weight), field-sorted
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "fields", tuple(sorted((f, float(w)) for f, w in self.fields))
+        )
+        for f, w in self.fields:
+            if w < 1:
+                raise ValueError(f"field weight must be >= 1, got {f}={w}")
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
@@ -136,6 +162,7 @@ Query = Union[
     WildcardQuery,
     FuzzyQuery,
     SynonymQuery,
+    CombinedFieldQuery,
 ]
 
 
@@ -328,6 +355,8 @@ def query_terms(q: Query) -> List[str]:
         return list(q.terms)  # phrases are text-field (bare keys)
     if isinstance(q, SynonymQuery):
         return [term_key(q.field, t) for t in q.terms]
+    if isinstance(q, CombinedFieldQuery):
+        return [term_key(f, q.term) for f, _ in q.fields]
     if isinstance(q, BooleanQuery):
         out: List[str] = []
         for _, sub in q.clauses:

@@ -39,6 +39,7 @@ from lucene_ray.search.query import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    CombinedFieldQuery,
     FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
@@ -65,6 +66,44 @@ from lucene_ray.search.multiterm import (
 )
 
 F32 = np.float32
+
+
+_QUERY_TYPES = {
+    c.__name__: c
+    for c in (
+        TermQuery,
+        PhraseQuery,
+        BooleanQuery,
+        MatchAllQuery,
+        RangeQuery,
+        PrefixQuery,
+        WildcardQuery,
+        FuzzyQuery,
+        SynonymQuery,
+        CombinedFieldQuery,
+    )
+}
+
+
+def localize_query(q):
+    """Rebuild a Query tree with THIS module's classes. Under cloudpickle
+    pickle-by-value (``__ray_entry__`` registers the package by value so
+    workers without the repo on sys.path still deserialize), a Query
+    constructed from a runtime import and a searcher deserialized from a
+    by-value copy hold two distinct class objects with the same name —
+    isinstance dispatch would miss. Identity-normalizing at the search
+    entry makes the engine agnostic to how the plan crossed the wire."""
+    import dataclasses
+
+    cls = _QUERY_TYPES.get(type(q).__name__)
+    if cls is None or type(q) is cls:
+        return q
+    if cls is BooleanQuery:
+        return BooleanQuery(
+            tuple((o, localize_query(s)) for o, s in q.clauses),
+            q.minimum_should_match,
+        )
+    return cls(**{f.name: getattr(q, f.name) for f in dataclasses.fields(cls)})
 
 
 @dataclass
@@ -126,6 +165,10 @@ class IndexSearcher:
         # reference's norms==null path passes norm=1L to SimScorer.score.
         self.per_field: Dict[str, dict] = dict(fs.get("per_field", {}))
         self._kw_inv: Dict[str, np.float32] = {}
+        # extra tokenized fields (multi-field TextField documents): these
+        # score with their own norms + avgdl, unlike keyword fields
+        self.text_fields = frozenset(self.config.extra_text_cols)
+        self._field_inv_tables: Dict[str, np.ndarray] = {}
         self.analyzer = Analyzer(
             stopwords=self.config.stopwords,
             max_token_length=self.config.max_token_length,
@@ -187,6 +230,18 @@ class IndexSearcher:
             self._kw_inv[fieldname] = hit
         return hit
 
+    def _field_norm_inverse(self, fieldname: str) -> np.ndarray:
+        """float32[256] norm-inverse table for an EXTRA TOKENIZED field
+        (its own avgdl from per-field stats; per-field norms live in
+        ``norms_<field>.bin``)."""
+        hit = self._field_inv_tables.get(fieldname)
+        if hit is None:
+            dc, sttf = self._field_stats(fieldname)
+            avgdl = F32(sttf / float(dc)) if dc else F32(1)
+            hit = self.sim.norm_inverse_cache(avgdl)
+            self._field_inv_tables[fieldname] = hit
+        return hit
+
     def _field_stats(self, fieldname: str) -> Tuple[int, int]:
         """(doc_count, sum_ttf) of a field — the ``CollectionStatistics``
         handed to ``Similarity.scorer`` (``core/search/CollectionStatistics.java``)."""
@@ -226,12 +281,18 @@ class IndexSearcher:
             w = self._term_weight(df, boost, fieldname)
             if fieldname == DEFAULT_FIELD:
                 inv = self.norm_inverse[seg.norms[ids]]
+            elif fieldname in self.text_fields:
+                inv = self._field_norm_inverse(fieldname)[
+                    seg.norms_for(fieldname)[ids]
+                ]
             else:
                 inv = self._kw_norm_inv(fieldname)
             return w - w / (F32(1.0) + freqs.astype(F32) * inv)
         scorer = self._generic_scorer(fieldname, df, ttf, boost)
         if fieldname == DEFAULT_FIELD:
             nb = seg.norms[ids]
+        elif fieldname in self.text_fields:
+            nb = seg.norms_for(fieldname)[ids]
         else:
             nb = np.full(len(ids), 1, dtype=np.uint8)
         return scorer.score(freqs, nb)
@@ -280,6 +341,8 @@ class IndexSearcher:
             return self._eval_range(q, seg_idx)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(q, seg_idx, states)
+        if isinstance(q, CombinedFieldQuery):
+            return self._eval_combined_field(q, seg_idx, states)
         if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
             return self._eval_multiterm(q, seg_idx)
         if isinstance(q, BooleanQuery):
@@ -375,6 +438,81 @@ class IndexSearcher:
             seg, ids, freqs, df, ttf, q.boost, q.field
         )
         return self._live(seg, SegmentResult(ids.astype(np.uint32), scores))
+
+    def _eval_combined_field(self, q, seg_idx: int, states) -> SegmentResult:
+        """BM25F — ``CombinedFieldQuery`` semantics
+        (``core/search/CombinedFieldQuery.java:228-243,292-312``): one
+        term scored against a synthetic field. Pseudo term stats:
+        ``df = max`` over fields, ``ttf = Σ weight·ttf`` (accumulated
+        with the reference's long+=double truncation). Pseudo collection
+        stats: ``docCount = max``, ``sumTotalTermFreq = Σ weight·sumTtf``.
+        Per doc: ``freq = Σ weight·tf_field`` (float32) and a combined
+        norm byte ``intToByte4(round(Σ weight·decodedNorm_field))``
+        (``MultiNormsLeafSimScorer.java:168-180``) — exact vs the
+        reference for integer weights. Requires BM25 (the reference
+        requires an additive-norm similarity)."""
+        from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
+
+        if not self.is_bm25:
+            raise ValueError("CombinedFieldQuery requires BM25 similarity")
+        seg = self.segments[seg_idx]
+        empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        df = 0
+        ttf = 0
+        for f, w in q.fields:
+            _, fdf, fttf = states[term_key(f, q.term)]
+            if fdf > 0:
+                df = max(df, fdf)
+                ttf = int(ttf + w * fttf)  # long += double (truncates)
+        if df == 0:
+            return empty
+        doc_count = 0
+        sum_ttf = 0
+        for f, w in q.fields:
+            dc, sttf = self._field_stats(f)
+            doc_count = max(doc_count, dc)
+            sum_ttf = int(sum_ttf + w * sttf)
+        wgt = F32(q.boost) * bm25_idf(df, max(1, doc_count))
+        avgdl = F32(sum_ttf / float(doc_count)) if doc_count else F32(1)
+        inv_table = self.sim.norm_inverse_cache(avgdl)
+
+        # per-field postings on this segment
+        field_pairs = []  # (weight_f32, ids, freqs, norm_bytes[n_docs])
+        for f, w in q.fields:
+            ti = states[term_key(f, q.term)][0][seg_idx]
+            if ti is None:
+                continue
+            ids, freqs = seg.decoded(ti)
+            field_pairs.append((F32(w), ids, freqs, seg.norms_for(f)))
+        if not field_pairs:
+            return empty
+        if len(field_pairs) == 1:
+            w_f, ids, freqs, _ = field_pairs[0]
+            u_ids = ids
+            comb_freq = w_f * freqs.astype(F32)
+        else:
+            all_ids = np.concatenate([p[1] for p in field_pairs])
+            u_ids = np.unique(all_ids)
+            comb_freq = np.zeros(len(u_ids), dtype=F32)
+            for w_f, ids, freqs, _ in field_pairs:
+                pos = np.searchsorted(u_ids, ids)
+                # float32 accumulation in field order (exact for integer
+                # weights: integer-valued float32 sums below 2^24)
+                comb_freq[pos] += w_f * freqs.astype(F32)
+        # combined norm over ALL fields of the query (not just matching)
+        norm_val = np.zeros(len(u_ids), dtype=F32)
+        for f, w in q.fields:
+            fn = seg.norms_for(f)
+            norm_val += F32(w) * LENGTH_TABLE_INT[fn[u_ids]].astype(F32)
+        # Math.round(float) = floor(x + 0.5); re-encode through SmallFloat.
+        # intToByte4 of an int v = max byte whose decoded value <= v, and
+        # LENGTH_TABLE_INT is strictly increasing → vectorized searchsorted
+        rounded = np.floor(norm_val + F32(0.5)).astype(np.int64)
+        nb = (
+            np.searchsorted(LENGTH_TABLE_INT, rounded, side="right") - 1
+        ).astype(np.uint8)
+        scores = wgt - wgt / (F32(1.0) + comb_freq * inv_table[nb])
+        return self._live(seg, SegmentResult(u_ids.astype(np.uint32), scores))
 
     def _eval_range(self, q: RangeQuery, seg_idx: int) -> SegmentResult:
         """Doc-values range filter, constant-score (``PointRangeQuery`` /
@@ -717,6 +855,8 @@ class IndexSearcher:
         forces the exhaustive path)."""
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         # search-time rewrite: merge repeated SHOULD/MUST clauses through
         # Similarity.computeQueryTermWeight (fork k3 query-term saturation)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
@@ -784,6 +924,8 @@ class IndexSearcher:
         """
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         states = self.term_states(query_terms(query))
         # early termination when the index sort matches the query sort
@@ -854,6 +996,8 @@ class IndexSearcher:
             expr = Expression(expr)
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         states = self.term_states(query_terms(query))
         rows = []  # (sort_key, seg_idx, docid, value, score)
@@ -909,6 +1053,8 @@ class IndexSearcher:
 
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         states = self.term_states(query_terms(query))
         counts: Dict[object, int] = {}
@@ -940,6 +1086,8 @@ class IndexSearcher:
         → table (group, rank, key, docid, score)."""
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
         states = self.term_states(query_terms(query))
         per_group: Dict[object, List] = {}
@@ -1072,15 +1220,26 @@ class SearcherActor:
             {"index_dir": d, "k": 10}, concurrency=N, batch_format="pyarrow")
     """
 
-    def __init__(self, index_dir: str, k: int = 10, similarity: Optional[str] = None):
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        similarity: Optional[str] = None,
+        query_factory=None,
+    ):
         # similarity by REGISTRY NAME (picklable ctor kwargs for the
-        # actor pool; resolved per actor via similarity_for_name)
+        # actor pool; resolved per actor via similarity_for_name).
+        # ``query_factory``: optional picklable callable str -> Query for
+        # plans with no parser syntax (e.g. CombinedFieldQuery).
         self.searcher = IndexSearcher(index_dir, similarity=similarity)
         self.k = k
+        self.query_factory = query_factory
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()
         queries = batch.column("query").to_pylist()
+        if self.query_factory is not None:
+            queries = [self.query_factory(q) for q in queries]
         ks = (
             batch.column("k").to_pylist()
             if "k" in batch.column_names
@@ -1102,6 +1261,7 @@ def search_dataset(
     k: int = 10,
     concurrency: int = 4,
     similarity: Optional[str] = None,
+    query_factory=None,
 ):
     """Distributed search: queries Dataset (qid, query[, k]) → results
     Dataset (qid, rank, key, docid, score) via a searcher actor pool.
@@ -1112,6 +1272,7 @@ def search_dataset(
             "index_dir": index_dir,
             "k": k,
             "similarity": similarity,
+            "query_factory": query_factory,
         },
         concurrency=concurrency,
         batch_format="pyarrow",
