@@ -156,21 +156,47 @@ class Analyzer:
                             toks = self.tokenizer.terms(lowered_i)
                             other_toks[i] = toks
                             doc_lengths[i] = len(toks)
+                        # merge stays Arrow-native: concat the big ASCII
+                        # token array with the (rare) non-ASCII docs'
+                        # tokens and gather into final doc order with one
+                        # C take — no per-token Python objects
+                        import pyarrow as pa
+
                         final_starts = np.cumsum(doc_lengths) - doc_lengths
-                        terms = np.empty(int(doc_lengths.sum()), dtype=object)
-                        if len(terms_a):
+                        total = int(doc_lengths.sum())
+                        n_a = len(terms_a)
+                        src = np.empty(total, dtype=np.int64)
+                        if n_a:
                             a_starts = np.cumsum(lengths_a) - lengths_a
                             dest = (
                                 np.repeat(
                                     final_starts[ascii_pos] - a_starts,
                                     lengths_a,
                                 )
-                                + np.arange(len(terms_a), dtype=np.int64)
+                                + np.arange(n_a, dtype=np.int64)
                             )
-                            terms[dest] = terms_a
+                            src[dest] = np.arange(n_a, dtype=np.int64)
+                        flat_other: List[str] = []
+                        off = n_a
                         for i in other_pos:
-                            s = final_starts[i]
-                            terms[s:s + doc_lengths[i]] = other_toks[i]
+                            L = int(doc_lengths[i])
+                            s = int(final_starts[i])
+                            src[s:s + L] = np.arange(
+                                off, off + L, dtype=np.int64
+                            )
+                            flat_other.extend(other_toks[i])
+                            off += L
+                        combined = (
+                            pa.concat_arrays(
+                                [
+                                    terms_a,
+                                    pa.array(flat_other, pa.large_string()),
+                                ]
+                            )
+                            if flat_other
+                            else terms_a
+                        )
+                        terms = combined.take(pa.array(src))
                         return terms, doc_lengths, None
             elif not other_pos:
                 return (

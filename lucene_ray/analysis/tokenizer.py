@@ -71,6 +71,28 @@ _ASCII_HAS_LETTER = re.compile(r"[A-Za-z]")
 # char and not a mid-punct char, so it can never extend or join tokens)
 _ASCII_TOKEN_OR_NUL = re.compile(_ASCII_TOKEN.pattern + "|\x00")
 
+
+def _byte_lut(chars: bytes):
+    import numpy as np
+
+    lut = np.zeros(256, dtype=bool)
+    lut[list(chars)] = True
+    return lut
+
+
+# byte-class LUTs for the vectorized batched tokenizer (same classes as
+# _ASCII_TOKEN above)
+_LUT_TOK = _byte_lut(
+    b"0123456789_"
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+_LUT_DIGIT = _byte_lut(b"0123456789")
+_LUT_LETTER = _byte_lut(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+_LUT_MIDNUM = _byte_lut(b".,;'")
+_LUT_MIDLET = _byte_lut(b".:'")
+
 # --------------------------------------------------------------------------
 # Unicode word-break classification (general path)
 # --------------------------------------------------------------------------
@@ -232,53 +254,92 @@ class StandardTokenizer:
 
     def terms_flat_from_joined(self, joined: str, n_docs: int):
         """Batched ASCII hot path: ``joined`` = ``n_docs`` (already
-        lowercased, ASCII, NUL-free) texts joined by NUL. One ``findall``
-        over the whole batch replaces one regex call per document — the
-        build stage is allocation-bound at high task concurrency, and
-        shrinking per-document Python overhead is what makes the
-        index-build stage scale (BASELINE.md build-efficiency note).
+        lowercased, ASCII, NUL-free) texts joined by NUL.
+
+        Token boundaries are computed with VECTORIZED byte
+        classification — the ``_ASCII_TOKEN`` rule (base runs of
+        ``[0-9A-Za-z_]`` joined by one mid-punct with digit/letter
+        context, WB5-WB13b restricted to ASCII) is evaluated as numpy
+        LUT + shift masks over the raw bytes, and the result is built
+        directly as an Arrow ``large_string`` array from the gathered
+        byte buffer + offsets. No Python token strings exist at any
+        point — the build stage is allocation-bound at high task
+        concurrency and this is its hottest path (BASELINE.md
+        build-efficiency note). Batches containing an overlong token
+        (> ``max_token_length``) fall back to the regex path, which is
+        semantics-identical (property-tested).
 
         Returns ``(terms, doc_of_term, lengths)``:
-        ``terms`` object ndarray of token texts in document order,
-        ``doc_of_term`` int64 ndarray mapping each token to its document
-        ordinal, ``lengths`` int64[n_docs] token counts. Overlong tokens
-        are split in place (maxTokenLength split-not-drop semantics,
-        ``StandardTokenizer.java:43-80``).
+        ``terms`` Arrow large_string array of token texts in document
+        order, ``doc_of_term`` int64 ndarray mapping each token to its
+        document ordinal, ``lengths`` int64[n_docs] token counts.
+        Overlong tokens are split in place (maxTokenLength
+        split-not-drop semantics, ``StandardTokenizer.java:43-80``).
         """
         import numpy as np
+        import pyarrow as pa
 
-        toks = _ASCII_TOKEN_OR_NUL.findall(joined)
-        if not toks:
+        b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        n = len(b)
+        if n == 0:
             return (
-                np.empty(0, dtype=object),
+                pa.array([], pa.large_string()),
                 np.empty(0, dtype=np.int64),
                 np.zeros(n_docs, dtype=np.int64),
             )
+        tok = _LUT_TOK[b]
+        # a mid-punct joins two base runs iff its immediate neighbors
+        # match its class rule (regex lookaround, vectorized)
+        is_digit = _LUT_DIGIT[b]
+        is_letter = _LUT_LETTER[b]
+        left_digit = np.zeros(n, dtype=bool)
+        left_digit[1:] = is_digit[:-1]
+        right_digit = np.zeros(n, dtype=bool)
+        right_digit[:-1] = is_digit[1:]
+        left_letter = np.zeros(n, dtype=bool)
+        left_letter[1:] = is_letter[:-1]
+        right_letter = np.zeros(n, dtype=bool)
+        right_letter[:-1] = is_letter[1:]
+        m = tok | (
+            (_LUT_MIDNUM[b] & left_digit & right_digit)
+            | (_LUT_MIDLET[b] & left_letter & right_letter)
+        )
+        starts_mask = m.copy()
+        starts_mask[1:] = m[1:] & ~m[:-1]
+        starts = np.flatnonzero(starts_mask)
+        if len(starts) == 0:
+            return (
+                pa.array([], pa.large_string()),
+                np.empty(0, dtype=np.int64),
+                np.zeros(n_docs, dtype=np.int64),
+            )
+        ends_mask = m.copy()
+        ends_mask[:-1] = m[:-1] & ~m[1:]
+        ends = np.flatnonzero(ends_mask) + 1
+        lens = ends - starts
+        doc_of_term = np.cumsum(b == 0, dtype=np.int64)[starts]
         maxlen = self.max_token_length
-        if max(map(len, toks)) > maxlen:
-            # splice split chunks over the (rare) overlong tokens; the
-            # NUL separator is 1 char and never overlong
-            lens = np.fromiter(map(len, toks), np.int64, count=len(toks))
-            out: List[str] = []
-            prev = 0
-            for i in np.flatnonzero(lens > maxlen):
-                t = toks[i]
-                out.extend(toks[prev:i])
-                out.extend(t[j:j + maxlen] for j in range(0, len(t), maxlen))
-                prev = i + 1
-            out.extend(toks[prev:])
-            toks = out
-        arr = np.asarray(toks, dtype=object)
-        # NB: numpy would coerce the comparand "\x00" to a fixed-width
-        # unicode scalar and TRIM the trailing NUL (comparing against "");
-        # pandas' object-array scalar compare runs Python == per element
-        import pandas as pd
-
-        sep = (pd.Series(arr, dtype=object) == "\x00").to_numpy()
-        doc_of = np.cumsum(sep, dtype=np.int64)
-        keep = ~sep
-        terms = arr[keep]
-        doc_of_term = doc_of[keep]
+        if int(lens.max()) > maxlen:
+            # overlong tokens split into maxlen-sized chunks IN PLACE
+            # (maxTokenLength split-not-drop). Chunk slices stay
+            # contiguous sub-ranges of the original spans, so the
+            # gathered byte buffer below is unchanged — only the
+            # offsets/doc attribution fan out (vectorized repeat).
+            reps = (lens + maxlen - 1) // maxlen
+            total_out = int(reps.sum())
+            chunk_ord = np.arange(total_out, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            lens = np.minimum(np.repeat(lens, reps) - chunk_ord * maxlen, maxlen)
+            doc_of_term = np.repeat(doc_of_term, reps)
+        values = b[m].tobytes()
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        terms = pa.Array.from_buffers(
+            pa.large_utf8(),
+            len(lens),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)],
+        )
         lengths = np.bincount(doc_of_term, minlength=n_docs)
         return terms, doc_of_term, lengths
 

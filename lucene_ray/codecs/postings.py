@@ -287,57 +287,91 @@ def encode_postings_batch(
     )
     freq_blobs = batched_pack(tfs, starts, dfs, fw, single)
 
-    header_dir = np.zeros(1, dtype=_DIR_DTYPE)
-    for ti in single:
-        ti = int(ti)
-        s, e = int(starts[ti]), int(ends[ti])
-        df = e - s
-        if use_bitset[ti]:
-            span = int(last_doc[ti]) - int(first_doc[ti]) + 1
-            bs = np.zeros(((span + 7) // 8) * 8, dtype=np.uint8)
-            bs[docids[s:e] - first_doc[ti]] = 1
-            docid_data = np.packbits(bs).tobytes()
-            kind, width = 1, 0
-        else:
-            docid_data = gap_blobs[ti]
-            kind, width = 0, int(gw[ti])
-        # trim freq blob to the exact packed_size the reader expects, then
-        # keep it (padding after is harmless but offsets must be exact)
-        fwid = int(fw[ti])
-        fblob = freq_blobs[ti][: (df * fwid + 7) // 8]
-        dblob = (
-            docid_data
-            if kind == 1
-            else docid_data[: (df * width + 7) // 8]
+    # ---- pareto impacts for ALL terms at once: running max within each
+    # term's (norm asc) groups via the offset-cummax trick (term*BIG+val
+    # is monotone across term boundaries, so one np.maximum.accumulate
+    # does a segmented cummax); an impact survives iff it beats the
+    # running max of the norms before it ----
+    n_grps = len(grp_max)
+    if n_grps:
+        BIG = np.int64(1) << 32
+        cm = np.maximum.accumulate(grp_term * BIG + grp_max)
+        prev = np.empty(n_grps, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = cm[:-1]
+        keep = grp_max > (prev - grp_term * BIG)
+        imp_f_flat = grp_max[keep].astype("<u4")
+        imp_n_flat = grp_norm[keep].astype(np.uint8)
+        keep_cum = np.concatenate(
+            [[0], np.cumsum(keep, dtype=np.int64)]
         )
-        # impacts: pareto over this term's (norm asc, maxfreq) pairs
-        gs, ge = int(tgrp_starts[ti]), int(tgrp_ends[ti])
-        imp_f: List[int] = []
-        imp_n: List[int] = []
-        best = 0
-        for gi in range(gs, ge):  # norms ascending (combo sort order)
-            f = int(grp_max[gi])
-            if f > best:
-                imp_f.append(f)
-                imp_n.append(int(grp_norm[gi]))
-                best = f
-        d = header_dir
-        d["first_docid"] = first_doc[ti]
-        d["last_docid"] = last_doc[ti]
-        d["data_offset"] = 0
-        d["docid_kind"], d["docid_width"] = kind, width
-        d["freq_width"], d["freq_n_exc"] = fwid, 0
-        d["n_impacts"] = len(imp_f)
-        d["block_len"] = df
+        imp_lo = keep_cum[tgrp_starts]
+        imp_hi = keep_cum[tgrp_ends]
+    else:
+        imp_f_flat = np.empty(0, "<u4")
+        imp_n_flat = np.empty(0, np.uint8)
+        imp_lo = imp_hi = np.zeros(n_terms, dtype=np.int64)
+    imp_f_bytes = imp_f_flat.tobytes()
+    imp_n_bytes = imp_n_flat.tobytes()
+
+    # ---- batched bitset build: one zeros + one packbits for every
+    # bitset-coded term (byte-padded spans keep per-term slices aligned)
+    bt = single[use_bitset[single]]
+    bitset_slices: Dict[int, bytes] = {}
+    if len(bt):
+        spans8 = ((last_doc[bt] - first_doc[bt] + 1 + 7) // 8) * 8
+        bit_base = np.cumsum(spans8) - spans8
+        bdfs = dfs[bt]
+        total_pairs = int(bdfs.sum())
+        rep_starts = np.repeat(starts[bt], bdfs)
+        offs_in = np.arange(total_pairs, dtype=np.int64) - np.repeat(
+            np.cumsum(bdfs) - bdfs, bdfs
+        )
+        pair_idx = rep_starts + offs_in
+        rel = docids[pair_idx] - np.repeat(first_doc[bt], bdfs)
+        big_bits = np.zeros(int(spans8.sum()), dtype=np.uint8)
+        big_bits[np.repeat(bit_base, bdfs) + rel] = 1
+        packed_all = np.packbits(big_bits).tobytes()
+        for j, ti in enumerate(bt):
+            lo = int(bit_base[j]) // 8
+            bitset_slices[int(ti)] = packed_all[lo : lo + int(spans8[j]) // 8]
+
+    # ---- headers + prefixes assembled vectorized, sliced per term ----
+    n_s = len(single)
+    hdr = np.zeros(n_s, dtype=_DIR_DTYPE)
+    hdr["first_docid"] = first_doc[single]
+    hdr["last_docid"] = last_doc[single]
+    ub = use_bitset[single]
+    hdr["docid_kind"] = ub.astype(hdr["docid_kind"].dtype)
+    hdr["docid_width"] = np.where(ub, 0, gw[single])
+    hdr["freq_width"] = fw[single]
+    hdr["n_impacts"] = (imp_hi - imp_lo)[single]
+    hdr["block_len"] = dfs[single]
+    hdr_bytes = hdr.tobytes()
+    hsz = hdr.itemsize
+    prefix = np.empty((n_s, 2), dtype="<u4")
+    prefix[:, 0] = dfs[single]
+    prefix[:, 1] = 1
+    prefix_bytes = prefix.tobytes()
+
+    for j in range(n_s):
+        ti = int(single[j])
+        df = int(dfs[ti])
+        if ub[j]:
+            dblob = bitset_slices[ti]
+        else:
+            dblob = gap_blobs[ti][: (df * int(gw[ti]) + 7) // 8]
+        fblob = freq_blobs[ti][: (df * int(fw[ti]) + 7) // 8]
+        lo, hi = int(imp_lo[ti]), int(imp_hi[ti])
         out[ti] = b"".join(
-            [
-                np.array([df, 1], dtype="<u4").tobytes(),
-                d.tobytes(),
+            (
+                prefix_bytes[j * 8 : j * 8 + 8],
+                hdr_bytes[j * hsz : (j + 1) * hsz],
                 dblob,
                 fblob,
-                np.array(imp_f, dtype="<u4").tobytes(),
-                np.array(imp_n, dtype=np.uint8).tobytes(),
-            ]
+                imp_f_bytes[lo * 4 : hi * 4],
+                imp_n_bytes[lo:hi],
+            )
         )
     return out  # type: ignore[return-value]
 

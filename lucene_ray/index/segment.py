@@ -193,18 +193,32 @@ def invert_texts(
     all_terms, doc_lengths, flat_positions = analyzer.analyze_flat(texts)
     lengths = doc_lengths
 
-    # token → int code in ONE C pass (pandas factorize) — replaces the
-    # per-token Python dict loop (the TermsHashPerField role) and cuts
-    # most of the build task's Python overhead
+    # token → int code in ONE C pass — replaces the per-token Python dict
+    # loop (the TermsHashPerField role) and cuts most of the build task's
+    # Python overhead. Arrow token arrays (the batched ASCII hot path)
+    # stay Arrow end-to-end: dictionary_encode hashes contiguous UTF-8
+    # bytes, and the vocabulary sorts via a C kernel (UTF-8 byte order ==
+    # code-point order, so ordering matches the object-array argsort).
     n_terms = 0
+    arrow_terms = isinstance(all_terms, (pa.Array, pa.ChunkedArray))
     if len(all_terms):
-        import pandas as pd
+        if arrow_terms:
+            import pyarrow.compute as pc
 
-        codes_first, uniques = pd.factorize(
-            np.asarray(all_terms, dtype=object), sort=False
-        )
-        uniques = np.asarray(uniques, dtype=object)
-        n_terms = len(uniques)
+            if isinstance(all_terms, pa.ChunkedArray):
+                all_terms = all_terms.combine_chunks()
+            de = all_terms.dictionary_encode()
+            codes_first = de.indices.to_numpy(zero_copy_only=False)
+            dictionary = de.dictionary
+            n_terms = len(dictionary)
+        else:
+            import pandas as pd
+
+            codes_first, uniques = pd.factorize(
+                np.asarray(all_terms, dtype=object), sort=False
+            )
+            uniques = np.asarray(uniques, dtype=object)
+            n_terms = len(uniques)
     if n_terms == 0:
         empty64 = np.zeros(1, dtype=np.int64)
         return InvertedBatch(
@@ -219,8 +233,18 @@ def invert_texts(
 
     codes = codes_first.astype(np.int64)
     # sorted unique terms + first-appearance-code → sorted-rank mapping
-    sorted_idx = np.argsort(uniques, kind="stable")
-    sorted_terms = uniques[sorted_idx].tolist()
+    if arrow_terms:
+        import pyarrow.compute as pc
+
+        sorted_idx = pc.array_sort_indices(dictionary).to_numpy().astype(np.int64)
+        sorted_terms_arr = dictionary.take(pa.array(sorted_idx)).cast(
+            pa.large_string()
+        )
+        sorted_terms = None
+    else:
+        sorted_idx = np.argsort(uniques, kind="stable")
+        sorted_terms = uniques[sorted_idx].tolist()
+        sorted_terms_arr = None
     rank = np.empty(n_terms, dtype=np.int64)
     rank[sorted_idx] = np.arange(n_terms, dtype=np.int64)
 
@@ -251,7 +275,10 @@ def invert_texts(
     # terms aligned with the distinct ranks actually present:
     present = np.unique(pair_codes)
     if len(present) != n_terms:
-        sorted_terms = [sorted_terms[i] for i in present]
+        if arrow_terms:
+            sorted_terms_arr = sorted_terms_arr.take(pa.array(present))
+        else:
+            sorted_terms = [sorted_terms[i] for i in present]
 
     positions = None
     pos_starts = None
@@ -271,7 +298,11 @@ def invert_texts(
         pos_starts = np.append(tok_term_starts, len(positions)).astype(np.int64)
 
     return InvertedBatch(
-        terms=pa.array(sorted_terms, pa.large_string()),
+        terms=(
+            sorted_terms_arr
+            if arrow_terms
+            else pa.array(sorted_terms, pa.large_string())
+        ),
         term_starts=term_starts.astype(np.int64),
         pair_docids=pair_docids,
         pair_tfs=pair_tfs,
