@@ -140,7 +140,10 @@ def run_bench() -> dict:
     queries = build_query_set(n_docs)
     qds = ray.data.from_items(queries)
     t0 = time.time()
-    res = search_dataset(index_dir, qds, k=10, concurrency=max(2, NUM_CPUS // 2))
+    # one searcher actor per cpu: the query stage is embarrassingly
+    # parallel and actors are single-threaded — NUM_CPUS//2 measured ~2x
+    # slower at 32 cpus (half the machine idle)
+    res = search_dataset(index_dir, qds, k=10, concurrency=NUM_CPUS)
     n_rows = res.count()
     t_query = time.time() - t0
 

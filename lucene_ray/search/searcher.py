@@ -1276,5 +1276,5 @@ def search_dataset(
         },
         concurrency=concurrency,
         batch_format="pyarrow",
-        batch_size=32,
+        batch_size=16,
     )
