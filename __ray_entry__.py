@@ -44,7 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import corpus_ops as co
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
-    from lucene_ray.pipelines import knn, lsh_knn
+    from lucene_ray.pipelines import ivf_knn, knn, lsh_knn
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
 
@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": co.lang_counts,
         "text_quality": co.text_quality,
         "knn_cosine": knn.knn_cosine,
+        "knn_ivf": ivf_knn.knn_ivf,
         "knn_lsh": lsh_knn.lsh_knn,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_pairs": dedup.simhash_pairs,
@@ -121,6 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": co.sql_lang_counts(),
         "text_quality": co.sql_text_quality(),
         "knn_cosine": knn.sql_knn_cosine(),
+        # IVF with nprobe == n_lists scans every list exactly once →
+        # identical to brute force; same bit-exact oracle
+        "knn_ivf": knn.sql_knn_cosine(),
         # knn_lsh + simhash_pairs: non-SQL-expressible (LSH recall /
         # hash-based) → rows-only driver check, deliberately no oracle
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),

@@ -1,0 +1,208 @@
+"""IVF (inverted-file) approximate nearest neighbor — an INDEX-RESIDENT
+ANN over the ``embeddings`` table, the scale path the task brief asks
+for beside brute force (``knn.py``) and LSH (``lsh_knn.py``).
+
+Shape (classic IVF, e.g. the coarse-quantizer layout of FAISS-style
+systems, built Ray-Data-first):
+
+- **Build**: deterministic spherical k-means over a bounded driver-side
+  sample fits ``n_lists`` coarse centroids; the centroid matrix is
+  broadcast once (``ray.put``) and one streaming ``map_batches`` pass
+  assigns every vector to its nearest list; the table is written as
+  hive-partitioned parquet (``list=<c>/``) — the inverted file. The
+  index materializes ONCE per corpus and is reused (cache keyed on the
+  input's mtime + build params).
+- **Query**: per query, centroid similarities rank the lists; only the
+  union of the top-``nprobe`` partitions is READ AT ALL (partition
+  pruning at ``read_parquet`` — at 100 TB this touches nprobe/n_lists
+  of the data). Exact cosine re-rank inside ``map_batches`` against the
+  broadcast query matrix, per-batch partial top-k, tiny driver reduce —
+  identical final ordering rules to ``knn_cosine``.
+
+With ``nprobe == n_lists`` the scan is exhaustive and results equal
+brute force — the driver gate runs that configuration against the SAME
+bit-exact SQL oracle as ``knn_cosine``; recall at nprobe < n_lists is
+property-tested in ``tests/test_ivf_knn.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Set
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.pipelines.knn import KNN_K, QUERY_VEC_IDS, _emb_path, _load_queries
+
+N_LISTS = 8
+KMEANS_ITERS = 8
+SAMPLE_ROWS = 4096
+CACHE_ROOT = os.environ.get("LUCENE_RAY_CACHE", "/tmp/lucene_ray_idx")
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_centroids(sample: np.ndarray, n_lists: int, seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means (cosine): normalized vectors,
+    means renormalized each Lloyd iteration; empty clusters re-seeded
+    from the sample deterministically."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(x), size=min(n_lists, len(x)), replace=False)
+    cents = x[np.sort(idx)].copy()
+    for _ in range(KMEANS_ITERS):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = x[int(rng.integers(len(x)))]
+        cents = _normalize(cents)
+    return cents
+
+
+def build_ivf(sf_dir: str, n_lists: int = N_LISTS) -> str:
+    """Build (or reuse) the partitioned IVF layout; returns its dir."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    emb = _emb_path(sf_dir)
+    tag = hashlib.sha1(
+        f"ivf:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
+        f"{KMEANS_ITERS}:{SAMPLE_ROWS}".encode()
+    ).hexdigest()[:16]
+    ivf_dir = os.path.join(CACHE_ROOT, f"ivf_{tag}")
+    marker = os.path.join(ivf_dir, "_DONE")
+    if os.path.exists(marker):
+        return ivf_dir
+
+    # bounded sample from the head of the table (deterministic; at scale
+    # this is one footer-guided read, never the full table)
+    pf = pq.ParquetFile(emb)
+    batches = pf.iter_batches(batch_size=SAMPLE_ROWS, columns=["embedding"])
+    first = next(batches)
+    arr = first.column(0)
+    sample = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+    cents = train_centroids(sample, n_lists)
+    os.makedirs(ivf_dir, exist_ok=True)
+    np.save(os.path.join(ivf_dir, "centroids.npy"), cents)
+
+    c_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cm = _ray.get(c_ref)
+        a = b.column("embedding").combine_chunks()
+        m = np.asarray(a.values, dtype=np.float64).reshape(len(a), -1)
+        lists = np.argmax(_normalize(m) @ cm.T, axis=1).astype(np.int32)
+        return b.append_column("list", pa.array(lists))
+
+    ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(ivf_dir, "data"), partition_cols=["list"]
+    )
+    with open(marker, "w"):
+        pass
+    return ivf_dir
+
+
+def _probe_lists(
+    qn: np.ndarray, cents: np.ndarray, nprobe: int
+) -> List[Set[int]]:
+    """Per query: indices of the top-nprobe centroid lists."""
+    sims = qn @ cents.T
+    order = np.argsort(-sims, axis=1)[:, :nprobe]
+    return [set(int(c) for c in row) for row in order]
+
+
+def ivf_knn(sf_dir: str, nprobe: int = N_LISTS, n_lists: int = N_LISTS):
+    """→ (qid, rank, vec_id, sim_bp) like ``knn_cosine``. Reads ONLY the
+    probed list partitions; exact re-rank within them."""
+    import ray
+    import ray.data
+
+    ivf_dir = build_ivf(sf_dir, n_lists)
+    cents = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    q = _load_queries(sf_dir)
+    qn = _normalize(q.astype(np.float64))
+    probe = _probe_lists(qn, cents, nprobe)
+    needed = sorted(set().union(*probe))
+    q_ref = ray.put((qn, probe))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qm, probe_sets = _ray.get(q_ref)
+        a = b.column("embedding").combine_chunks()
+        m = np.asarray(a.values, dtype=np.float64).reshape(len(a), -1)
+        sims = _normalize(m) @ qm.T
+        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        lists = np.asarray(b.column("list").cast(pa.int64()))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            bp = np.floor(sims[mask, qi] * 10000 + 0.5).astype(np.int64)
+            vids = vec_ids[mask]
+            order = np.lexsort((vids, -bp))[:KNN_K]
+            out_q.extend([qi] * len(order))
+            out_v.extend(vids[order])
+            out_s.extend(bp[order])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_bp": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    # partition pruning: the hive `list=` filter prunes whole partition
+    # dirs at the read — only probed lists are touched at all
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+    )
+
+    needed_set = set(needed)
+    ds = ray.data.read_parquet(
+        os.path.join(ivf_dir, "data"),
+        columns=["vec_id", "embedding", "list"],
+        partitioning=Partitioning("hive", field_types={"list": int}),
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["list"]) in needed_set, style="hive"
+        ),
+    )
+    cand = ds.map_batches(score, batch_format="pyarrow", batch_size=4096).to_pandas()
+    rows = []
+    for qi in range(len(QUERY_VEC_IDS)):
+        sub = cand[cand.qi == qi].copy()
+        sub = sub.sort_values(
+            ["sim_bp", "vec_id"], ascending=[False, True]
+        ).head(KNN_K)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def knn_ivf(sf_dir: str):
+    """Driver-gate entry: nprobe == n_lists → exhaustive over the IVF
+    layout, results identical to brute force (same SQL oracle as
+    ``knn_cosine``)."""
+    return ivf_knn(sf_dir, nprobe=N_LISTS)
