@@ -319,6 +319,36 @@ def fuzzy_search(sf_dir: str):
     return _matchset_run(sf_dir, FUZZY_QUERIES)
 
 
+REGEXP_QUERIES: List[Tuple[int, str]] = [
+    (0, "/st[aeiou][a-z]*/"),      # class + star over the text dictionary
+    (1, "/(data|spark)s?/"),       # alternation + optional suffix
+    (2, "lang:/e./"),              # keyword-field regexp (en | es)
+]
+
+
+def regexp_search(sf_dir: str):
+    """RegexpQuery: anchored regular-expression dictionary expansion
+    (text + keyword fields), constant-score match sets."""
+    return _matchset_run(sf_dir, REGEXP_QUERIES)
+
+
+def sql_regexp_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+  select 0 as qid, doc_id from tok where regexp_full_match(term, 'st[aeiou][a-z]*')
+  union
+  select 1 as qid, doc_id from tok where regexp_full_match(term, '(data|spark)s?')
+  union
+  select 2 as qid, doc_id from documents where regexp_full_match(lang, 'e.')
+)
+select cast(qid as int) as qid, doc_id from m
+"""
+
+
 def sql_prefix_search() -> str:
     return """
 with tok as (

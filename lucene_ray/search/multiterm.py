@@ -37,6 +37,26 @@ def wildcard_literal_head(pattern: str) -> str:
     return pattern
 
 
+_REGEX_META = set(".?*+()[]{}|\\^$")
+
+
+def regexp_literal_head(pattern: str) -> str:
+    """Literal prefix of a regexp before its first metacharacter — the
+    common-prefix extraction the reference gets from its compiled
+    automaton (``core/search/RegexpQuery.java`` →
+    ``AutomatonQuery.java``); bounds the dictionary scan range."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            # a quantifier after a literal makes THAT char optional/
+            # repeated — it is not part of the guaranteed prefix
+            if ch in "?*{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def damerau_levenshtein(a: str, b: str, cap: Optional[int] = None) -> int:
     """FULL Damerau-Levenshtein distance (unrestricted transpositions —
     ``damerau_levenshtein('ca','abc') == 2``), the same definition DuckDB

@@ -109,6 +109,20 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class RegexpQuery:
+    """Terms matching a regular expression against the WHOLE term
+    (``core/search/RegexpQuery.java``: anchored automaton match over the
+    dictionary, constant-score rewrite like the other MultiTermQuery
+    family members). Pattern syntax here is Python ``re`` (documented
+    divergence from the reference's ``RegExp`` dialect; the shared core —
+    classes, alternation, quantifiers, anchored match — is identical)."""
+
+    regexp: str
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """Terms scored as ONE pseudo-term (``core/search/SynonymQuery.java``):
     per doc the frequencies of all variants sum, the document frequency
@@ -161,6 +175,7 @@ Query = Union[
     PrefixQuery,
     WildcardQuery,
     FuzzyQuery,
+    RegexpQuery,
     SynonymQuery,
     CombinedFieldQuery,
 ]
@@ -185,6 +200,7 @@ _CLAUSE_RE = re.compile(
     (?:(?P<field>[A-Za-z_][A-Za-z0-9_]*):)?
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | /(?P<regexp>[^/]*)/
       | \[(?P<rlo>[^\s\]]+)\ TO\ (?P<rhi>[^\s\]]+)\]
       | (?P<word>[^\s"^~]+)(?:~(?P<fedits>\d+))?
     )
@@ -234,6 +250,10 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
                 continue
             slop = int(m.group("slop") or 0)
             q: Query = PhraseQuery(tuple(terms), slop=slop, boost=boost)
+        elif m.group("regexp") is not None:
+            # /re/ — anchored regexp over the term dictionary (classic
+            # QueryParser regexp syntax, QueryParser.jj REGEXPTERM)
+            q = RegexpQuery(m.group("regexp"), boost=boost, field=fieldname)
         elif m.group("rlo") is not None:
             q = RangeQuery(
                 fieldname,
@@ -292,7 +312,7 @@ def _strip_boost(q: Query) -> Query:
     if isinstance(
         q,
         (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery,
-         PrefixQuery, WildcardQuery, FuzzyQuery, SynonymQuery),
+         PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery, SynonymQuery),
     ):
         return dataclasses.replace(q, boost=1.0)
     return q

@@ -46,6 +46,7 @@ from lucene_ray.search.query import (
     PrefixQuery,
     Query,
     RangeQuery,
+    RegexpQuery,
     SynonymQuery,
     TermQuery,
     WildcardQuery,
@@ -61,6 +62,7 @@ _DEFAULT_CACHE = object()
 from lucene_ray.search.multiterm import (
     damerau_levenshtein,
     levenshtein,
+    regexp_literal_head,
     wildcard_literal_head,
     wildcard_regex,
 )
@@ -79,6 +81,7 @@ _QUERY_TYPES = {
         PrefixQuery,
         WildcardQuery,
         FuzzyQuery,
+        RegexpQuery,
         SynonymQuery,
         CombinedFieldQuery,
     )
@@ -343,7 +346,7 @@ class IndexSearcher:
             return self._eval_synonym(q, seg_idx, states)
         if isinstance(q, CombinedFieldQuery):
             return self._eval_combined_field(q, seg_idx, states)
-        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
+        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
             return self._eval_multiterm(q, seg_idx)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, seg_idx, states)
@@ -370,6 +373,14 @@ class IndexSearcher:
         elif isinstance(q, WildcardQuery):
             key_prefix = term_key(q.field, wildcard_literal_head(q.pattern))
             rx = wildcard_regex(q.pattern)
+            match = lambda key: rx.fullmatch(key[len(fprefix):]) is not None
+        elif isinstance(q, RegexpQuery):
+            # RegexpQuery.java: anchored match, scan bounded by the
+            # pattern's guaranteed literal prefix
+            import re as _re
+
+            key_prefix = term_key(q.field, regexp_literal_head(q.regexp))
+            rx = _re.compile(q.regexp)
             match = lambda key: rx.fullmatch(key[len(fprefix):]) is not None
         else:  # FuzzyQuery
             key_prefix = term_key(q.field, q.term[: q.prefix_length])

@@ -159,3 +159,38 @@ class TestEditDistance:
         assert wildcard_literal_head("abc*def") == "abc"
         assert wildcard_literal_head("*x") == ""
         assert wildcard_literal_head("plain") == "plain"
+
+
+class TestRegexpQuery:
+    """RegexpQuery: anchored dictionary regexp (RegexpQuery.java role)."""
+
+    def test_parse_and_match(self, searcher):
+        from lucene_ray.search.query import RegexpQuery
+
+        q = parse_query("/st[aeiou][a-z]*/")
+        assert isinstance(q, RegexpQuery) and q.regexp == "st[aeiou][a-z]*"
+        r = searcher.search("/sta[a-z]*/", k=10**9, mode="exhaustive")
+        r2 = searcher.search("sta*", k=10**9, mode="exhaustive")
+        assert set(r["keys"]) == set(r2["keys"])  # same expansion as prefix
+
+    def test_alternation_equals_union(self, searcher):
+        alt = searcher.search("/(data|spark)/", k=10**9, mode="exhaustive")
+        a = searcher.search("data", k=10**9, mode="exhaustive")
+        b = searcher.search("spark", k=10**9, mode="exhaustive")
+        assert set(alt["keys"]) == set(a["keys"]) | set(b["keys"])
+
+    def test_literal_head_extraction(self):
+        from lucene_ray.search.multiterm import regexp_literal_head
+
+        assert regexp_literal_head("star[0-9]+") == "star"
+        assert regexp_literal_head("star*x") == "sta"  # * makes r optional
+        assert regexp_literal_head("sta?r") == "st"
+        assert regexp_literal_head("plain") == "plain"
+        assert regexp_literal_head("(a|b)c") == ""
+        assert regexp_literal_head("ab{2,3}") == "a"
+
+    def test_keyword_field_regexp(self, searcher):
+        r = searcher.search("#lang:/e./ data", k=10**9, mode="exhaustive")
+        en = searcher.search("#lang:en data", k=10**9, mode="exhaustive")
+        es = searcher.search("#lang:es data", k=10**9, mode="exhaustive")
+        assert set(r["keys"]) == set(en["keys"]) | set(es["keys"])
