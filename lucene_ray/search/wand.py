@@ -171,6 +171,7 @@ def wand_topk(
     n_cand = 0
     pruned = False
     evaluated = 0
+    run_scores = np.empty(0, F32)  # running top-k pool for θ updates
 
     if evaluated_so_far < total_hits_threshold:
         # Below the exact-count threshold NO window may be skipped, so the
@@ -255,10 +256,20 @@ def wand_topk(
         cand_ids.append(hit_ids)
         cand_scores.append(hit_scores)
         n_cand += len(hit_ids)
-        if n_cand >= k and evaluated_so_far + evaluated >= total_hits_threshold:
-            allsc = np.concatenate(cand_scores)
-            if len(allsc) >= k:
-                kth = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])
+        if evaluated_so_far + evaluated >= total_hits_threshold:
+            # running top-k pool: θ maintenance partitions only
+            # (k + window hits) elements, not the whole candidate set
+            # (re-partitioning the growing concat was quadratic)
+            run_scores = (
+                np.concatenate([run_scores, hit_scores])
+                if len(run_scores)
+                else hit_scores
+            )
+            if len(run_scores) > k:
+                part = np.partition(run_scores, len(run_scores) - k)
+                run_scores = part[len(run_scores) - k :]
+            if n_cand >= k and len(run_scores) >= k:
+                kth = float(run_scores.min())
                 if kth > theta:
                     theta = kth
     if not cand_ids:
