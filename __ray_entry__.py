@@ -44,7 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import corpus_ops as co
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
-    from lucene_ray.pipelines import ivf_knn, knn, lsh_knn
+    from lucene_ray.pipelines import hnsw_knn, ivf_knn, knn, lsh_knn
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
 
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": co.text_quality,
         "knn_cosine": knn.knn_cosine,
         "knn_ivf": ivf_knn.knn_ivf,
+        "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_lsh": lsh_knn.lsh_knn,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_pairs": dedup.simhash_pairs,
@@ -127,8 +128,9 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
-        # knn_lsh + simhash_pairs: non-SQL-expressible (LSH recall /
-        # hash-based) → rows-only driver check, deliberately no oracle
+        # knn_lsh + knn_hnsw + simhash_pairs: non-SQL-expressible
+        # (LSH/graph recall, hash-based) → rows-only driver check,
+        # deliberately no oracle; HNSW recall is pinned in pytest
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
