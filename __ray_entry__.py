@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import hnsw_knn, ivf_knn, knn, lsh_knn
+    from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
 
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": sq.synonym_search,
         "combined_field_topk": sq.combined_field_topk,
         "grouped_topk": sq.grouped_topk,
+        "join_search": joins.join_search,
+        "block_join_topk": joins.block_join_topk,
         "prefix_search": sq.prefix_search,
         "wildcard_search": sq.wildcard_search,
         "fuzzy_search": sq.fuzzy_search,
@@ -93,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import corpus_ops as co
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
+    from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import knn
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
@@ -112,6 +116,8 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search": sq.sql_synonym_search(),
         "combined_field_topk": sq.sql_combined_field_topk(),
         "grouped_topk": sq.sql_grouped_topk(),
+        "join_search": joins.sql_join_search(),
+        "block_join_topk": joins.sql_block_join_topk(),
         "prefix_search": sq.sql_prefix_search(),
         "wildcard_search": sq.sql_wildcard_search(),
         "fuzzy_search": sq.sql_fuzzy_search(),

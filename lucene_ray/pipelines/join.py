@@ -1,0 +1,159 @@
+"""Query-time joins over the documents index — the ``lucene/join``
+module surface re-expressed Ray-Data-first.
+
+Two operators:
+
+- ``join_search`` — ``JoinUtil.createJoinQuery`` (ScoreMode.NONE,
+  ``lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:
+  61-107``): from-side query → distinct join-key doc values → to-side
+  keyword-terms disjunction. Each join runs inside the searcher actor
+  pool (``JoinQuery`` is rewritten per actor against its memmapped
+  segments), so the query workload fans out exactly like every other
+  query pipeline; the collected key set is small by construction
+  (distinct values of a join field).
+- ``block_join_topk`` — ``ToParentBlockJoinQuery`` (ScoreMode.Max,
+  ``lucene/join/.../ToParentBlockJoinQuery.java``): parents = the
+  values of a doc-values field, each scored with the float32 MAX of its
+  children's BM25 scores for the child query (max is order-free, so the
+  DuckDB oracle hash-matches); the best child is carried along.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyarrow as pa
+
+from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.pipelines.search_queries import MF_CONFIG, _PRELUDE
+from lucene_ray.search.query import JoinQuery
+from lucene_ray.search.searcher import IndexSearcher, search_dataset
+
+# (qid, from_query, from_field, to_field) — from-queries compose term,
+# keyword-filter, and phrase shapes; selectivity spans 50%-of-keys,
+# most-keys, all-keys, and empty
+JOIN_SPECS: List[Tuple[int, str, str, str]] = [
+    (0, "+dup #lang:en", "source", "source"),
+    (1, '"merge sort"', "source", "source"),
+    (2, "+batch +stream", "lang", "lang"),
+    (3, "zzzabsent", "source", "source"),  # empty from-side → empty join
+]
+
+BJ_CHILD_QUERY = "data"
+BJ_PARENT_FIELD = "source"
+BJ_K = 3
+
+
+def make_join_query(spec: str) -> JoinQuery:
+    """Picklable query factory for the actor pool; the spec string packs
+    ``from_field|to_field|from_query``."""
+    from_field, to_field, from_query = spec.split("|", 2)
+    return JoinQuery(
+        from_query=from_query, from_field=from_field, to_field=to_field
+    )
+
+
+def join_search(sf_dir: str):
+    """→ (qid, doc_id) to-side match sets of the JoinUtil specs."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    qds = ray.data.from_items(
+        [
+            {"qid": qid, "query": f"{ff}|{tf}|{fq}", "k": 10**9}
+            for qid, fq, ff, tf in JOIN_SPECS
+        ]
+    )
+    res = search_dataset(idx, qds, concurrency=2, query_factory=make_join_query)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_join_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+s0 as (
+  select distinct d.source from documents d
+  where d.lang = 'en'
+    and exists (select 1 from tok t where t.doc_id = d.doc_id and t.term = 'dup')
+),
+s1 as (
+  select distinct source from documents
+  where (' ' || text || ' ') like '% merge sort %'
+),
+l2 as (
+  select distinct d.lang from documents d
+  where exists (select 1 from tok t where t.doc_id = d.doc_id and t.term = 'batch')
+    and exists (select 1 from tok t where t.doc_id = d.doc_id and t.term = 'stream')
+),
+m as (
+  select 0 as qid, doc_id from documents where source in (select source from s0)
+  union all
+  select 1 as qid, doc_id from documents where source in (select source from s1)
+  union all
+  select 2 as qid, doc_id from documents where lang in (select lang from l2)
+)
+select cast(qid as int) as qid, doc_id from m
+"""
+
+
+def block_join_topk(sf_dir: str):
+    """→ (rank, source, doc_id, score): top parents by max child BM25."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.parent_topk(BJ_CHILD_QUERY, BJ_PARENT_FIELD, k=BJ_K)
+    return pa.table(
+        {
+            "rank": t.column("rank"),
+            "source": t.column("parent"),
+            "doc_id": t.column("key").cast(pa.int64()),
+            "score": t.column("score"),
+        }
+    )
+
+
+def sql_block_join_topk() -> str:
+    """Bit-exact oracle: the same float32 single-term BM25 algebra as
+    ``sql_bm25_topk``, max per parent (exact — no accumulation), best
+    child by (score desc, doc_id asc), parents by (score desc, source)."""
+    return f"""{_PRELUDE},
+tf1 as (
+  select tok.doc_id, count(*)::bigint as tf from tok
+  where tok.term = '{BJ_CHILD_QUERY}' group by 1
+),
+df1 as (select count(distinct doc_id) as df from tok where term = '{BJ_CHILD_QUERY}'),
+sc as (
+  select tf1.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf1.tf as float) * f.inv) as s
+  from tf1
+  cross join (
+    select cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5))
+                as float) as w
+    from df1
+  ) w
+  join fnorm f on f.doc_id = tf1.doc_id
+),
+best as (
+  select d.source, t.doc_id, t.s,
+         row_number() over (partition by d.source order by t.s desc, t.doc_id asc) as rn
+  from sc t join documents d using (doc_id)
+),
+parents as (
+  select source, doc_id, s,
+         row_number() over (order by s desc, source asc) as prn
+  from best where rn = 1
+)
+select cast(prn - 1 as int) as rank, source, doc_id, cast(s as float) as score
+from parents where prn <= {BJ_K}
+"""

@@ -27,7 +27,7 @@ MF_CONFIG = IndexConfig(
     rows_per_segment=2048,
     num_buckets=2,
     keyword_cols=("lang", "source"),
-    dv_cols=("n_chars", "lang"),
+    dv_cols=("n_chars", "lang", "source"),
 )
 
 # (qid, query) — single terms spanning head/mid df + an absent term

@@ -166,6 +166,22 @@ class BooleanQuery:
     minimum_should_match: int = 0
 
 
+@dataclass(frozen=True)
+class JoinQuery:
+    """Query-time join — ``JoinUtil.createJoinQuery`` (ScoreMode.NONE,
+    ``lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:61-107``):
+    run ``from_query``, collect the distinct ``from_field`` doc values of
+    its match set, and match every document whose ``to_field`` holds one
+    of them. Rewritten by the searcher into a keyword-term disjunction
+    (the reference's TermsQuery role), so it composes with every
+    downstream evaluation path."""
+
+    from_query: str
+    from_field: str
+    to_field: str
+    boost: float = 1.0
+
+
 Query = Union[
     TermQuery,
     PhraseQuery,
@@ -178,6 +194,7 @@ Query = Union[
     RegexpQuery,
     SynonymQuery,
     CombinedFieldQuery,
+    JoinQuery,
 ]
 
 

@@ -41,6 +41,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     CombinedFieldQuery,
     FuzzyQuery,
+    JoinQuery,
     MatchAllQuery,
     PhraseQuery,
     PrefixQuery,
@@ -84,6 +85,7 @@ _QUERY_TYPES = {
         RegexpQuery,
         SynonymQuery,
         CombinedFieldQuery,
+        JoinQuery,
     )
 }
 
@@ -868,6 +870,8 @@ class IndexSearcher:
             query = parse_query(query, self.analyzer)
         else:
             query = localize_query(query)
+        if isinstance(query, JoinQuery):
+            query = self._rewrite_join(query)
         # search-time rewrite: merge repeated SHOULD/MUST clauses through
         # Similarity.computeQueryTermWeight (fork k3 query-term saturation)
         query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
@@ -916,6 +920,95 @@ class IndexSearcher:
             "total_hits": total,
             "relation": "EQ",
         }
+
+    def _rewrite_join(self, q: JoinQuery) -> Query:
+        """Phase 1 of ``JoinUtil.createJoinQuery`` (ScoreMode.NONE,
+        ``lucene/join/.../JoinUtil.java:61-107``): evaluate the from-side
+        query, gather its match set's ``from_field`` doc values per
+        segment (the reference collects them from the index the same
+        way), and rewrite into a SHOULD disjunction of keyword terms over
+        ``to_field`` — the TermsQuery the reference builds. The collected
+        term set is small by construction (distinct join-key values), so
+        the rewrite broadcast-shapes like every dictionary expansion."""
+        from_q = parse_query(q.from_query, self.analyzer)
+        from_q = deduplicate_clauses(from_q, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(from_q))
+        terms: set = set()
+        for si, seg in enumerate(self.segments):
+            r = self._eval(from_q, si, states)
+            if len(r.docids):
+                vals = seg.dv(q.from_field).take(
+                    pa.array(r.docids.astype(np.int64))
+                )
+                terms.update(v for v in vals.to_pylist() if v is not None)
+        if not terms:
+            # match-nothing: a keyword value that cannot exist
+            return TermQuery("\x00__join_none__", field=q.to_field)
+        return BooleanQuery(
+            tuple(
+                (SHOULD, TermQuery(str(t), boost=q.boost, field=q.to_field))
+                for t in sorted(terms)
+            )
+        )
+
+    def parent_topk(
+        self, query, parent_field: str, k: int = 10
+    ) -> pa.Table:
+        """Block-join parent ranking — the ``ToParentBlockJoinQuery``
+        (ScoreMode.Max) role (``lucene/join/src/java/org/apache/lucene/
+        search/join/ToParentBlockJoinQuery.java``,
+        ``ScoreMode.java``): every parent value of ``parent_field`` is
+        scored with the MAX of its children's scores for the child query
+        (float32 max is order-free, so results are bit-exact against the
+        SQL oracle); the best child (score desc, segment, docid asc) is
+        carried along. Parents tie-break by value asc.
+
+        → table (rank, parent, key, docid, score), top-k parents."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        # per-segment partial max per parent — the combiner shape: at
+        # cluster scale each segment task emits |parents| rows, the merge
+        # below touches only those partials
+        best: Dict[object, Tuple[float, int, int]] = {}
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(parent_field).take(
+                pa.array(r.docids.astype(np.int64))
+            ).to_pylist()
+            for d, s, g in zip(r.docids, r.scores, vals):
+                cur = best.get(g)
+                cand = (float(s), si, int(d))
+                if cur is None or (
+                    cand[0] > cur[0]
+                    or (cand[0] == cur[0] and (cand[1], cand[2]) < (cur[1], cur[2]))
+                ):
+                    best[g] = cand
+        ranked = sorted(
+            best.items(), key=lambda kv: (-kv[1][0], kv[0] is None, kv[0])
+        )[:k]
+        out_p, out_rank, out_key, out_docid, out_score = [], [], [], [], []
+        for rank, (g, (s, si, d)) in enumerate(ranked):
+            seg = self.segments[si]
+            out_p.append(g)
+            out_rank.append(rank)
+            out_key.append(seg.docmap[d].as_py())
+            out_docid.append(seg.base_docid + d)
+            out_score.append(s)
+        return pa.table(
+            {
+                "parent": pa.array(out_p),
+                "rank": pa.array(out_rank, pa.int32()),
+                "key": pa.array(out_key),
+                "docid": pa.array(out_docid, pa.int64()),
+                "score": pa.array(out_score, pa.float32()),
+            }
+        )
 
     def search_sorted(
         self,
