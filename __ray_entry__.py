@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": sq.wildcard_search,
         "fuzzy_search": sq.fuzzy_search,
         "regexp_search": sq.regexp_search,
+        "stemmed_search": sq.stemmed_search,
         "phrase_search": sq.phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
         "term_stats": co.term_stats,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_search": sq.sql_wildcard_search(),
         "fuzzy_search": sq.sql_fuzzy_search(),
         "regexp_search": sq.sql_regexp_search(),
+        "stemmed_search": sq.sql_stemmed_search(),
         "phrase_search": sq.sql_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "term_stats": co.sql_term_stats(),

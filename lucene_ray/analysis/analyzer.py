@@ -49,10 +49,24 @@ class Analyzer:
         stopwords: Optional[Iterable[str]] = None,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         lowercase: bool = True,
+        term_filters: Sequence = (),
     ):
         self.tokenizer = StandardTokenizer(max_token_length)
         self.stopwords: FrozenSet[str] = frozenset(stopwords or ())
         self.lowercase = lowercase
+        # post-stop token filters (analysis/filters.py protocol:
+        # f(term) -> term | None, None = drop with position gap)
+        self.term_filters = tuple(term_filters)
+        self._maps_only = all(
+            getattr(f, "pure_map", False) for f in self.term_filters
+        )
+
+    def _apply_filters(self, term: str) -> Optional[str]:
+        for f in self.term_filters:
+            term = f(term)
+            if term is None:
+                return None
+        return term
 
     # -- full output: (term, start, end, position) -------------------------
 
@@ -67,11 +81,15 @@ class Analyzer:
         out: List[Tuple[str, int, int, int]] = []
         pos = -1
         stop = self.stopwords
+        filt = self.term_filters
         for t in toks:
             pos += 1
             if t.text in stop:
                 continue
-            out.append((t.text, t.start, t.end, pos))
+            term = self._apply_filters(t.text) if filt else t.text
+            if term is None:
+                continue
+            out.append((term, t.start, t.end, pos))
         return out
 
     # -- hot path: terms + positions only ----------------------------------
@@ -83,16 +101,40 @@ class Analyzer:
         """
         lowered = simple_lowercase(text) if self.lowercase else text
         terms = self.tokenizer.terms(lowered)
-        if not self.stopwords:
+        if not self.stopwords and not self.term_filters:
             return terms, None
+        if not self.stopwords and self._maps_only:
+            # pure term→term rewrites keep positions dense
+            return [self._apply_filters(t) for t in terms], None
         stop = self.stopwords
+        filt = self.term_filters
         kept: List[str] = []
         positions: List[int] = []
         for pos, term in enumerate(terms):
-            if term not in stop:
-                kept.append(term)
-                positions.append(pos)
+            if term in stop:
+                continue
+            if filt:
+                term = self._apply_filters(term)
+                if term is None:
+                    continue
+            kept.append(term)
+            positions.append(pos)
         return kept, positions
+
+    def _remap_flat(self, terms):
+        """Apply a pure-map filter chain to a flat Arrow token array:
+        dictionary-encode, filter each distinct term once, one take."""
+        if not self.term_filters or len(terms) == 0:
+            return terms
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(terms)
+        vocab = enc.dictionary.to_pylist()
+        for f in self.term_filters:
+            vocab = [f(t) for t in vocab]
+        mapped = pa.array(vocab, enc.dictionary.type)
+        return mapped.take(enc.indices)
 
     # -- batched hot path: whole document batches ---------------------------
 
@@ -113,7 +155,12 @@ class Analyzer:
         import numpy as np
 
         n = len(texts)
-        if not self.stopwords:
+        # pure-map filter chains (stemming, folding) keep the vectorized
+        # path: tokens flow through unchanged-length, then one
+        # dictionary-encode remaps each DISTINCT term exactly once
+        # (vocabulary-level filtering) and a single Arrow take rebuilds
+        # the stream. Dropping filters fall to the per-doc chain.
+        if not self.stopwords and (not self.term_filters or self._maps_only):
             ascii_pos: List[int] = []
             ascii_texts: List[str] = []
             other_pos: List[int] = []
@@ -142,7 +189,7 @@ class Analyzer:
                         doc_lengths = np.zeros(n, dtype=np.int64)
                         doc_lengths[ascii_pos] = lengths_a
                         if not other_pos:
-                            return terms_a, doc_lengths, None
+                            return self._remap_flat(terms_a), doc_lengths, None
                         # interleave the (rare) non-ASCII docs: tokenize
                         # them per-doc, then scatter both groups into one
                         # flat array by final offset (no np.split fan-out)
@@ -197,7 +244,7 @@ class Analyzer:
                             else terms_a
                         )
                         terms = combined.take(pa.array(src))
-                        return terms, doc_lengths, None
+                        return self._remap_flat(terms), doc_lengths, None
             elif not other_pos:
                 return (
                     np.empty(0, dtype=object),
@@ -232,6 +279,35 @@ class Analyzer:
             else np.empty(0, np.uint32)
         )
         return terms, doc_lengths, positions
+
+
+def analyzer_for_config(config) -> "Analyzer":
+    """One construction point for every build/search site: resolves the
+    config's named token-filter chain through the registry."""
+    from lucene_ray.analysis.filters import resolve_filters
+
+    return Analyzer(
+        stopwords=config.stopwords,
+        max_token_length=config.max_token_length,
+        term_filters=resolve_filters(getattr(config, "term_filters", ())),
+    )
+
+
+class EnglishAnalyzer(Analyzer):
+    """The reference's ``EnglishAnalyzer`` chain (possessive strip →
+    lowercase → stop → Porter stem;
+    ``lucene/analysis/common/.../en/EnglishAnalyzer.java:105-114`` —
+    possessive stripping commutes with this engine's per-codepoint
+    lowercase, so applying it post-stop is behavior-identical)."""
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        from lucene_ray.analysis.filters import english_possessive, porter_stem
+
+        super().__init__(
+            stopwords=ENGLISH_STOP_WORDS,
+            max_token_length=max_token_length,
+            term_filters=(english_possessive, porter_stem),
+        )
 
 
 class StandardAnalyzer(Analyzer):

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import IndexConfig
 from lucene_ray.index.manifest import (
     Manifest,
@@ -141,9 +141,7 @@ def build_partition(
             )
         order = np.argsort(skey, kind="stable")
         tbl = tbl.take(pa.array(order))
-    analyzer = Analyzer(
-        stopwords=config.stopwords, max_token_length=config.max_token_length
-    )
+    analyzer = analyzer_for_config(config)
     texts = tbl.column(config.text_col).to_pylist()
     inv = invert_texts(texts, analyzer, with_positions=config.positions)
     field_norms: dict = {}

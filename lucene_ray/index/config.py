@@ -54,6 +54,10 @@ class IndexConfig:
     text_col: str = "text"
     key_col: str = "doc_id"
     stopwords: FrozenSet[str] = frozenset()
+    # post-stop token-filter chain BY REGISTRY NAME (analysis/filters.py
+    # resolve_filters — the TokenFilterFactory SPI role); names keep the
+    # config JSON-serializable and picklable across actors
+    term_filters: Tuple[str, ...] = ()
     positions: bool = True
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     num_buckets: int = 1  # term-hash parts per segment (shuffle build uses >1)
@@ -83,6 +87,7 @@ class IndexConfig:
             "text_col": self.text_col,
             "key_col": self.key_col,
             "stopwords": sorted(self.stopwords),
+            "term_filters": list(self.term_filters),
             "positions": self.positions,
             "max_token_length": self.max_token_length,
             "num_buckets": self.num_buckets,
@@ -101,6 +106,7 @@ class IndexConfig:
             text_col=d["text_col"],
             key_col=d["key_col"],
             stopwords=frozenset(d["stopwords"]),
+            term_filters=tuple(d.get("term_filters", ())),
             positions=d["positions"],
             max_token_length=d["max_token_length"],
             num_buckets=d["num_buckets"],

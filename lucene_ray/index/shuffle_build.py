@@ -62,7 +62,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.codecs.postings import encode_postings, encode_postings_batch
 from lucene_ray.codecs.smallfloat import encode_norms
 from lucene_ray.index.build import plan_partitions, read_partition
@@ -96,9 +96,7 @@ def sample_terms(
         min(sample_rows, pq.ParquetFile(first).metadata.num_rows),
         [config.text_col],
     )
-    analyzer = Analyzer(
-        stopwords=config.stopwords, max_token_length=config.max_token_length
-    )
+    analyzer = analyzer_for_config(config)
     from collections import Counter
 
     df: Counter = Counter()
@@ -159,9 +157,7 @@ def _analyze_partition(
         item["path"], int(item["row_start"]), int(item["row_end"]),
         [config.key_col, config.text_col],
     )
-    analyzer = Analyzer(
-        stopwords=config.stopwords, max_token_length=config.max_token_length
-    )
+    analyzer = analyzer_for_config(config)
     inv = invert_texts(
         tbl.column(config.text_col).to_pylist(), analyzer, with_positions=False
     )

@@ -281,12 +281,12 @@ FUZZY_QUERIES: List[Tuple[int, str]] = [
 ]
 
 
-def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]]):
+def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]], config=None):
     """Full (qid, doc_id) match set of constant-score queries through the
     searcher actor pool."""
     import ray.data
 
-    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    idx = get_or_build_index(sf_dir, config or MF_CONFIG)
     qds = ray.data.from_items(
         [{"qid": q, "query": t, "k": 10**9} for q, t in queries]
     )
@@ -317,6 +317,52 @@ def wildcard_search(sf_dir: str):
 def fuzzy_search(sf_dir: str):
     """FuzzyQuery: Damerau-Levenshtein dictionary expansion, ≤2 edits."""
     return _matchset_run(sf_dir, FUZZY_QUERIES)
+
+
+# EnglishAnalyzer-style stemmed index: possessive strip + Porter stem
+# resolved by registry name (analysis/filters.py). Inflected query
+# surface forms must reach the base-form documents: the corpus
+# vocabulary is a fixed 31-term base-form set, so each query stem maps
+# to exactly one corpus token — the oracle enumerates that closure.
+STEM_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    term_filters=("englishpossessive", "porterstem"),
+)
+# (qid, inflected query, the one corpus surface form sharing its stem)
+STEM_QUERIES: List[Tuple[int, str, str]] = [
+    (0, "merging", "merge"),
+    (1, "queries", "query"),
+    (2, "valued", "value"),
+    (3, "customers", "customer"),
+    (4, "tables", "table"),
+    (5, "sorted", "sort"),
+]
+
+
+def stemmed_search(sf_dir: str):
+    """PorterStemFilter chain end-to-end: inflected query terms match
+    base-form documents through the stemmed index."""
+    return _matchset_run(
+        sf_dir, [(q, t) for q, t, _ in STEM_QUERIES], config=STEM_CONFIG
+    )
+
+
+def sql_stemmed_search() -> str:
+    arms = "\n  union\n".join(
+        f"  select {qid} as qid, doc_id from tok where term = '{base}'"
+        for qid, _, base in STEM_QUERIES
+    )
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+{arms}
+)
+select cast(qid as int) as qid, doc_id from m
+"""
 
 
 REGEXP_QUERIES: List[Tuple[int, str]] = [

@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
@@ -174,10 +174,7 @@ class IndexSearcher:
         # score with their own norms + avgdl, unlike keyword fields
         self.text_fields = frozenset(self.config.extra_text_cols)
         self._field_inv_tables: Dict[str, np.ndarray] = {}
-        self.analyzer = Analyzer(
-            stopwords=self.config.stopwords,
-            max_token_length=self.config.max_token_length,
-        )
+        self.analyzer = analyzer_for_config(self.config)
         self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
         self._gmax_cache: Dict[tuple, np.ndarray] = {}
         # constant-score match-set cache (LRUQueryCache role); pass
