@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import corpus_ops as co
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
+    from lucene_ray.pipelines import fingerprint
     from lucene_ray.pipelines import hnsw_knn, ivf_knn, knn, lsh_knn
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import multimodal as mm
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": co.collection_stats,
         "doc_norms": co.doc_norms,
         "dedup_exact": co.dedup_exact,
+        "doc_fingerprints": fingerprint.doc_fingerprints,
         "lang_counts": co.lang_counts,
         "text_quality": co.text_quality,
         "knn_cosine": knn.knn_cosine,
@@ -97,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import corpus_ops as co
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
+    from lucene_ray.pipelines import fingerprint
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import knn
     from lucene_ray.pipelines import multimodal as mm
@@ -130,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": co.sql_collection_stats(),
         "doc_norms": co.sql_doc_norms(),
         "dedup_exact": co.sql_dedup_exact(),
+        "doc_fingerprints": fingerprint.sql_doc_fingerprints(),
         "lang_counts": co.sql_lang_counts(),
         "text_quality": co.sql_text_quality(),
         "knn_cosine": knn.sql_knn_cosine(),
