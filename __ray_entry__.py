@@ -45,10 +45,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import fingerprint
+    from lucene_ray.pipelines import highlight as hl
     from lucene_ray.pipelines import hnsw_knn, ivf_knn, knn, lsh_knn
     from lucene_ray.pipelines import join as joins
+    from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
+    from lucene_ray.pipelines import suggest as sugg
 
     return {
         "bm25_topk": sq.bm25_topk,
@@ -72,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": sq.fuzzy_search,
         "regexp_search": sq.regexp_search,
         "stemmed_search": sq.stemmed_search,
+        "spell_suggest": sugg.spell_suggest,
+        "highlight_search": hl.highlight_search,
+        "more_like_this": mlt.more_like_this,
         "phrase_search": sq.phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
         "term_stats": co.term_stats,
@@ -100,10 +106,13 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import fingerprint
+    from lucene_ray.pipelines import highlight as hl
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
+    from lucene_ray.pipelines import suggest as sugg
 
     return {
         "bm25_topk": sq.sql_bm25_topk(),
@@ -127,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": sq.sql_fuzzy_search(),
         "regexp_search": sq.sql_regexp_search(),
         "stemmed_search": sq.sql_stemmed_search(),
+        "spell_suggest": sugg.sql_spell_suggest(),
+        "highlight_search": hl.sql_highlight_search(),
+        "more_like_this": mlt.sql_more_like_this(),
         "phrase_search": sq.sql_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "term_stats": co.sql_term_stats(),

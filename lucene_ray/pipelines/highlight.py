@@ -1,0 +1,137 @@
+"""Search-result highlighting — the ``lucene/highlight`` module surface
+(``lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+UnifiedHighlighter.java``), simplified to a deterministic,
+SQL-expressible passage rule so the driver gate can hash-check it:
+
+    passage = the ±20-char window around the FIRST whole-token
+    occurrence of the query term in the stored text.
+
+(The reference's passage scorer ranks candidate passages by BM25-ish
+term density; first-occurrence-fixed-window is the degenerate
+single-term case and is documented as the divergence.)
+
+Ray shape — a three-stage streaming plan:
+
+1. match sets through the searcher actor pool (same path as every
+   query pipeline);
+2. ``Dataset.join`` of the hits with the stored-text table on doc_id —
+   the hash-shuffle equi-join operator (highlighting needs stored
+   fields, which live columnar in the source parquet);
+3. one vectorized ``map_batches``: per qid-group, ``pandas.str.find``
+   locates the padded whole-token occurrence, then snippets are sliced
+   from only the matched rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import pyarrow as pa
+
+from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.search.searcher import search_dataset
+
+HL_QUERIES: List[Tuple[int, str]] = [
+    (0, "spark"),
+    (1, "vector"),
+    (2, "window"),
+]
+CTX = 20  # snippet context chars each side
+
+
+def highlight_search(sf_dir: str):
+    """→ (qid, doc_id, start_off, end_off, snippet)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t, "k": 10**9} for q, t in HL_QUERIES]
+    )
+    res = search_dataset(idx, qds, concurrency=2)
+
+    def hits(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    hits_ds = res.map_batches(hits, batch_format="pyarrow")
+    docs_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    joined = hits_ds.join(
+        docs_ds, join_type="inner", num_partitions=4, on=("doc_id",)
+    )
+    terms = {q: t for q, t in HL_QUERIES}
+
+    def passage(df):
+        import pandas as pd
+
+        out = []
+        for qid, g in df.groupby("qid"):
+            t = terms[int(qid)]
+            padded = " " + g["text"] + " "
+            # 0-based index of the space before the token == 0-based
+            # start of the token in the unpadded text (instr - 1 in SQL)
+            s = padded.str.find(f" {t} ")
+            e = s + len(t)
+            n = g["text"].str.len()
+            lo = (s - CTX).clip(lower=0)
+            hi = pd.concat([e + CTX, n], axis=1).min(axis=1)
+            snip = [
+                txt[a:b]
+                for txt, a, b in zip(g["text"], lo.astype(int), hi.astype(int))
+            ]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": g["qid"].astype("int32"),
+                        "doc_id": g["doc_id"],
+                        "start_off": s.astype("int64"),
+                        "end_off": e.astype("int64"),
+                        "snippet": snip,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "start_off": pd.Series(dtype="int64"),
+                    "end_off": pd.Series(dtype="int64"),
+                    "snippet": pd.Series(dtype="object"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return joined.map_batches(passage, batch_format="pandas")
+
+
+def sql_highlight_search() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in HL_QUERIES)
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+q(qid, term) as (values {vals}),
+m as (
+  select distinct q.qid, tok.doc_id, q.term
+  from q join tok on tok.term = q.term
+),
+h as (
+  select m.qid, m.doc_id,
+         instr(' ' || d.text || ' ', ' ' || m.term || ' ') - 1 as s,
+         length(m.term) as L, d.text, length(d.text) as n
+  from m join documents d using (doc_id)
+)
+select cast(qid as int) as qid, doc_id,
+       cast(s as bigint) as start_off, cast(s + L as bigint) as end_off,
+       substring(text, greatest(0, s - {CTX}) + 1,
+                 least(n, s + L + {CTX}) - greatest(0, s - {CTX})) as snippet
+from h
+"""

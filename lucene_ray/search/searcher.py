@@ -1007,6 +1007,53 @@ class IndexSearcher:
             }
         )
 
+    def suggest(
+        self,
+        term: str,
+        max_edits: int = 2,
+        k: int = 5,
+        prefix_length: int = 1,
+        field: str = DEFAULT_FIELD,
+    ) -> pa.Table:
+        """Spell suggestions — the ``DirectSpellChecker`` role
+        (``lucene/suggest/src/java/org/apache/lucene/search/spell/
+        DirectSpellChecker.java``): expand the term dictionary within
+        ``max_edits`` Damerau-Levenshtein edits (FuzzyTermsEnum shape —
+        the scan is bounded by the ``prefix_length`` literal prefix, like
+        FuzzyQuery), sum df across segments, rank by
+        (distance asc, df desc, term asc). The query term itself is
+        excluded (suggest-mode: propose corrections, not echoes).
+
+        → table (term, dist, df), top-k."""
+        fprefix = term_key(field, "")
+        key_prefix = term_key(field, term[:prefix_length])
+
+        def match(key: str) -> bool:
+            return (
+                damerau_levenshtein(key[len(fprefix):], term, cap=max_edits)
+                <= max_edits
+            )
+
+        dfs: Dict[str, int] = {}
+        for seg in self.segments:
+            for key, info in seg.expand_terms(
+                key_prefix, match, exclude_field_sep=(field == DEFAULT_FIELD)
+            ):
+                t = key[len(fprefix):]
+                if t == term:
+                    continue
+                dfs[t] = dfs.get(t, 0) + int(info.df)
+        ranked = sorted(
+            ((damerau_levenshtein(t, term), -df, t) for t, df in dfs.items())
+        )[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for _, _, t in ranked]),
+                "dist": pa.array([d for d, _, _ in ranked], pa.int32()),
+                "df": pa.array([-ndf for _, ndf, _ in ranked], pa.int64()),
+            }
+        )
+
     def search_sorted(
         self,
         query,
