@@ -22,6 +22,11 @@ from __future__ import annotations
 
 from typing import FrozenSet, Iterable, List, Optional, Sequence, Tuple
 
+from lucene_ray.analysis.filters import (
+    english_possessive,
+    porter_stem,
+    resolve_filters,
+)
 from lucene_ray.analysis.lowercase import simple_lowercase
 from lucene_ray.analysis.tokenizer import (
     DEFAULT_MAX_TOKEN_LENGTH,
@@ -284,8 +289,6 @@ class Analyzer:
 def analyzer_for_config(config) -> "Analyzer":
     """One construction point for every build/search site: resolves the
     config's named token-filter chain through the registry."""
-    from lucene_ray.analysis.filters import resolve_filters
-
     return Analyzer(
         stopwords=config.stopwords,
         max_token_length=config.max_token_length,
@@ -301,8 +304,6 @@ class EnglishAnalyzer(Analyzer):
     lowercase, so applying it post-stop is behavior-identical)."""
 
     def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
-        from lucene_ray.analysis.filters import english_possessive, porter_stem
-
         super().__init__(
             stopwords=ENGLISH_STOP_WORDS,
             max_token_length=max_token_length,

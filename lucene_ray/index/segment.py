@@ -40,7 +40,7 @@ from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
 from lucene_ray.codecs.smallfloat import encode_norms
-from lucene_ray.index.config import FIELD_SEP, IndexConfig, term_key
+from lucene_ray.index.config import DEFAULT_FIELD, FIELD_SEP, IndexConfig, term_key
 from lucene_ray.index.deletes import load_deleted
 
 META_NAME = "meta.json"
@@ -423,8 +423,7 @@ def add_extra_text_postings(
     uint8 norms})``. The merge is one argsort over the combined term-key
     array + vectorized range gathers (no per-term Python loop).
     """
-    from lucene_ray.codecs.smallfloat import encode_norms as _enc
-
+    _enc = encode_norms
     field_stats: Dict[str, dict] = {}
     field_norms: Dict[str, np.ndarray] = {}
     sources: List[Tuple[np.ndarray, InvertedBatch]] = []
@@ -899,8 +898,6 @@ class SegmentReader:
         """Per-field SmallFloat norms. The default text field uses
         ``norms.bin``; extra tokenized fields load ``norms_<field>.bin``
         lazily (per-field ``NumericDocValues`` norms role)."""
-        from lucene_ray.index.config import DEFAULT_FIELD
-
         if fieldname == DEFAULT_FIELD:
             return self.norms
         hit = self._field_norms.get(fieldname)

@@ -31,8 +31,11 @@ from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
+from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
-from lucene_ray.search.wand import block_gmax, wand_topk
+from lucene_ray.search.expressions import Expression
+from lucene_ray.search.similarities import similarity_for_name
+from lucene_ray.search.wand import block_gmax, wand_topk, window_gmax
 from lucene_ray.search.query import (
     FILTER,
     MUST,
@@ -137,8 +140,6 @@ class IndexSearcher:
         self.manifest: Manifest = man
         self.config: IndexConfig = man.config
         if isinstance(similarity, str):
-            from lucene_ray.search.similarities import similarity_for_name
-
             similarity = similarity_for_name(similarity)
         self.sim = similarity or BM25Similarity()
         self.is_bm25 = isinstance(self.sim, BM25Similarity)
@@ -177,6 +178,8 @@ class IndexSearcher:
         self.analyzer = analyzer_for_config(self.config)
         self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
         self._gmax_cache: Dict[tuple, np.ndarray] = {}
+        # weight-independent BM25 score denominators per (segment, term)
+        self._denom_cache: Dict[tuple, np.ndarray] = {}
         # constant-score match-set cache (LRUQueryCache role); pass
         # query_cache=None to disable
         self.query_cache: Optional[LRUQueryCache] = (
@@ -461,8 +464,6 @@ class IndexSearcher:
         (``MultiNormsLeafSimScorer.java:168-180``) — exact vs the
         reference for integer weights. Requires BM25 (the reference
         requires an additive-norm similarity)."""
-        from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
-
         if not self.is_bm25:
             raise ValueError("CombinedFieldQuery requires BM25 similarity")
         seg = self.segments[seg_idx]
@@ -1138,8 +1139,6 @@ class IndexSearcher:
         → {"docids", "keys", "expr_values", "scores", "total_hits",
         "relation"}.
         """
-        from lucene_ray.search.expressions import Expression
-
         if isinstance(expr, str):
             expr = Expression(expr)
         if isinstance(query, str):
@@ -1291,6 +1290,7 @@ class IndexSearcher:
             if not live:
                 continue
             gmaxes = []
+            wgmaxes = []
             for ti, _ in live:
                 key = (si, ti.part, ti.post_off)
                 gm = self._gmax_cache.get(key)
@@ -1298,7 +1298,14 @@ class IndexSearcher:
                     gm = block_gmax(seg.postings(ti), self.norm_inverse)
                     if len(self._gmax_cache) < 1_000_000:
                         self._gmax_cache[key] = gm
+                wkey = (si, ti.part, ti.post_off, "w")
+                wgm = self._gmax_cache.get(wkey)
+                if wgm is None:
+                    wgm = window_gmax(seg.postings(ti), gm, seg.n_docs)
+                    if len(self._gmax_cache) < 1_000_000:
+                        self._gmax_cache[wkey] = wgm
                 gmaxes.append(gm)
+                wgmaxes.append(wgm)
             after_local = (
                 (after[0], int(after[1]) - seg.base_docid)
                 if after is not None
@@ -1312,10 +1319,12 @@ class IndexSearcher:
                 k,
                 theta,
                 gmaxes,
+                wgmaxes,
                 after=after_local,
                 total_hits_threshold=total_hits_threshold,
                 evaluated_so_far=total,
                 deleted=seg.deleted,
+                denom_cache=self._denom_cache,
             )
             total += ev
             any_pruned = any_pruned or pruned

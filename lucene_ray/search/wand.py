@@ -53,6 +53,33 @@ def block_gmax(view: PostingsView, norm_inverse: np.ndarray) -> np.ndarray:
     return out
 
 
+def window_gmax(
+    view: PostingsView, gmax: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """Per-WINDOW max of the weight-independent block bound factors.
+
+    The window upper bound used for skipping is ``Σ_terms w·max_blocks
+    gmax`` — the weight distributes over the max, so this array depends
+    only on (segment, term) and is cached across queries next to
+    ``block_gmax`` (extending the MaxScoreCache role to window
+    granularity). Removes the per-query Python loop over blocks."""
+    n_win = (n_docs + WINDOW - 1) // WINDOW
+    d = view.directory
+    first = d["first_docid"].astype(np.int64)
+    last = d["last_docid"].astype(np.int64)
+    ws = first // WINDOW
+    we = last // WINDOW
+    wmax = np.zeros(n_win, dtype=np.float64)
+    g64 = gmax.astype(np.float64)
+    same = ws == we
+    if same.any():
+        np.maximum.at(wmax, ws[same], g64[same])
+    for bi in np.flatnonzero(~same):  # blocks spanning window boundaries
+        sl = wmax[ws[bi] : we[bi] + 1]
+        np.maximum(sl, g64[bi], out=sl)
+    return wmax
+
+
 class _TermCursor:
     """Lazy per-term block decoder with bound metadata."""
 
@@ -96,10 +123,12 @@ def wand_topk(
     k: int,
     theta: float = -np.inf,
     gmaxes: Optional[List[Optional[np.ndarray]]] = None,
+    wgmaxes: Optional[List[Optional[np.ndarray]]] = None,
     after: Optional[Tuple[float, int]] = None,
     total_hits_threshold: int = 1000,
     evaluated_so_far: int = 0,
     deleted: Optional[np.ndarray] = None,
+    denom_cache: Optional[dict] = None,
 ) -> Tuple[np.ndarray, np.ndarray, float, bool, int]:
     """Top-k of a SHOULD-disjunction of terms over one segment.
 
@@ -121,9 +150,11 @@ def wand_topk(
     """
     if gmaxes is None:
         gmaxes = [None] * len(term_infos)
+    if wgmaxes is None:
+        wgmaxes = [None] * len(term_infos)
     live = [
-        (ti, w, gm)
-        for ti, w, gm in zip(term_infos, weights, gmaxes)
+        (ti, w, gm, wgm)
+        for ti, w, gm, wgm in zip(term_infos, weights, gmaxes, wgmaxes)
         if ti is not None
     ]
     if not live:
@@ -141,29 +172,31 @@ def wand_topk(
     terms_data = []
     ub = np.zeros(n_win, dtype=np.float64)
     norms = seg.norms
-    for ti, w, gm in live:
+    for ti, w, gm, wgm in live:
         view = seg.postings(ti)
-        if gm is None:
-            gm = block_gmax(view, norm_inverse)
-        bounds = (w * gm).astype(F32)
-        d = view.directory
-        first = d["first_docid"].astype(np.int64)
-        last = d["last_docid"].astype(np.int64)
-        wmax = np.zeros(n_win, dtype=np.float64)
-        ws = first // WINDOW
-        we = last // WINDOW
-        for bi in range(len(ws)):
-            b = float(bounds[bi])
-            lo, hi = int(ws[bi]), int(we[bi])
-            if lo == hi:
-                if b > wmax[lo]:
-                    wmax[lo] = b
-            else:
-                sl = wmax[lo : hi + 1]
-                np.maximum(sl, b, out=sl)
-        ub += wmax
+        if wgm is None:
+            if gm is None:
+                gm = block_gmax(view, norm_inverse)
+            wgm = window_gmax(view, gm, n)
+        # f64 w·max(gmax) ≥ every f32 per-block bound up to one f32 ulp,
+        # covered by the 1e-6 relative skip margin below
+        ub += float(w) * wgm
         ids, freqs = seg.decoded(ti)  # reader-level decode cache
-        scores = w - w / (F32(1.0) + freqs.astype(F32) * norm_inverse[norms[ids]])
+        # the BM25 denominator (1 + freq·normInv) is weight-independent:
+        # cache it per (term, segment) so repeat queries pay one
+        # subtract+divide instead of the gather+cast+mul+add chain.
+        # ``w - w/d`` is the engine's documented (oracle-matched) algebra.
+        dkey = (id(seg), ti.part, ti.post_off)
+        d = denom_cache.get(dkey) if denom_cache is not None else None
+        if d is None:
+            d = F32(1.0) + freqs.astype(F32) * norm_inverse[norms[ids]]
+            if denom_cache is not None:
+                # byte-budget the cache (entries are df-length f32 arrays)
+                used = denom_cache.get("__bytes__", 0)
+                if used + d.nbytes <= 256 * 1024 * 1024:
+                    denom_cache[dkey] = d
+                    denom_cache["__bytes__"] = used + d.nbytes
+        scores = w - w / d
         terms_data.append((ids, scores))
 
     cand_ids: List[np.ndarray] = []
@@ -178,17 +211,28 @@ def wand_topk(
         # per-window loop has nothing to prune — one dense vectorized pass
         # (same clause-order float32 accumulation, identical scores) is
         # cheaper and counts every hit exactly.
-        scores_all = np.zeros(n, dtype=F32)
-        matched_all = np.zeros(n, dtype=bool)
-        for ids, tscores in terms_data:
-            scores_all[ids] += tscores
-            matched_all[ids] = True
-        if deleted is not None:
-            matched_all &= ~deleted  # live docs only (tombstone bitmap)
-        hits = np.flatnonzero(matched_all)
-        evaluated = len(hits)
-        hit_ids = hits.astype(np.uint32)
-        hit_scores = scores_all[hits]
+        if len(terms_data) == 1:
+            # single term: postings ARE the hit list — skip the dense
+            # accumulator entirely (the common term-query case)
+            ids0, tscores0 = terms_data[0]
+            hit_ids = ids0.astype(np.uint32)
+            hit_scores = tscores0
+            if deleted is not None:
+                live_m = ~deleted[hit_ids]
+                hit_ids, hit_scores = hit_ids[live_m], hit_scores[live_m]
+            evaluated = len(hit_ids)
+        else:
+            scores_all = np.zeros(n, dtype=F32)
+            matched_all = np.zeros(n, dtype=bool)
+            for ids, tscores in terms_data:
+                scores_all[ids] += tscores
+                matched_all[ids] = True
+            if deleted is not None:
+                matched_all &= ~deleted  # live docs only (tombstone bitmap)
+            hits = np.flatnonzero(matched_all)
+            evaluated = len(hits)
+            hit_ids = hits.astype(np.uint32)
+            hit_scores = scores_all[hits]
         if after is not None:
             a_score = np.float32(after[0])
             a_doc = int(after[1])
