@@ -146,22 +146,37 @@ def run_bench() -> dict:
     t_merge = time.time() - t0
 
     queries = build_query_set(n_docs)
-    qds = ray.data.from_items(queries)
+    # Serving tier: persistent searcher actors (the reference's warm-JVM
+    # IndexSearcher shape; its published QPS protocol warms index + JIT
+    # before timing). Pool spin-up + warmup are timed separately as
+    # query_startup: they are per-PROCESS costs a serving deployment pays
+    # once, not per-workload — steady-state QPS is the serving metric.
+    # The Ray-Data batch surface (search_dataset) stays the pipeline path.
+    from lucene_ray.search.service import SearcherService
+
     t0 = time.time()
     # one searcher actor per cpu by default: the query stage is
     # embarrassingly parallel and actors are single-threaded —
     # NUM_CPUS//2 measured ~2x slower at 32 cpus (half the machine idle)
-    res = search_dataset(index_dir, qds, k=10, concurrency=QUERY_CONC)
-    n_rows = res.count()
+    svc = SearcherService(index_dir, num_actors=QUERY_CONC, k=10)
+    svc.warmup([q["query"] for q in queries[:15]])
+    t_startup = time.time() - t0
+    t0 = time.time()
+    res = svc.search(
+        [q["qid"] for q in queries], [q["query"] for q in queries]
+    )
+    n_rows = res.num_rows
     t_query = time.time() - t0
+    svc.shutdown()
 
     out = {
         "metric": "index-build + BM25 top-10 query workload (synthetic pages corpus)",
-        "value": round(t_build + t_merge + t_query, 3),
+        "value": round(t_build + t_merge + t_startup + t_query, 3),
         "unit": "sec",
         "queries": {
             "index_build": round(t_build, 3),
             "merge": round(t_merge, 3),
+            "query_startup": round(t_startup, 3),
             "query_workload": round(t_query, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
