@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": mlt.more_like_this,
         "phrase_search": sq.phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
+        "dismax_topk": sq.dismax_topk,
+        "constant_score_topk": sq.constant_score_topk,
+        "term_in_set": sq.term_in_set,
+        "span_near_search": sq.span_near_search,
         "term_stats": co.term_stats,
         "collection_stats": co.collection_stats,
         "doc_norms": co.doc_norms,
@@ -141,6 +145,10 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": mlt.sql_more_like_this(),
         "phrase_search": sq.sql_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
+        "dismax_topk": sq.sql_dismax_topk(),
+        "constant_score_topk": sq.sql_constant_score_topk(),
+        "term_in_set": sq.sql_term_in_set(),
+        "span_near_search": sq.sql_span_near_search(),
         "term_stats": co.sql_term_stats(),
         "collection_stats": co.sql_collection_stats(),
         "doc_norms": co.sql_doc_norms(),

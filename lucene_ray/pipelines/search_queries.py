@@ -1253,3 +1253,306 @@ select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
 """
+
+
+# --------------------------------------------------------------------------
+# DisjunctionMaxQuery / ConstantScoreQuery / TermInSetQuery / SpanNearQuery
+# (round 2: best-field combiner, scoring firewall, set filter, proximity —
+# ``core/search/DisjunctionMaxQuery.java``, ``ConstantScoreQuery.java``,
+# ``TermInSetQuery.java``, ``lucene/queries/.../spans/SpanNearQuery.java``)
+# --------------------------------------------------------------------------
+
+DISMAX_TIE = 0.37
+DISMAX_QUERIES: List[Tuple[int, str]] = [
+    (0, "data model"),
+    (1, "spark the"),
+    (2, "query zzzabsent"),
+    (3, "batch stream merge"),
+]
+
+
+def make_dismax(spec: str):
+    """Picklable query factory: terms → DisjunctionMaxQuery(tie=0.37)."""
+    from lucene_ray.search.query import DisjunctionMaxQuery, TermQuery
+
+    return DisjunctionMaxQuery(
+        tuple(TermQuery(t) for t in spec.split()), DISMAX_TIE
+    )
+
+
+def dismax_topk(sf_dir: str):
+    """Best-field-wins top-k: score = max(term scores) + 0.37 × Σ others,
+    double-accumulated, narrowed to float32 once
+    (``DisjunctionMaxScorer`` ``score(DisiWrapper)``)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in DISMAX_QUERIES]
+    )
+    res = search_dataset(idx, qds, k=K, concurrency=2, query_factory=make_dismax)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_dismax_topk() -> str:
+    return f"""{_PRELUDE},
+{_score_cte(DISMAX_QUERIES)}
+, dm as (
+  select qid, doc_id,
+         cast(cast(max(s) as double)
+              + {DISMAX_TIE!r} * (sum(cast(s as double)) - cast(max(s) as double))
+              as float) as score
+  from tscore group by qid, doc_id
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from dm
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+CS_QUERIES: List[Tuple[int, str]] = [(0, "data"), (1, "spark"), (2, "zzzabsent")]
+CS_BOOST = 0.5
+
+
+def make_constant_score(spec: str):
+    """term OR ConstantScore(the, 0.5): BM25(term) + 0.5 if doc has 'the'."""
+    from lucene_ray.search.query import (
+        SHOULD,
+        BooleanQuery,
+        ConstantScoreQuery,
+        TermQuery,
+    )
+
+    return BooleanQuery(
+        (
+            (SHOULD, TermQuery(spec)),
+            (SHOULD, ConstantScoreQuery(TermQuery("the"), boost=CS_BOOST)),
+        )
+    )
+
+
+def constant_score_topk(sf_dir: str):
+    """ConstantScoreQuery inside a scored disjunction: the wrapped clause
+    contributes exactly ``boost`` per matching doc (float32 accumulation
+    in clause order, same algebra as every Boolean oracle)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items([{"qid": q, "query": t} for q, t in CS_QUERIES])
+    res = search_dataset(
+        idx, qds, k=K, concurrency=2, query_factory=make_constant_score
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_constant_score_topk() -> str:
+    """score = f32(coalesce(term_score, 0) + 0.5) for docs containing
+    'the', else term_score (clause-order float32 adds, both exact)."""
+    return f"""{_PRELUDE},
+{_score_cte(CS_QUERIES)}
+, hasthe as (select distinct doc_id from tok where term = 'the'),
+uni as (
+  select q.qid, d.doc_id,
+         max(t.s) as s0,
+         max(case when h.doc_id is not null then 1 else 0 end) as has_the
+  from (select distinct qid from qterms) q
+  cross join documents d
+  left join tscore t on t.qid = q.qid and t.doc_id = d.doc_id
+  left join hasthe h on h.doc_id = d.doc_id
+  group by 1, 2
+),
+scored as (
+  select qid, doc_id,
+         case when has_the = 1
+              then cast(coalesce(s0, cast(0 as float)) + cast({CS_BOOST!r} as float) as float)
+              else s0 end as score
+  from uni
+  where s0 is not null or has_the = 1
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from scored
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+TIS_QUERIES: List[Tuple[int, str, Tuple[str, ...]]] = [
+    (0, "lang", ("en", "fr")),
+    (1, "lang", ("zh",)),
+    (2, "source", ("src1", "src4")),
+    (3, "lang", ("xx_absent",)),
+]
+
+
+def make_term_in_set(spec: str):
+    """spec = 'field|t1,t2,...' → TermInSetQuery."""
+    from lucene_ray.search.query import TermInSetQuery
+
+    fieldname, terms = spec.split("|", 1)
+    return TermInSetQuery(fieldname, tuple(terms.split(",")))
+
+
+def term_in_set(sf_dir: str):
+    """Keyword-set membership filter → full match set (qid, doc_id)
+    (``TermInSetQuery.java`` constant-score semantics; ordering-free
+    match-set comparison like the other constant-score oracles)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    qds = ray.data.from_items(
+        [
+            {"qid": q, "query": f"{f}|{','.join(ts)}", "k": 10**9}
+            for q, f, ts in TIS_QUERIES
+        ]
+    )
+    res = search_dataset(idx, qds, concurrency=2, query_factory=make_term_in_set)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_term_in_set() -> str:
+    rows = " union all ".join(
+        f"select {q} as qid, doc_id from documents where {f} in ("
+        + ", ".join(f"'{t}'" for t in ts)
+        + ")"
+        for q, f, ts in TIS_QUERIES
+    )
+    return f"select cast(qid as int) as qid, doc_id from ({rows})"
+
+
+# (qid, terms, slop, in_order) — distinct terms only (the SQL oracle's
+# position joins assume distinct tokens; duplicate-term multiplicity is
+# covered by unit tests against the brute-force reference)
+SPAN_QUERIES: List[Tuple[int, Tuple[str, ...], int, bool]] = [
+    (0, ("data", "model"), 2, True),
+    (1, ("data", "model"), 2, False),
+    (2, ("batch", "stream"), 0, True),
+    (3, ("the", "data", "model"), 4, True),
+    (4, ("merge", "sort"), 3, False),
+]
+
+
+def make_span(spec: str):
+    """spec = 'o|slop|t1 t2 ...' or 'u|slop|...' → SpanNearQuery."""
+    from lucene_ray.search.query import SpanNearQuery
+
+    mode, slop, terms = spec.split("|", 2)
+    return SpanNearQuery(
+        tuple(terms.split()), slop=int(slop), in_order=(mode == "o")
+    )
+
+
+def span_near_search(sf_dir: str):
+    """Span-near proximity match sets (ordered + unordered, 2- and 3-term)
+    through the searcher actor pool; constant-score, match SET exact."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [
+            {
+                "qid": q,
+                "query": f"{'o' if o else 'u'}|{s}|{' '.join(ts)}",
+                "k": 10**9,
+            }
+            for q, ts, s, o in SPAN_QUERIES
+        ]
+    )
+    res = search_dataset(idx, qds, concurrency=2, query_factory=make_span)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_span_near_search() -> str:
+    """Existence of a qualifying position assignment — per query an
+    explicit position self-join (terms are distinct so position
+    distinctness is automatic; width = max−min+1 ≤ slop + n)."""
+    parts = []
+    for q, ts, slop, ordered in SPAN_QUERIES:
+        budget = slop + len(ts)
+        if len(ts) == 2:
+            t1, t2 = ts
+            cond = (
+                f"b.pos > a.pos and b.pos - a.pos + 1 <= {budget}"
+                if ordered
+                else f"abs(b.pos - a.pos) + 1 <= {budget}"
+            )
+            parts.append(
+                f"select distinct {q} as qid, a.doc_id\n"
+                f"from ptok a join ptok b on b.doc_id = a.doc_id\n"
+                f"where a.term = '{t1}' and b.term = '{t2}' and {cond}"
+            )
+        else:
+            t1, t2, t3 = ts
+            cond = (
+                f"a.pos < b.pos and b.pos < c.pos and c.pos - a.pos + 1 <= {budget}"
+                if ordered
+                else f"greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1 <= {budget}"
+            )
+            parts.append(
+                f"select distinct {q} as qid, a.doc_id\n"
+                f"from ptok a join ptok b on b.doc_id = a.doc_id\n"
+                f"     join ptok c on c.doc_id = a.doc_id\n"
+                f"where a.term = '{t1}' and b.term = '{t2}' and c.term = '{t3}' and {cond}"
+            )
+        body = "\nunion all\n".join(parts)
+    return f"""
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+ptok as (
+  select doc_id, i as pos, ws[i+1] as term
+  from w, unnest(range(array_length(ws))) as t(i)
+  where ws[i+1] <> ''
+)
+select cast(qid as int) as qid, doc_id from (
+{body}
+)
+"""

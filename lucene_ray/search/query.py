@@ -161,6 +161,62 @@ class CombinedFieldQuery:
 
 
 @dataclass(frozen=True)
+class TermInSetQuery:
+    """Document matches if ``field`` holds ANY of ``terms`` — the
+    set-filter form of a big keyword-term disjunction
+    (``core/search/TermInSetQuery.java:48-74``: constant-score rewrite,
+    never scored per-term). Evaluation unions the exact postings of the
+    member terms; score = ``boost`` for every match."""
+
+    field: str
+    terms: Tuple[str, ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(sorted(set(self.terms))))
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Wraps any query; every match scores exactly ``boost``
+    (``core/search/ConstantScoreQuery.java:28-45``) — the scoring
+    firewall that lets an expensive scored sub-plan act as a filter."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Per doc: score = max(sub-scores) + tie_breaker · Σ(other
+    sub-scores), accumulated in double and narrowed to float32 at the
+    end (``core/search/DisjunctionMaxQuery.java:40-70``,
+    ``DisjunctionMaxScorer`` ``score(DisiWrapper)``) — the
+    best-field-wins combiner for multi-field keyword search."""
+
+    disjuncts: Tuple["Query", ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery:
+    """Proximity: all ``terms`` occur within ``slop`` total positional
+    gaps, optionally in order (``lucene/queries/.../spans/SpanNearQuery
+    .java:47-76``; ordered matching per ``NearSpansOrdered.java`` —
+    span width − n_terms ≤ slop with strictly increasing positions;
+    unordered per ``NearSpansUnordered.java`` — minimal enclosing window
+    over one occurrence of each term). Matches are CONSTANT-SCORE
+    (boost) here: the reference's span scoring (sloppyFreq over the
+    span stream) is intentionally not reproduced — documented
+    divergence, match SET is exact."""
+
+    terms: Tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
@@ -195,6 +251,10 @@ Query = Union[
     SynonymQuery,
     CombinedFieldQuery,
     JoinQuery,
+    TermInSetQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    SpanNearQuery,
 ]
 
 
@@ -208,6 +268,13 @@ def rewrite(q: Query) -> Query:
         return BooleanQuery(clauses, q.minimum_should_match)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = tuple(rewrite(s) for s in q.disjuncts)
+        if len(subs) == 1:
+            return subs[0]  # DisjunctionMaxQuery.rewrite single-clause
+        return DisjunctionMaxQuery(subs, q.tie_breaker)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite(q.query), q.boost)
     return q
 
 
@@ -392,6 +459,17 @@ def query_terms(q: Query) -> List[str]:
         return list(q.terms)  # phrases are text-field (bare keys)
     if isinstance(q, SynonymQuery):
         return [term_key(q.field, t) for t in q.terms]
+    if isinstance(q, SpanNearQuery):
+        return list(q.terms)  # spans are text-field (positions required)
+    if isinstance(q, TermInSetQuery):
+        return [term_key(q.field, t) for t in q.terms]
+    if isinstance(q, ConstantScoreQuery):
+        return query_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = []
+        for sub in q.disjuncts:
+            out.extend(query_terms(sub))
+        return out
     if isinstance(q, CombinedFieldQuery):
         return [term_key(f, q.term) for f, _ in q.fields]
     if isinstance(q, BooleanQuery):

@@ -43,6 +43,8 @@ from lucene_ray.search.query import (
     SHOULD,
     BooleanQuery,
     CombinedFieldQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     JoinQuery,
     MatchAllQuery,
@@ -51,7 +53,9 @@ from lucene_ray.search.query import (
     Query,
     RangeQuery,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
+    TermInSetQuery,
     TermQuery,
     WildcardQuery,
     deduplicate_clauses,
@@ -89,6 +93,10 @@ _QUERY_TYPES = {
         SynonymQuery,
         CombinedFieldQuery,
         JoinQuery,
+        TermInSetQuery,
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        SpanNearQuery,
     )
 }
 
@@ -111,7 +119,83 @@ def localize_query(q):
             tuple((o, localize_query(s)) for o, s in q.clauses),
             q.minimum_should_match,
         )
+    if cls is DisjunctionMaxQuery:
+        return DisjunctionMaxQuery(
+            tuple(localize_query(s) for s in q.disjuncts), q.tie_breaker
+        )
+    if cls is ConstantScoreQuery:
+        return ConstantScoreQuery(localize_query(q.query), q.boost)
     return cls(**{f.name: getattr(q, f.name) for f in dataclasses.fields(cls)})
+
+
+def _span_near_match(
+    per_term: List[np.ndarray], budget: int, in_order: bool
+) -> bool:
+    """Does ONE document contain a qualifying span? ``per_term``: sorted
+    position arrays, one per query term (term order); ``budget`` = slop +
+    n_terms = max allowed window width.
+
+    Ordered (``NearSpansOrdered.java``): strictly increasing positions in
+    term order, width ≤ budget — checked by chaining each start through
+    the later lists greedily (smallest next position > previous minimizes
+    the width for that start).
+
+    Unordered (``NearSpansUnordered.java``): minimal window containing
+    one occurrence of EVERY term slot (duplicate query terms need that
+    many distinct occurrences) — the k-list smallest-range sweep."""
+    n = len(per_term)
+    if in_order:
+        for p1 in per_term[0]:
+            prev = int(p1)
+            ok = True
+            for lst in per_term[1:]:
+                j = int(np.searchsorted(lst, prev, side="right"))
+                if j >= len(lst):
+                    ok = False
+                    break
+                prev = int(lst[j])
+            if ok and prev - int(p1) + 1 <= budget:
+                return True
+        return False
+    # unordered: collapse duplicate terms to one slot with multiplicity
+    # (identical position arrays would otherwise double-count a single
+    # occurrence), then sweep a shrinking window over labeled positions
+    slots: List[np.ndarray] = []
+    needs: List[int] = []
+    seen_keys: Dict[bytes, int] = {}
+    for lst in per_term:
+        key = lst.tobytes()
+        j = seen_keys.get(key)
+        if j is None:
+            seen_keys[key] = len(slots)
+            slots.append(lst)
+            needs.append(1)
+        else:
+            needs[j] += 1
+    labels = [
+        np.full(len(lst), i, dtype=np.int64) for i, lst in enumerate(slots)
+    ]
+    allpos = np.concatenate(slots)
+    alllab = np.concatenate(labels)
+    order = np.argsort(allpos, kind="stable")
+    allpos, alllab = allpos[order], alllab[order]
+    have = [0] * len(slots)
+    missing = len(slots)
+    lo = 0
+    for hi in range(len(allpos)):
+        t = int(alllab[hi])
+        have[t] += 1
+        if have[t] == needs[t]:
+            missing -= 1
+        while missing == 0:
+            if int(allpos[hi]) - int(allpos[lo]) + 1 <= budget:
+                return True
+            tl = int(alllab[lo])
+            if have[tl] == needs[tl]:
+                missing += 1
+            have[tl] -= 1
+            lo += 1
+    return False
 
 
 @dataclass
@@ -350,9 +434,108 @@ class IndexSearcher:
             return self._eval_combined_field(q, seg_idx, states)
         if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
             return self._eval_multiterm(q, seg_idx)
+        if isinstance(q, TermInSetQuery):
+            return self._eval_term_in_set(q, seg_idx, states)
+        if isinstance(q, ConstantScoreQuery):
+            r = self._eval(q.query, seg_idx, states)
+            return SegmentResult(
+                r.docids, np.full(len(r.docids), F32(q.boost))
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._eval_dismax(q, seg_idx, states)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q, seg_idx, states)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, seg_idx, states)
         raise TypeError(f"unknown query node {type(q)}")
+
+    def _eval_term_in_set(
+        self, q: TermInSetQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """Union of the member terms' postings, constant score
+        (``TermInSetQuery.java:48-74`` constant-score rewrite)."""
+        seg = self.segments[seg_idx]
+        id_sets = []
+        for t in q.terms:
+            ti = states[term_key(q.field, t)][0][seg_idx]
+            if ti is not None:
+                id_sets.append(seg.decoded(ti)[0])
+        if not id_sets:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        ids = (
+            np.unique(np.concatenate(id_sets)) if len(id_sets) > 1 else id_sets[0]
+        ).astype(np.uint32)
+        return self._live(
+            seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        )
+
+    def _eval_dismax(
+        self, q: DisjunctionMaxQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """``DisjunctionMaxScorer.score``: per doc, max sub-score plus
+        ``tie_breaker`` × the sum of the OTHER sub-scores, accumulated in
+        double, narrowed to float32 once (``DisjunctionMaxQuery.java:
+        40-70``). With float32 sub-scores the double accumulation is
+        exact for small clause counts, so the result is order-free and
+        bit-matchable by a DOUBLE-arithmetic SQL oracle."""
+        subs = [self._eval(s, seg_idx, states) for s in q.disjuncts]
+        nonempty = [r for r in subs if len(r.docids)]
+        if not nonempty:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        cand = np.unique(
+            np.concatenate([r.docids for r in nonempty]).astype(np.int64)
+        )
+        smax = np.zeros(len(cand), dtype=np.float64)
+        ssum = np.zeros(len(cand), dtype=np.float64)
+        for r in nonempty:
+            idx = np.searchsorted(cand, r.docids.astype(np.int64))
+            s64 = r.scores.astype(np.float64)
+            np.maximum.at(smax, idx, s64)
+            ssum[idx] += s64
+        tie = float(q.tie_breaker)
+        scores = (smax + tie * (ssum - smax)).astype(F32)
+        # sub-evals already applied liveDocs; union preserves that
+        return SegmentResult(cand.astype(np.uint32), scores)
+
+    def _eval_span_near(
+        self, q: SpanNearQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """Span-near existence match over positions: ordered spans need
+        strictly increasing positions in term order with total width −
+        n ≤ slop (``NearSpansOrdered.java``); unordered spans need a
+        minimal window holding one occurrence of every term with width −
+        n ≤ slop (``NearSpansUnordered.java``). Constant-score (see
+        SpanNearQuery docstring)."""
+        seg = self.segments[seg_idx]
+        infos = [states[t][0][seg_idx] for t in q.terms]
+        if any(ti is None for ti in infos):
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        decoded = []
+        for ti in infos:
+            ids, freqs = seg.decoded(ti)
+            pos = seg.positions(ti)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(freqs, out=offs[1:])
+            decoded.append((ids, offs, pos))
+        common = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        out: List[int] = []
+        n = len(q.terms)
+        budget = q.slop + n  # max allowed window width
+        for d in common:
+            per_term = []
+            for ids, offs, pos in decoded:
+                j = int(np.searchsorted(ids, d))
+                per_term.append(pos[offs[j] : offs[j + 1]].astype(np.int64))
+            if _span_near_match(per_term, budget, q.in_order):
+                out.append(int(d))
+        if not out:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        ids = np.array(out, dtype=np.uint32)
+        return self._live(
+            seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        )
 
     def _eval_multiterm(self, q, seg_idx: int) -> SegmentResult:
         """MultiTermQuery: dictionary expansion → union of matched terms'
