@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": sq.facet_lang,
         "synonym_search": sq.synonym_search,
         "combined_field_topk": sq.combined_field_topk,
+        "feature_boosted_topk": sq.feature_boosted_topk,
         "grouped_topk": sq.grouped_topk,
         "join_search": joins.join_search,
         "block_join_topk": joins.block_join_topk,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": sq.sql_facet_lang(),
         "synonym_search": sq.sql_synonym_search(),
         "combined_field_topk": sq.sql_combined_field_topk(),
+        "feature_boosted_topk": sq.sql_feature_boosted_topk(),
         "grouped_topk": sq.sql_grouped_topk(),
         "join_search": joins.sql_join_search(),
         "block_join_topk": joins.sql_block_join_topk(),

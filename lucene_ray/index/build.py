@@ -119,6 +119,7 @@ def build_partition(
     cols += [c for c in config.extra_text_cols if c not in cols]
     cols += [c for c in config.keyword_cols if c not in cols]
     cols += [c for c in config.dv_cols if c not in cols]
+    cols += [c for c in config.feature_cols if c not in cols]
     tbl = read_partition(
         item["path"], int(item["row_start"]), int(item["row_end"]), cols
     )
@@ -157,9 +158,14 @@ def build_partition(
             inv, field_invs, config.positions
         )
     kw_stats: dict = {}
-    if config.keyword_cols:
+    if config.keyword_cols or config.feature_cols:
         kw_cols = {c: tbl.column(c).to_pylist() for c in config.keyword_cols}
-        inv, kw_stats = add_keyword_postings(inv, kw_cols, config.positions)
+        feat_cols = {
+            c: tbl.column(c).to_pylist() for c in config.feature_cols
+        }
+        inv, kw_stats = add_keyword_postings(
+            inv, kw_cols, config.positions, feat_columns=feat_cols
+        )
     kw_stats.update(field_stats)
     dv_table = (
         tbl.select(list(config.dv_cols)) if config.dv_cols else None

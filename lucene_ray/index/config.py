@@ -15,6 +15,9 @@ from lucene_ray.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH
 # keyword values containing it are rejected at index time.
 FIELD_SEP = "\x1f"
 DEFAULT_FIELD = "text"
+# the shared pseudo-field holding FeatureField terms ("All features may be
+# stored in the same field" — core/document/FeatureField.java:126-128)
+FEATURE_FIELD = "features"
 
 
 def term_key(fieldname: str, term: str) -> str:
@@ -69,6 +72,13 @@ class IndexConfig:
     keyword_cols: Tuple[str, ...] = ()
     extra_text_cols: Tuple[str, ...] = ()
     dv_cols: Tuple[str, ...] = ()
+    # feature_cols — NUMERIC input columns indexed as FeatureField terms
+    # (fork ``DOCS_AND_CUSTOM_FREQS``, ``core/index/IndexOptions.java:51-56``):
+    # each column ``c`` posts one term ``features␟c`` per doc whose custom
+    # freq is the FeatureField encoding of float32(value)
+    # (``core/document/FeatureField.java:185-188``). No positions, no
+    # norms, no field-length contribution. Null values skip the doc.
+    feature_cols: Tuple[str, ...] = ()
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -97,6 +107,7 @@ class IndexConfig:
             "keyword_cols": list(self.keyword_cols),
             "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
+            "feature_cols": list(self.feature_cols),
             "index_sort": list(self.index_sort) if self.index_sort else None,
         }
 
@@ -116,6 +127,7 @@ class IndexConfig:
             keyword_cols=tuple(d.get("keyword_cols", ())),
             extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
+            feature_cols=tuple(d.get("feature_cols", ())),
             index_sort=(
                 tuple(d["index_sort"]) if d.get("index_sort") else None
             ),

@@ -39,8 +39,15 @@ import pyarrow.parquet as pq
 from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
+from lucene_ray.codecs.feature import encode_feature_values
 from lucene_ray.codecs.smallfloat import encode_norms
-from lucene_ray.index.config import DEFAULT_FIELD, FIELD_SEP, IndexConfig, term_key
+from lucene_ray.index.config import (
+    DEFAULT_FIELD,
+    FEATURE_FIELD,
+    FIELD_SEP,
+    IndexConfig,
+    term_key,
+)
 from lucene_ray.index.deletes import load_deleted
 
 META_NAME = "meta.json"
@@ -316,6 +323,7 @@ def add_keyword_postings(
     inv: InvertedBatch,
     kw_columns: "Dict[str, Sequence]",
     with_positions: bool,
+    feat_columns: "Optional[Dict[str, Sequence]]" = None,
 ) -> Tuple[InvertedBatch, Dict[str, dict]]:
     """Merge untokenized keyword-field postings (``StringField`` semantics:
     DOCS-only, tf=1, no positions, norms omitted —
@@ -324,14 +332,22 @@ def add_keyword_postings(
     under ``field + U+001F + value`` keys (see ``config.term_key``), so
     merge/search machinery needs no per-field special cases.
 
+    ``feat_columns`` adds FeatureField postings (fork
+    ``DOCS_AND_CUSTOM_FREQS``, ``core/index/IndexOptions.java:51-56``):
+    per numeric column one term ``features␟<col>`` whose custom freq is
+    the FeatureField float encoding (``FeatureField.java:185-188``) —
+    opaque scores in the freq slot, one occurrence per doc, no
+    positions, no norms. Impacts computed over these freqs at write
+    time make feature clauses WAND-prunable.
+
     Returns the combined batch plus per-field stats
     ``{field: {doc_count, sum_ttf, sum_df}}`` (the ``FieldInfos`` /
     per-field ``Terms`` stats role)."""
-    if not kw_columns:
+    if not kw_columns and not feat_columns:
         return inv, {}
-    extra: List[Tuple[str, np.ndarray]] = []
+    extra: List[Tuple[str, np.ndarray, Optional[np.ndarray]]] = []
     kw_stats: Dict[str, dict] = {}
-    for fieldname in sorted(kw_columns):
+    for fieldname in sorted(kw_columns or {}):
         vals = kw_columns[fieldname]
         groups: Dict[str, List[int]] = {}
         n_with = 0
@@ -350,8 +366,27 @@ def add_keyword_postings(
         kw_stats[fieldname] = {"doc_count": n_with, "sum_ttf": n_with}
         for v in sorted(groups):
             extra.append(
-                (term_key(fieldname, v), np.array(groups[v], dtype=np.uint32))
+                (term_key(fieldname, v), np.array(groups[v], dtype=np.uint32), None)
             )
+    if feat_columns:
+        fdocs = 0
+        fttf = 0
+        docs_with_feature: set = set()
+        for colname in sorted(feat_columns):
+            vals = np.asarray(feat_columns[colname], dtype=object)
+            mask = np.array([v is not None for v in vals], dtype=bool)
+            ids = np.nonzero(mask)[0].astype(np.uint32)
+            if len(ids) == 0:
+                continue
+            tfs = encode_feature_values(
+                np.array([float(v) for v in vals[mask]], dtype=np.float32)
+            )
+            extra.append((term_key(FEATURE_FIELD, colname), ids, tfs))
+            docs_with_feature.update(ids.tolist())
+            fttf += int(tfs.sum())
+        fdocs = len(docs_with_feature)
+        kw_stats[FEATURE_FIELD] = {"doc_count": fdocs, "sum_ttf": fttf}
+        extra.sort(key=lambda e: e[0])
     if not extra:
         return inv, kw_stats
 
@@ -380,12 +415,16 @@ def add_keyword_postings(
                 npos += pe - ps
             i += 1
         else:
-            key, ids = extra[j]
+            key, ids, tfs = extra[j]
             out_terms.append(key)
             id_parts.append(ids)
-            tf_parts.append(np.ones(len(ids), dtype=np.uint32))
+            # keyword fields post tf=1; feature fields post the encoded
+            # custom freq (DOCS_AND_CUSTOM_FREQS)
+            tf_parts.append(
+                tfs if tfs is not None else np.ones(len(ids), dtype=np.uint32)
+            )
             npairs += len(ids)
-            # no positions for keyword fields: zero-length run
+            # no positions for keyword/feature fields: zero-length run
             j += 1
         term_starts.append(npairs)
         pos_starts.append(npos)

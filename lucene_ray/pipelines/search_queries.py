@@ -18,7 +18,14 @@ import pyarrow as pa
 
 from lucene_ray.index.config import IndexConfig
 from lucene_ray.pipelines.index_cache import get_or_build_index
-from lucene_ray.search.query import SynonymQuery
+from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.search.query import (
+    SHOULD,
+    BooleanQuery,
+    FeatureQuery,
+    SynonymQuery,
+    TermQuery,
+)
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
 
 # multi-field index over the documents table: lang/source as keyword
@@ -1555,4 +1562,129 @@ ptok as (
 select cast(qid as int) as qid, doc_id from (
 {body}
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# FeatureField / DOCS_AND_CUSTOM_FREQS: static scoring factors as postings
+# (core/document/FeatureField.java, fork core/index/IndexOptions.java:51-56).
+# n_chars is indexed as feature "n_chars" in the shared "features" field;
+# each query combines a BM25 text clause (SHOULD) with one feature function
+# clause (SHOULD) — the FeatureField javadoc's canonical usage (:92-104).
+# Query string grammar (factory-parsed): "<text>|<func>:<feature>:<params>"
+# ---------------------------------------------------------------------------
+
+FEATURE_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    feature_cols=("n_chars",),
+    dv_cols=("n_chars",),
+)
+
+# exactly-representable float32 params so engine/oracle constants agree
+FEATURE_QUERIES: List[Tuple[int, str]] = [
+    (0, "data|satu:n_chars:200:2"),         # w * (1 - k/(S+k))
+    (1, "spark|linear:n_chars:0.0078125"),  # w * S   (w = 2^-7, exact)
+    (2, "query|log:n_chars:1:0.5"),         # w * ln(a + S)
+    (3, "the|sigmoid:n_chars:300:1.5:2"),   # w * (1 - k^a/(S^a+k^a))
+]
+
+
+def make_feature_query(spec: str):
+    """Picklable factory: "<text terms>|<func>:<feature>:<params>" →
+    BooleanQuery(SHOULD text clauses..., SHOULD FeatureQuery)."""
+    text_part, feat_part = spec.split("|", 1)
+    parts = feat_part.split(":")
+    func, feature = parts[0], parts[1]
+    if func == "satu":
+        fq = FeatureQuery(feature, "satu", pivot=float(parts[2]),
+                          weight=float(parts[3]))
+    elif func == "linear":
+        fq = FeatureQuery(feature, "linear", weight=float(parts[2]))
+    elif func == "log":
+        fq = FeatureQuery(feature, "log", scale=float(parts[2]),
+                          weight=float(parts[3]))
+    elif func == "sigmoid":
+        fq = FeatureQuery(feature, "sigmoid", pivot=float(parts[2]),
+                          exp=float(parts[3]), weight=float(parts[4]))
+    else:
+        raise ValueError(f"unknown feature function {func!r}")
+    an = Analyzer()
+    clauses = [
+        (SHOULD, TermQuery(t))
+        for tok in text_part.split()
+        for t, *_ in an.analyze(tok)
+    ]
+    clauses.append((SHOULD, fq))
+    return BooleanQuery(tuple(clauses))
+
+
+def feature_boosted_topk(sf_dir: str):
+    """BM25 term clause + FeatureField function clause, per-function
+    coverage of linear/log/satu/sigmoid — scores hash-match the oracle."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, FEATURE_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in FEATURE_QUERIES]
+    )
+    res = search_dataset(
+        idx, qds, k=K, concurrency=2, query_factory=make_feature_query
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_feature_boosted_topk() -> str:
+    """Oracle: replicate the 9-significant-bit FeatureField quantization
+    (floatToIntBits(v) >>> 15 then << 15 == truncate the float32 mantissa
+    to 8 explicit bits == floor to a multiple of 2^(floor(log2 v) - 8)),
+    then each scoring function with the engine's exact float32/float64
+    op sequence."""
+    text_queries = [(qid, spec.split("|", 1)[0]) for qid, spec in FEATURE_QUERIES]
+    return f"""{_PRELUDE},
+{_score_cte(text_queries)}
+, feat as (
+  select doc_id,
+         cast(floor(n_chars / power(2.0, greatest(floor(log2(cast(n_chars as double))) - 8, 0)))
+              * power(2.0, greatest(floor(log2(cast(n_chars as double))) - 8, 0)) as float) as S
+  from documents
+  where n_chars is not null
+),
+fscore as (
+  select doc_id,
+         cast(2 as float) * (cast(1 as float) - cast(200 as float) / (S + cast(200 as float))) as f0,
+         cast(0.0078125 as float) * S as f1,
+         cast(cast(0.5 as double) * ln(cast(S + cast(1 as float) as double)) as float) as f2,
+         cast(cast(2 as double) * (1 - power(cast(300 as double), 1.5)
+              / (power(cast(S as double), 1.5) + power(cast(300 as double), 1.5))) as float) as f3
+  from feat
+),
+summed as (
+  select q.qid, f.doc_id,
+         (coalesce(t.s, cast(0 as float))
+          + case q.qid when 0 then f.f0 when 1 then f.f1
+                       when 2 then f.f2 else f.f3 end) as score
+  from (select distinct qid from qterms) q
+  cross join fscore f
+  left join tscore t on t.qid = q.qid and t.doc_id = f.doc_id
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from summed
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
 """

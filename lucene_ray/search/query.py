@@ -161,6 +161,30 @@ class CombinedFieldQuery:
 
 
 @dataclass(frozen=True)
+class FeatureQuery:
+    """Score docs from a FeatureField term's custom freq — the reference's
+    ``FeatureField.newLinearQuery / newLogQuery / newSaturationQuery /
+    newSigmoidQuery`` (``core/document/FeatureField.java:585-683``) over a
+    fork ``DOCS_AND_CUSTOM_FREQS`` posting list. Matches every doc that
+    has the feature; score = function(decoded value), exact float algebra
+    in ``codecs/feature.feature_scores``.
+
+    - ``function="linear"``: ``w * S``
+    - ``function="log"``:    ``w * log(scale + S)``
+    - ``function="satu"``:   ``w * (1 - pivot/(S + pivot))``
+    - ``function="sigmoid"``: ``w * (1 - pivot^exp/(S^exp + pivot^exp))``
+    """
+
+    feature: str
+    function: str = "satu"
+    weight: float = 1.0
+    pivot: float = 1.0
+    scale: float = 1.0
+    exp: float = 1.0
+    field: str = "features"
+
+
+@dataclass(frozen=True)
 class TermInSetQuery:
     """Document matches if ``field`` holds ANY of ``terms`` — the
     set-filter form of a big keyword-term disjunction
@@ -459,6 +483,8 @@ def query_terms(q: Query) -> List[str]:
         return list(q.terms)  # phrases are text-field (bare keys)
     if isinstance(q, SynonymQuery):
         return [term_key(q.field, t) for t in q.terms]
+    if isinstance(q, FeatureQuery):
+        return [term_key(q.field, q.feature)]
     if isinstance(q, SpanNearQuery):
         return list(q.terms)  # spans are text-field (positions required)
     if isinstance(q, TermInSetQuery):

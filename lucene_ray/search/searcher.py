@@ -31,6 +31,7 @@ from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
+from lucene_ray.codecs.feature import decode_feature_values, feature_scores
 from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
 from lucene_ray.search.expressions import Expression
@@ -45,6 +46,7 @@ from lucene_ray.search.query import (
     CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     FuzzyQuery,
     JoinQuery,
     MatchAllQuery,
@@ -93,6 +95,7 @@ _QUERY_TYPES = {
         SynonymQuery,
         CombinedFieldQuery,
         JoinQuery,
+        FeatureQuery,
         TermInSetQuery,
         ConstantScoreQuery,
         DisjunctionMaxQuery,
@@ -430,6 +433,8 @@ class IndexSearcher:
             return self._eval_range(q, seg_idx)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(q, seg_idx, states)
+        if isinstance(q, FeatureQuery):
+            return self._eval_feature(q, seg_idx, states)
         if isinstance(q, CombinedFieldQuery):
             return self._eval_combined_field(q, seg_idx, states)
         if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
@@ -599,6 +604,24 @@ class IndexSearcher:
                 ids.astype(np.uint32), np.full(len(ids), F32(q.boost))
             ),
         )
+
+    def _eval_feature(self, q, seg_idx: int, states) -> SegmentResult:
+        """``FeatureQuery`` (``core/document/FeatureField.java:585-683``
+        over a fork ``DOCS_AND_CUSTOM_FREQS`` list): decode the custom
+        freqs back to float32 feature values and apply the scoring
+        function — no idf, no norms (the reference omits norms on
+        FeatureField and passes norm=1L)."""
+        seg = self.segments[seg_idx]
+        infos, df, _ = states[term_key(q.field, q.feature)]
+        ti = infos[seg_idx]
+        if ti is None or df == 0:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        ids, freqs = seg.decoded(ti)
+        vals = decode_feature_values(freqs)
+        scores = feature_scores(
+            q.function, vals, q.weight, q.pivot, q.scale, q.exp
+        )
+        return self._live(seg, SegmentResult(ids, scores.astype(F32)))
 
     def _eval_synonym(self, q, seg_idx: int, states) -> SegmentResult:
         """``SynonymQuery`` semantics (``core/search/SynonymQuery.java``):
