@@ -39,6 +39,7 @@ from lucene_ray.index.segment import (
     add_extra_text_postings,
     add_keyword_postings,
     invert_texts,
+    invert_token_lists,
     write_segment,
 )
 
@@ -142,12 +143,22 @@ def build_partition(
             )
         order = np.argsort(skey, kind="stable")
         tbl = tbl.take(pa.array(order))
-    analyzer = analyzer_for_config(config)
-    texts = tbl.column(config.text_col).to_pylist()
-    inv = invert_texts(texts, analyzer, with_positions=config.positions)
+    if config.pretokenized:
+        # TokenStreamColumn path (``core/document/column/
+        # TokenStreamColumn.java:23-37``): caller-supplied tokens go
+        # straight to the inverter, no analyzer
+        inv = invert_token_lists(
+            tbl.column(config.text_col), with_positions=config.positions
+        )
+    else:
+        texts = tbl.column(config.text_col).to_pylist()
+        inv = invert_texts(
+            texts, analyzer_for_config(config), with_positions=config.positions
+        )
     field_norms: dict = {}
     field_stats: dict = {}
     if config.extra_text_cols:
+        analyzer = analyzer_for_config(config)
         field_invs = {
             c: invert_texts(
                 tbl.column(c).to_pylist(), analyzer, config.positions

@@ -79,6 +79,15 @@ class IndexConfig:
     # (``core/document/FeatureField.java:185-188``). No positions, no
     # norms, no field-length contribution. Null values skip the doc.
     feature_cols: Tuple[str, ...] = ()
+    # pretokenized — the fork's ``TokenStreamColumn`` ingestion path
+    # (``core/document/column/TokenStreamColumn.java:23-37``: caller-
+    # supplied token streams fed straight to the inverter, bypassing the
+    # analyzer). ``text_col`` must then be a ``list<string>`` column of
+    # pre-analyzed tokens; positions are dense 0..len-1. Like the
+    # reference's validation (``ColumnValidation.java:249-270``), the
+    # token column is inverted-index-only: it may not double as a
+    # keyword / doc-values / feature column.
+    pretokenized: bool = False
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -86,6 +95,20 @@ class IndexConfig:
     # ``search_sorted`` when the query sort matches. The field must be in
     # ``dv_cols``.
     index_sort: Optional[Tuple[str, str]] = None
+
+    def __post_init__(self):
+        if self.pretokenized and (
+            self.text_col in self.keyword_cols
+            or self.text_col in self.dv_cols
+            or self.text_col in self.feature_cols
+        ):
+            # ColumnValidation.validateTokenStreamColumn
+            # (``ColumnValidation.java:249-270``): a token-stream column
+            # is inverted-index-only
+            raise ValueError(
+                f"pretokenized column {self.text_col!r} is inverted-index-"
+                "only; it cannot also be a keyword/dv/feature column"
+            )
 
     def term_bucket(self, term: str) -> int:
         """Stable cross-process term→bucket routing (crc32, NOT python
@@ -108,6 +131,7 @@ class IndexConfig:
             "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
             "feature_cols": list(self.feature_cols),
+            "pretokenized": self.pretokenized,
             "index_sort": list(self.index_sort) if self.index_sort else None,
         }
 
@@ -128,6 +152,7 @@ class IndexConfig:
             extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
             feature_cols=tuple(d.get("feature_cols", ())),
+            pretokenized=d.get("pretokenized", False),
             index_sort=(
                 tuple(d["index_sort"]) if d.get("index_sort") else None
             ),

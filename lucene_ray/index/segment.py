@@ -198,6 +198,47 @@ def invert_texts(
     # batched analysis: one regex/lowercase pass over the whole batch
     # (per-doc fallback inside analyze_flat keeps output identical)
     all_terms, doc_lengths, flat_positions = analyzer.analyze_flat(texts)
+    return _invert_flat(
+        all_terms, doc_lengths, flat_positions, n_docs, with_positions
+    )
+
+
+def invert_token_lists(tokens, with_positions: bool) -> InvertedBatch:
+    """Invert CALLER-SUPPLIED token streams — the fork's
+    ``TokenStreamColumn`` ingestion path (``core/document/column/
+    package-info.java:30-50``: "caller-supplied token streams for
+    inversion"; consumed by ``IndexingChain.processBatch``): the input is
+    a ``list<string>`` Arrow column of pre-analyzed tokens per document,
+    inverted verbatim with dense positions 0..len-1 and no analyzer in
+    the loop. Null lists index as empty documents; null tokens are
+    rejected. The token flattening is zero-copy Arrow."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if not isinstance(tokens, (pa.ListArray, pa.LargeListArray)):
+        tokens = pa.array(
+            [list(t) if t is not None else None for t in tokens],
+            pa.list_(pa.string()),
+        )
+    n_docs = len(tokens)
+    lengths = tokens.value_lengths().to_numpy(zero_copy_only=False)
+    lengths = np.where(np.isnan(lengths), 0, lengths).astype(np.int64) if lengths.dtype.kind == "f" else lengths.astype(np.int64)
+    # flatten() drops null lists' slots, matching their length-0 entries
+    flat = tokens.flatten()
+    if flat.null_count:
+        raise ValueError("pre-tokenized input must not contain null tokens")
+    return _invert_flat(flat, lengths, None, n_docs, with_positions)
+
+
+def _invert_flat(
+    all_terms,
+    doc_lengths: np.ndarray,
+    flat_positions: Optional[np.ndarray],
+    n_docs: int,
+    with_positions: bool,
+) -> InvertedBatch:
+    """Shared inversion core over a flat token stream in document order
+    (``all_terms`` flat Arrow array or object ndarray, ``doc_lengths``
+    int64[n_docs], ``flat_positions`` aligned uint32 or None = dense)."""
     lengths = doc_lengths
 
     # token → int code in ONE C pass — replaces the per-token Python dict

@@ -157,6 +157,91 @@ def bm25_topk_shuffle(sf_dir: str):
     return res.map_batches(rename, batch_format="pyarrow")
 
 
+class _TokenizeStage:
+    """Actor-pool tokenize stage feeding the ``TokenStreamColumn`` build
+    path (``core/document/column/TokenStreamColumn.java:23-37``):
+    analyzer built once per actor, each batch runs one vectorized
+    ``analyze_flat`` pass and rebuilds a ``list<string>`` tokens column
+    from the flat stream + per-doc lengths (Arrow offsets, no per-row
+    Python)."""
+
+    def __init__(self):
+        self.analyzer = Analyzer()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = b.column("text").to_pylist()
+        flat, lengths, _pos = self.analyzer.analyze_flat(texts)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        elif not isinstance(flat, pa.Array):
+            flat = pa.array(list(flat), pa.large_string())
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat.cast(pa.large_string())
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "tokens": tokens})
+
+
+PRETOK_CONFIG = IndexConfig(
+    rows_per_segment=2048, num_buckets=2, text_col="tokens", pretokenized=True
+)
+
+
+def pretokenized_topk(sf_dir: str):
+    """TokenStreamColumn ingestion end-to-end: a Ray map_batches stage
+    tokenizes the corpus into a ``list<string>`` parquet, the build
+    inverts those caller-supplied tokens verbatim (``pretokenized=True``,
+    no analyzer in the build), and the same term workload must match the
+    same bit-exact BM25 oracle as the analyzed build."""
+    import os
+
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines.index_cache import index_dir_for
+
+    tag = index_dir_for(sf_dir, PRETOK_CONFIG)
+    tok_dir = tag + "_tokens"
+    if not os.path.exists(tok_dir):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        tmp = tok_dir + ".tmp"
+        ds.map_batches(
+            _TokenizeStage, concurrency=2, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.replace(tmp, tok_dir)
+    if not os.path.exists(os.path.join(tag, "manifest.json")):
+        os.makedirs(tag, exist_ok=True)
+        build_index(tok_dir, tag, PRETOK_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in TERM_QUERIES]
+    )
+    res = search_dataset(tag, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_pretokenized_topk() -> str:
+    """Pre-analyzed tokens invert to the identical index, so the oracle
+    is the analyzed-build BM25 oracle verbatim."""
+    return sql_bm25_topk()
+
+
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
 
