@@ -27,6 +27,7 @@ import numpy as np
 from lucene_ray.index.config import FIELD_SEP
 
 from lucene_ray.codecs.postings import BLOCK_SIZE, PostingsView, max_block_score
+from lucene_ray.codecs.spi import format_for_name
 from lucene_ray.search.bm25 import BM25Similarity
 from lucene_ray.index.manifest import load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader
@@ -92,7 +93,12 @@ def check_segment(seg_dir: str) -> List[str]:
         for i, term in enumerate(terms):
             off, ln = int(t["post_off"][i]), int(t["post_len"][i])
             try:
-                view = PostingsView(mm[off : off + ln])
+                fmt = seg.fmt_for_key(term)
+                blob = mm[off : off + ln]
+                if fmt == "ray104":
+                    view = PostingsView(blob)
+                else:
+                    view = format_for_name(fmt).view(blob)
                 ids, freqs = view.decode_all()
             except Exception as e:
                 problems.append(
@@ -112,6 +118,8 @@ def check_segment(seg_dir: str) -> List[str]:
             # impact domination: g = 1 - 1/(1+f*inv) monotone in f per norm;
             # check bound >= every (freq, norm) pair's factor with a
             # reference normInverse built from an arbitrary avgdl
+            if fmt != "ray104":
+                continue  # non-impact SPI formats have no block directory
             sc = BM25Similarity().scorer(1.0, max(2, n_docs), max(2, int(meta["sum_ttf"])), max(1, len(ids)))
             try:
                 for bi in range(view.n_blocks):

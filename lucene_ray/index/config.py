@@ -88,6 +88,17 @@ class IndexConfig:
     # token column is inverted-index-only: it may not double as a
     # keyword / doc-values / feature column.
     pretokenized: bool = False
+    # postings-format SPI (``PostingsFormat.forName`` +
+    # ``PerFieldPostingsFormat`` — ``core/codecs/PostingsFormat.java:30-76``,
+    # ``core/codecs/perfield/PerFieldPostingsFormat.java:64-69``):
+    # the segment-wide default format NAME plus per-field overrides
+    # ((field, format_name), ...). Names resolve through
+    # ``codecs/spi.py``'s registry at write, merge, and read time; the
+    # chosen names are recorded in segment meta so readers need no
+    # config. Non-impact formats (e.g. "plain") make their fields'
+    # queries run exhaustively (rank-identical; WAND needs impacts).
+    postings_format: str = "ray104"
+    per_field_formats: Tuple[Tuple[str, str], ...] = ()
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -115,6 +126,25 @@ class IndexConfig:
         ``hash`` which is per-process seeded)."""
         return zlib.crc32(term.encode("utf-8")) % self.num_buckets
 
+    def format_name_for_field(self, fieldname: str) -> str:
+        """PerFieldPostingsFormat.getPostingsFormatForField
+        (``PerFieldPostingsFormat.java:64-69``)."""
+        for f, name in self.per_field_formats:
+            if f == fieldname:
+                return name
+        return self.postings_format
+
+    def format_names_map(self) -> Optional[dict]:
+        """→ the ``postings_formats`` dict recorded in segment meta
+        ({"__default__": name, field: name, ...}), or None when every
+        field uses the default codec (back-compat: absent key ==
+        all-ray104 segment)."""
+        if self.postings_format == "ray104" and not self.per_field_formats:
+            return None
+        m = {"__default__": self.postings_format}
+        m.update({f: n for f, n in self.per_field_formats})
+        return m
+
     def to_json(self) -> dict:
         return {
             "text_col": self.text_col,
@@ -132,6 +162,8 @@ class IndexConfig:
             "dv_cols": list(self.dv_cols),
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
+            "postings_format": self.postings_format,
+            "per_field_formats": [list(p) for p in self.per_field_formats],
             "index_sort": list(self.index_sort) if self.index_sort else None,
         }
 
@@ -153,6 +185,10 @@ class IndexConfig:
             dv_cols=tuple(d.get("dv_cols", ())),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),
+            postings_format=d.get("postings_format", "ray104"),
+            per_field_formats=tuple(
+                tuple(p) for p in d.get("per_field_formats", ())
+            ),
             index_sort=(
                 tuple(d["index_sort"]) if d.get("index_sort") else None
             ),

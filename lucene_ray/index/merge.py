@@ -49,6 +49,7 @@ from lucene_ray.index.segment import (
     write_segment,
 )
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
+from lucene_ray.codecs.spi import encode_postings_by_format, format_for_name
 
 
 @dataclass(frozen=True)
@@ -173,6 +174,13 @@ def merge_bucket(
     import pyarrow.parquet as pq
 
     readers, new_base, rebase = _open_sorted_readers(index_dir, seg_ids)
+    fmts0 = readers[0].meta.get("postings_formats")
+    for r in readers[1:]:
+        if r.meta.get("postings_formats") != fmts0:
+            raise ValueError(
+                "cannot merge segments with different postings_formats: "
+                f"{fmts0} vs {r.meta.get('postings_formats')}"
+            )
     _isort, _old_of_new, new_of_old = _index_sort_map(readers)
     norms = np.concatenate([r.norms for r in readers])
     if _old_of_new is not None:
@@ -217,11 +225,19 @@ def merge_bucket(
         g_ids: List[np.ndarray] = []
         g_tfs: List[np.ndarray] = []
         g_pos: List[np.ndarray] = []
+        fmt_name = readers[0].fmt_for_key(term)
         for gri, gi in group:
             t = iters[gri][1]
             mm = readers[gri]._post_mm[b]
             off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
-            view = PostingsView(mm[off : off + ln])
+            blob = mm[off : off + ln]
+            # SPI dispatch: decode with the term's field format (all
+            # mergeable segments share one formats map — checked below)
+            view = (
+                PostingsView(blob)
+                if fmt_name == "ray104"
+                else format_for_name(fmt_name).view(blob)
+            )
             ids, tfs = view.decode_all()
             g_ids.append(ids.astype(np.int64) + rebase[gri])
             g_tfs.append(tfs)
@@ -285,9 +301,20 @@ def merge_bucket(
     if term_starts[-1] > 0:
         big_ids = np.concatenate(ids_buf).astype(np.uint32)
         big_tfs = np.concatenate(tf_buf).astype(np.uint32)
-        blobs = encode_postings_batch(
-            big_ids, big_tfs, norms, np.array(term_starts, dtype=np.int64)
-        )
+        if readers[0]._formats is None:
+            blobs = encode_postings_batch(
+                big_ids, big_tfs, norms, np.array(term_starts, dtype=np.int64)
+            )
+        else:
+            # re-encode each merged term with its field's format
+            fmt_names = [readers[0].fmt_for_key(t) for t in rows["term"]]
+            blobs = encode_postings_by_format(
+                fmt_names,
+                big_ids,
+                big_tfs,
+                norms,
+                np.array(term_starts, dtype=np.int64),
+            )
     else:
         blobs = []
     if with_pos and rows["term"]:
@@ -440,6 +467,7 @@ def _finalize_merge(
         "n_terms": sum(br["n_terms"] for br in bucket_results),
         "n_parts": readers[0].n_parts,
         "positions": bool(readers[0].meta["positions"]),
+        "postings_formats": readers[0].meta.get("postings_formats"),
         "key_type": readers[0].meta["key_type"],
         "kw_stats": kw_stats,
         "text_fields": text_fields,

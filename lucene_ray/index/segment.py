@@ -40,6 +40,7 @@ from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
 from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
 from lucene_ray.codecs.feature import encode_feature_values
+from lucene_ray.codecs.spi import encode_postings_by_format, format_for_name
 from lucene_ray.codecs.smallfloat import encode_norms
 from lucene_ray.index.config import (
     DEFAULT_FIELD,
@@ -649,13 +650,25 @@ def write_segment(
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
-    all_blobs = (
-        encode_postings_batch(
+    fmt_map = config.format_names_map()
+    if n_terms == 0:
+        all_blobs = []
+    elif fmt_map is None:
+        all_blobs = encode_postings_batch(
             inv.pair_docids, inv.pair_tfs, norms, inv.term_starts
         )
-        if n_terms
-        else []
-    )
+    else:
+        # PerFieldPostingsFormat write path: each term's blob uses its
+        # FIELD's registered format (``PerFieldPostingsFormat.java:64-69``)
+        fmt_names = [
+            config.format_name_for_field(
+                t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t else DEFAULT_FIELD
+            )
+            for t in term_strs
+        ]
+        all_blobs = encode_postings_by_format(
+            fmt_names, inv.pair_docids, inv.pair_tfs, norms, inv.term_starts
+        )
     all_pos_blobs = (
         encode_uint_blocks_batch(inv.positions, inv.pos_starts)
         if (config.positions and inv.positions is not None and n_terms)
@@ -733,6 +746,7 @@ def write_segment(
         "n_terms": n_terms,
         "n_parts": config.num_buckets,
         "positions": config.positions,
+        "postings_formats": fmt_map,  # None == all-ray104 (back-compat)
         "key_type": str(keys.type),
         "index_sort": list(config.index_sort) if config.index_sort else None,
         "kw_stats": kw_stats or {},
@@ -770,6 +784,10 @@ class TermInfo:
     pos_off: int
     pos_len: int
     part: int
+    # postings-format NAME for this term's field, resolved from segment
+    # meta (``PerFieldPostingsFormat`` read path — the recorded name
+    # picks the decoder, ``PerFieldPostingsFormat.java:64-69``)
+    fmt: str = "ray104"
 
 
 class SegmentReader:
@@ -821,6 +839,9 @@ class SegmentReader:
                 self._pos_mm.append(None)
         # live docs: highest-generation tombstone bitmap (None = all live)
         self.deleted: Optional[np.ndarray] = load_deleted(seg_dir, self.n_docs)
+        # per-field postings-format names from segment meta
+        # (PerFieldPostingsFormat read path); None == all ray104
+        self._formats: Optional[dict] = self.meta.get("postings_formats")
         self._docmap: Optional[pa.Array] = None
         self._dv_cache: Dict[str, pa.Array] = {}
         self._decode_cache_post: Dict[tuple, tuple] = {}
@@ -874,11 +895,26 @@ class SegmentReader:
                 pos_off=int(t["pos_off"][lo]),
                 pos_len=int(t["pos_len"][lo]),
                 part=b,
+                fmt=self.fmt_for_key(term),
             )
         return None
 
-    def term_info_at(self, b: int, i: int) -> TermInfo:
+    def fmt_for_key(self, term_key: str) -> str:
+        """Term-dict key → its field's postings-format name (from
+        segment meta; absent == all-ray104 segment)."""
+        if not self._formats:
+            return "ray104"
+        field = (
+            term_key.split(FIELD_SEP, 1)[0]
+            if FIELD_SEP in term_key
+            else DEFAULT_FIELD
+        )
+        return self._formats.get(field, self._formats["__default__"])
+
+    def term_info_at(self, b: int, i: int, term: Optional[str] = None) -> TermInfo:
         t = self._terms[b]
+        if self._formats and term is None:
+            term = self.terms_list(b)[i]
         return TermInfo(
             df=int(t["df"][i]),
             ttf=int(t["ttf"][i]),
@@ -887,6 +923,7 @@ class SegmentReader:
             pos_off=int(t["pos_off"][i]),
             pos_len=int(t["pos_len"][i]),
             part=b,
+            fmt=self.fmt_for_key(term) if self._formats else "ray104",
         )
 
     def _buckets_for_prefix(self, key_prefix: str):
@@ -923,14 +960,17 @@ class SegmentReader:
                 if (not exclude_field_sep or FIELD_SEP not in t) and (
                     match is None or match(t)
                 ):
-                    out.append((t, self.term_info_at(b, i)))
+                    out.append((t, self.term_info_at(b, i, term=t)))
                 i += 1
         out.sort(key=lambda x: x[0])
         return out
 
     def postings(self, info: TermInfo) -> PostingsView:
         mm = self._post_mm[info.part]
-        return PostingsView(mm[info.post_off : info.post_off + info.post_len])
+        blob = mm[info.post_off : info.post_off + info.post_len]
+        if info.fmt == "ray104":
+            return PostingsView(blob)
+        return format_for_name(info.fmt).view(blob)
 
     # decode caches: the LRUQueryCache role (``core/search/LRUQueryCache``)
     # for a vectorized engine — what's worth caching per reader is the

@@ -65,8 +65,9 @@ import pyarrow.parquet as pq
 from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.codecs.postings import encode_postings, encode_postings_batch
 from lucene_ray.codecs.smallfloat import encode_norms
+from lucene_ray.codecs.spi import format_for_name
 from lucene_ray.index.build import plan_partitions, read_partition
-from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig
 from lucene_ray.index.manifest import Manifest, commit_manifest, segment_dir
 from lucene_ray.index.segment import invert_texts
 
@@ -438,7 +439,10 @@ def build_index_shuffled(
         if total:
             big_ids = np.concatenate(id_parts).astype(np.uint32)
             big_tfs = np.concatenate(tf_parts).astype(np.uint32)
-            blobs = encode_postings_batch(
+            # text-only build → ONE format for every term (SPI dispatch,
+            # PerFieldPostingsFormat write role)
+            fmt = format_for_name(config.format_name_for_field(DEFAULT_FIELD))
+            blobs = fmt.encode_batch(
                 big_ids, big_tfs, nrm, np.array(starts, dtype=np.int64)
             )
         for ti, term in enumerate(sorted_terms):
@@ -535,6 +539,7 @@ def build_index_shuffled(
             "n_terms": int(sum(r["n_terms"] for r in results)),
             "n_parts": config.num_buckets,
             "positions": False,
+            "postings_formats": config.format_names_map(),
             "key_type": piece_metas[0]["key_type"] if piece_metas else "unknown",
             "bytes": sum(r["bytes"] for r in results),
             "checksums": {},

@@ -242,6 +242,45 @@ def sql_pretokenized_topk() -> str:
     return sql_bm25_topk()
 
 
+# postings-format SPI (PostingsFormat.forName + PerFieldPostingsFormat):
+# the whole index stored in the "plain" uncompressed format — queries run
+# exhaustively (no impacts), scores must still hash-match the same oracle
+PLAIN_CONFIG = IndexConfig(
+    rows_per_segment=2048, num_buckets=2, postings_format="plain"
+)
+
+
+def bm25_topk_plain(sf_dir: str):
+    """Same term workload over an index whose postings use the ``plain``
+    SPI codec (``codecs/spi.py``) — proves a second registered
+    PostingsFormat round-trips through build, read, and scoring with
+    bit-identical BM25 results."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir, PLAIN_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in TERM_QUERIES]
+    )
+    res = search_dataset(idx, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_bm25_topk_plain() -> str:
+    """The codec changes bytes, not semantics: same BM25 oracle."""
+    return sql_bm25_topk()
+
+
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
 

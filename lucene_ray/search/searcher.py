@@ -32,6 +32,7 @@ from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_ray.index.segment import SegmentReader, TermInfo
 from lucene_ray.codecs.feature import decode_feature_values, feature_scores
+from lucene_ray.codecs.spi import format_for_name
 from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
 from lucene_ray.search.expressions import Expression
@@ -250,6 +251,14 @@ class IndexSearcher:
         # per-(term-stats) scorers on demand instead
         self.norm_inverse = (
             self.sim.norm_inverse_cache(avgdl) if self.is_bm25 else None
+        )
+        # WAND needs per-block impacts: if any segment stores the text
+        # field in a non-impact postings format ("plain" SPI codec), the
+        # pruned path is unavailable and eligible queries fall back to
+        # exhaustive scoring (rank-identical either way)
+        self.text_has_impacts = all(
+            format_for_name(s.fmt_for_key("")).has_impacts
+            for s in self.segments
         )
         self._scorer_cache: Dict[tuple, object] = {}
         # non-default (keyword) field stats: doc_count + sum_ttf per field
@@ -1083,9 +1092,12 @@ class IndexSearcher:
             # the block-max impact→bound conversion is derived for the
             # BM25 algebra; generic similarities run exhaustively
             # (rank-identical output never depends on pruning)
-            if not self.is_bm25:
+            if not self.is_bm25 or not self.text_has_impacts:
                 if mode == "wand":
-                    raise ValueError("WAND pruning requires BM25 similarity")
+                    raise ValueError(
+                        "WAND pruning requires BM25 similarity and an "
+                        "impact-bearing text postings format"
+                    )
             else:
                 terms = self._wand_eligible(query)
                 if terms is not None:
