@@ -170,10 +170,10 @@ def build_partition(
         )
     kw_stats: dict = {}
     if config.keyword_cols or config.feature_cols:
-        kw_cols = {c: tbl.column(c).to_pylist() for c in config.keyword_cols}
-        feat_cols = {
-            c: tbl.column(c).to_pylist() for c in config.feature_cols
-        }
+        # Arrow columns pass through untouched: add_keyword_postings
+        # dictionary-encodes / numpy-converts them without per-row Python
+        kw_cols = {c: tbl.column(c) for c in config.keyword_cols}
+        feat_cols = {c: tbl.column(c) for c in config.feature_cols}
         inv, kw_stats = add_keyword_postings(
             inv, kw_cols, config.positions, feat_columns=feat_cols
         )

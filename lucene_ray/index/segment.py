@@ -391,42 +391,90 @@ def add_keyword_postings(
     kw_stats: Dict[str, dict] = {}
     for fieldname in sorted(kw_columns or {}):
         vals = kw_columns[fieldname]
-        groups: Dict[str, List[int]] = {}
-        n_with = 0
-        for di, v in enumerate(vals):
-            if v is None:
-                continue
-            v = str(v)
-            if FIELD_SEP in v:
-                raise ValueError(
-                    f"keyword value for field {fieldname!r} contains U+001F"
-                )
-            n_with += 1
-            groups.setdefault(v, []).append(di)
+        # DictionaryColumn role (``core/document/column/
+        # DictionaryColumn.java``: pre-built term dictionary + per-doc
+        # ordinals): ONE Arrow dictionary_encode yields the distinct-value
+        # dictionary and ordinal codes — grouping/sorting then runs on
+        # int arrays, no per-row Python. String Arrow columns take this
+        # path zero-copy; anything else stringifies per value first
+        # (matching the historical ``str(v)`` semantics).
+        import pyarrow.compute as pc
+
+        if isinstance(vals, (pa.Array, pa.ChunkedArray)) and (
+            pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+        ):
+            arr = (
+                vals.combine_chunks()
+                if isinstance(vals, pa.ChunkedArray)
+                else vals
+            )
+        else:
+            seq = (
+                vals.to_pylist()
+                if isinstance(vals, (pa.Array, pa.ChunkedArray))
+                else vals
+            )
+            arr = pa.array([None if v is None else str(v) for v in seq])
+        de = arr.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        valid = (
+            ~np.isnan(codes) if codes.dtype.kind == "f" else np.ones(len(codes), bool)
+        )
+        n_with = int(valid.sum())
         # doc_count / sum_ttf are additive across segments (merge-safe);
         # these feed the field's BM25 idf denominator and avgdl
         kw_stats[fieldname] = {"doc_count": n_with, "sum_ttf": n_with}
-        for v in sorted(groups):
+        if n_with == 0:
+            continue
+        dictionary = de.dictionary
+        if pc.any(pc.match_substring(dictionary, FIELD_SEP)).as_py():
+            raise ValueError(
+                f"keyword value for field {fieldname!r} contains U+001F"
+            )
+        sorted_idx = pc.array_sort_indices(dictionary).to_numpy().astype(np.int64)
+        rank = np.empty(len(dictionary), dtype=np.int64)
+        rank[sorted_idx] = np.arange(len(dictionary), dtype=np.int64)
+        docs = np.flatnonzero(valid).astype(np.uint32)
+        r = rank[codes[valid].astype(np.int64)]
+        order = np.argsort(r, kind="stable")  # docids ascending per value
+        rs = r[order]
+        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        bounds = np.append(starts, len(rs))
+        sorted_vals = dictionary.take(pa.array(sorted_idx))
+        for j, st in enumerate(starts):
+            v = sorted_vals[int(rs[st])].as_py()
             extra.append(
-                (term_key(fieldname, v), np.array(groups[v], dtype=np.uint32), None)
+                (term_key(fieldname, v), docs[order[st : bounds[j + 1]]], None)
             )
     if feat_columns:
-        fdocs = 0
         fttf = 0
-        docs_with_feature: set = set()
+        id_parts_f: List[np.ndarray] = []
         for colname in sorted(feat_columns):
-            vals = np.asarray(feat_columns[colname], dtype=object)
-            mask = np.array([v is not None for v in vals], dtype=bool)
-            ids = np.nonzero(mask)[0].astype(np.uint32)
+            vals = feat_columns[colname]
+            # LongColumn-style numeric ingestion: nulls → NaN in one
+            # Arrow→numpy conversion, no per-row Python
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if isinstance(vals, pa.Array):
+                fv = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            else:
+                fv = np.array(
+                    [np.nan if v is None else float(v) for v in vals],
+                    dtype=np.float64,
+                )
+            mask = ~np.isnan(fv)
+            ids = np.flatnonzero(mask).astype(np.uint32)
             if len(ids) == 0:
                 continue
-            tfs = encode_feature_values(
-                np.array([float(v) for v in vals[mask]], dtype=np.float32)
-            )
+            tfs = encode_feature_values(fv[mask].astype(np.float32))
             extra.append((term_key(FEATURE_FIELD, colname), ids, tfs))
-            docs_with_feature.update(ids.tolist())
+            id_parts_f.append(ids)
             fttf += int(tfs.sum())
-        fdocs = len(docs_with_feature)
+        fdocs = (
+            int(len(np.unique(np.concatenate(id_parts_f))))
+            if id_parts_f
+            else 0
+        )
         kw_stats[FEATURE_FIELD] = {"doc_count": fdocs, "sum_ttf": fttf}
         extra.sort(key=lambda e: e[0])
     if not extra:
