@@ -40,10 +40,33 @@ class SearcherWorker:
     """One warm IndexSearcher; batch API identical to SearcherActor."""
 
     def __init__(self, index_dir: str, k: int, similarity: Optional[str]):
+        self.index_dir = index_dir
+        self.k = k
+        self.similarity = similarity
         self.inner = SearcherActor(index_dir, k=k, similarity=similarity)
 
     def search_batch(self, batch: pa.Table) -> pa.Table:
         return self.inner(batch)
+
+    def generation(self) -> int:
+        return int(self.inner.searcher.manifest.generation)
+
+    def maybe_refresh(self) -> bool:
+        """``SearcherManager.maybeRefresh`` (``core/search/
+        SearcherManager.java:28-120``): reopen over the CURRENT committed
+        manifest if its generation advanced — segments are write-once, so
+        the new searcher mmaps new segment dirs and drops merged-away
+        ones; in-flight batches on the old searcher stay consistent
+        (acquire/release swap). → True if a new searcher was opened."""
+        from lucene_ray.index.manifest import load_manifest
+
+        man = load_manifest(self.index_dir)
+        if man is None or man.generation == self.generation():
+            return False
+        self.inner = SearcherActor(
+            self.index_dir, k=self.k, similarity=self.similarity
+        )
+        return True
 
     def ping(self) -> bool:
         return True
@@ -101,6 +124,15 @@ class SearcherService:
         # zero-hit shards carry null-typed key columns; promote like the
         # Ray-Data surface does when unioning heterogeneous blocks
         return pa.concat_tables(parts, promote_options="permissive")
+
+    def maybe_refresh(self) -> bool:
+        """Near-real-time reopen across the whole pool
+        (``SearcherManager.maybeRefresh`` — the serving tier picks up a
+        new commit generation without restarting actors). → True if any
+        actor reopened."""
+        return any(
+            ray.get([a.maybe_refresh.remote() for a in self.actors])
+        )
 
     def shutdown(self) -> None:
         for a in self.actors:

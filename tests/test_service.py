@@ -58,3 +58,33 @@ def test_service_heterogeneous_batch_sizes(index_dir):
     assert set(by_qid) == {7, 8}
     # identical query → identical ranked docids on both shards
     assert [r["docid"] for r in by_qid[7]] == [r["docid"] for r in by_qid[8]]
+
+
+def test_maybe_refresh_picks_up_new_generation(ray_session, tmp_path):
+    """SearcherManager.maybeRefresh role: the pool reopens over a newer
+    commit generation and serves the newly indexed docs; without a new
+    commit, refresh is a no-op."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(DOCS)
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 250), p1)
+    pq.write_table(tbl.slice(250), p2)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(rows_per_segment=200)
+    build_index([p1], d, cfg)
+
+    svc = SearcherService(d, num_actors=2, k=500)
+    assert svc.maybe_refresh() is False  # same generation: no-op
+    before = {r["key"] for r in svc.search([0], ["the"]).to_pylist()}
+    assert before and max(int(k) for k in before) < 250
+
+    # second commit: resumable build covers the remaining rows and
+    # commits a higher manifest generation (segments are write-once)
+    build_index([p1, p2], d, cfg)
+    assert svc.maybe_refresh() is True
+    after = {r["key"] for r in svc.search([0], ["the"]).to_pylist()}
+    svc.shutdown()
+    assert before <= after
+    assert any(int(k) >= 250 for k in after)
