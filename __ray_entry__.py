@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
+        "hit_count": sq.hit_count,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "pretokenized_topk": sq.sql_pretokenized_topk(),
         "bm25_topk_plain": sq.sql_bm25_topk_plain(),
+        "hit_count": sq.sql_hit_count(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),

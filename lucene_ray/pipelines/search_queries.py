@@ -281,6 +281,85 @@ def sql_bm25_topk_plain() -> str:
     return sql_bm25_topk()
 
 
+# IndexSearcher.count (core/search/IndexSearcher.java:495-526): exact hit
+# counts without scoring — df shortcut, two-clause inclusion-exclusion,
+# exhaustive fallback — one query per code path
+COUNT_QUERIES: List[Tuple[int, str]] = [
+    (0, "data"),                # term → Weight#count df shortcut
+    (1, "zzzabsent the"),       # two-clause, one empty → max(c1, c2)
+    (2, "spark the"),           # two-clause skewed → inclusion-exclusion
+    (3, "data vector window"),  # 3 clauses → exhaustive fallback
+    (4, "+batch +stream"),      # conjunction → exhaustive fallback
+    (5, "+the -data"),          # ReqExcl → exhaustive fallback
+]
+
+
+class _CountActor:
+    """Stateful map_batches actor: open the index once, count per row."""
+
+    def __init__(self, index_dir: str):
+        self.searcher = IndexSearcher(index_dir)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        counts = [
+            self.searcher.count(q) for q in b.column("query").to_pylist()
+        ]
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def hit_count(sf_dir: str):
+    """→ (qid, count) exact hit counts across the count() code paths."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in COUNT_QUERIES]
+    )
+    return qds.map_batches(
+        _CountActor,
+        fn_constructor_kwargs={"index_dir": idx},
+        concurrency=2,
+        batch_format="pyarrow",
+        batch_size=4,
+    )
+
+
+def sql_hit_count() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+c as (
+  select 0 as qid, count(distinct doc_id)::bigint as cnt
+    from tok where term = 'data'
+  union all
+  select 1, count(distinct doc_id) from tok where term in ('zzzabsent', 'the')
+  union all
+  select 2, count(distinct doc_id) from tok where term in ('spark', 'the')
+  union all
+  select 3, count(distinct doc_id)
+    from tok where term in ('data', 'vector', 'window')
+  union all
+  select 4, (select count(*) from (
+      select distinct doc_id from tok where term = 'batch'
+      intersect
+      select distinct doc_id from tok where term = 'stream'))
+  union all
+  select 5, (select count(*) from (
+      select distinct doc_id from tok where term = 'the'
+      except
+      select distinct doc_id from tok where term = 'data'))
+)
+select cast(qid as int) as qid, cast(cnt as bigint) as count from c
+"""
+
+
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
 

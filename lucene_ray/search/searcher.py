@@ -1065,6 +1065,56 @@ class IndexSearcher:
             return subs
         return None
 
+    def count(self, query) -> int:
+        """Exact hit count, no scores — ``IndexSearcher.count``
+        (``core/search/IndexSearcher.java:495-526``): constant-score
+        rewrite, per-leaf shortcuts (term df / maxDoc when no deletes,
+        the ``Weight#count`` role), the two-clause pure-term-disjunction
+        inclusion-exclusion optimization (:507-520), and an exhaustive
+        match-set count fallback (``TotalHitCountCollectorManager``)."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        no_deletes = all(s.deleted is None for s in self.segments)
+        inner = query.query if isinstance(query, ConstantScoreQuery) else query
+
+        def leaf_count(q) -> Optional[int]:
+            if isinstance(q, ConstantScoreQuery):
+                q = q.query
+            if no_deletes and isinstance(q, TermQuery):
+                key = term_key(q.field, q.term)
+                return int(self.term_states([key])[key][1])
+            if no_deletes and isinstance(q, MatchAllQuery):
+                return sum(s.n_docs for s in self.segments)
+            return None
+
+        c = leaf_count(inner)
+        if c is not None:
+            return c
+        if (
+            no_deletes
+            and isinstance(inner, BooleanQuery)
+            and inner.minimum_should_match <= 1
+            and len(inner.clauses) == 2
+            and all(
+                o == SHOULD and isinstance(s, TermQuery)
+                for o, s in inner.clauses
+            )
+        ):
+            t1, t2 = (s for _, s in inner.clauses)
+            c1, c2 = leaf_count(t1), leaf_count(t2)
+            if c1 == 0 or c2 == 0:
+                return max(c1, c2)
+            if min(c1, c2) / max(c1, c2) < 0.1:
+                both = BooleanQuery(((MUST, t1), (MUST, t2)))
+                return c1 + c2 - self.count(both)
+        states = self.term_states(query_terms(inner))
+        return sum(
+            len(self._eval(inner, si, states).docids)
+            for si in range(len(self.segments))
+        )
+
     def search(
         self, query, k: int = 10, mode: str = "auto", after=None
     ) -> dict:
