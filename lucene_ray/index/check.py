@@ -78,7 +78,7 @@ def check_segment(seg_dir: str) -> List[str]:
     n_terms = 0
     kw_recount: dict = {}
     for b in range(seg.n_parts):
-        t = seg._terms[b]
+        t = seg._part(b)
         terms = seg.terms_list(b)
         for i in range(1, len(terms)):
             if not terms[i - 1] < terms[i]:

@@ -196,7 +196,7 @@ def merge_bucket(
     iters = []
     heap = []
     for ri, r in enumerate(readers):
-        t = r._terms[b]
+        t = r._part(b)
         terms_list = r.terms_list(b)
         iters.append((terms_list, t))
         if terms_list:

@@ -853,27 +853,15 @@ class SegmentReader:
         self.norms = np.fromfile(os.path.join(seg_dir, "norms.bin"), dtype=np.uint8)
         self._field_norms: Dict[str, np.ndarray] = {}
         self.n_parts = int(self.meta["n_parts"])
-        self._terms: List[dict] = []
+        # term tables load LAZILY per bucket (first touch): a consumer
+        # that needs one bucket — a merge_bucket task, a stats probe, the
+        # finalize step — pays for one parquet read, not n_parts. Query
+        # actors touch every bucket within the first few lookups, so the
+        # steady state is unchanged.
+        self._terms: List[Optional[dict]] = [None] * self.n_parts
         self._post_mm: List[np.ndarray] = []
         self._pos_mm: List[Optional[np.ndarray]] = []
         for b in range(self.n_parts):
-            tbl = pq.read_table(os.path.join(seg_dir, f"part_{b:04d}.terms.parquet"))
-            cols = {name: tbl.column(name) for name in tbl.column_names}
-            self._terms.append(
-                {
-                    # arrow array kept as-is: actor init stays cheap (no
-                    # 100k-string to_pylist); lookups binary-search with
-                    # ~17 scalar probes and are cached by the searcher
-                    "term": cols["term"].combine_chunks(),
-                    "term_list": None,  # lazy python list for merge/scan
-                    "df": np.asarray(cols["df"], np.int64),
-                    "ttf": np.asarray(cols["ttf"], np.int64),
-                    "post_off": np.asarray(cols["post_off"], np.int64),
-                    "post_len": np.asarray(cols["post_len"], np.int64),
-                    "pos_off": np.asarray(cols["pos_off"], np.int64),
-                    "pos_len": np.asarray(cols["pos_len"], np.int64),
-                }
-            )
             pbin = os.path.join(seg_dir, f"part_{b:04d}.postings.bin")
             self._post_mm.append(
                 np.memmap(pbin, dtype=np.uint8, mode="r")
@@ -916,7 +904,7 @@ class SegmentReader:
         """``TermsEnum.seekExact`` equivalent (``core/index/TermsEnum.java:39``):
         binary search in the term's bucket."""
         b = self.bucket_of(term)
-        t = self._terms[b]
+        t = self._part(b)
         arr = t["term_list"]
         if arr is not None:
             import bisect
@@ -960,7 +948,7 @@ class SegmentReader:
         return self._formats.get(field, self._formats["__default__"])
 
     def term_info_at(self, b: int, i: int, term: Optional[str] = None) -> TermInfo:
-        t = self._terms[b]
+        t = self._part(b)
         if self._formats and term is None:
             term = self.terms_list(b)[i]
         return TermInfo(
@@ -1100,9 +1088,33 @@ class SegmentReader:
             self._dv_cache[col] = hit
         return hit
 
+    def _part(self, b: int) -> dict:
+        """Lazy-load part ``b``'s term table (first touch reads its
+        parquet; arrow arrays kept as-is so actor init stays cheap —
+        lookups binary-search with ~17 scalar probes and are cached by
+        the searcher)."""
+        t = self._terms[b]
+        if t is None:
+            tbl = pq.read_table(
+                os.path.join(self.seg_dir, f"part_{b:04d}.terms.parquet")
+            )
+            cols = {name: tbl.column(name) for name in tbl.column_names}
+            t = {
+                "term": cols["term"].combine_chunks(),
+                "term_list": None,  # lazy python list for merge/scan
+                "df": np.asarray(cols["df"], np.int64),
+                "ttf": np.asarray(cols["ttf"], np.int64),
+                "post_off": np.asarray(cols["post_off"], np.int64),
+                "post_len": np.asarray(cols["post_len"], np.int64),
+                "pos_off": np.asarray(cols["pos_off"], np.int64),
+                "pos_len": np.asarray(cols["pos_len"], np.int64),
+            }
+            self._terms[b] = t
+        return t
+
     def terms_list(self, b: int) -> list:
         """Materialized python term list for part ``b`` (merge/scan paths)."""
-        t = self._terms[b]
+        t = self._part(b)
         if t["term_list"] is None:
             t["term_list"] = t["term"].to_pylist()
         return t["term_list"]
@@ -1111,7 +1123,7 @@ class SegmentReader:
         """Iterate (term, df, ttf, part, row) across parts in sorted order
         per part — used by merges and validators."""
         for b in range(self.n_parts):
-            t = self._terms[b]
+            t = self._part(b)
             terms = self.terms_list(b)
             for i in range(len(terms)):
                 yield terms[i], int(t["df"][i]), int(t["ttf"][i]), b, i
