@@ -44,11 +44,17 @@ from lucene_ray.index.segment import (
     InvertedBatch,
     SegmentReader,
     decode_uint_blocks,
+    decode_uint_blocks_batch,
     encode_uint_blocks,
     encode_uint_blocks_batch,
     write_segment,
 )
-from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
+from lucene_ray.codecs.postings import (
+    PostingsView,
+    decode_postings_batch,
+    encode_postings,
+    encode_postings_batch,
+)
 from lucene_ray.codecs.spi import encode_postings_by_format, format_for_name
 
 
@@ -163,6 +169,34 @@ def _index_sort_map(readers):
     return tuple(isort), old_of_new, new_of_old
 
 
+class _BatchedDecoder:
+    """Chunked bulk postings decode for the k-way merge: the heap
+    consumes each reader's terms in THEIR sorted order (monotone), so a
+    forward-looking chunk of ``decode_postings_batch`` serves every
+    ``get`` from cache while bounding memory to one chunk of decoded
+    pairs (no whole-bucket materialization — a 5 GB merged segment's
+    bucket would not fit)."""
+
+    CHUNK = 2048
+
+    def __init__(self, mm, offs, lens, decode_fn):
+        self.mm = mm
+        self.offs = offs
+        self.lens = lens
+        self.decode_fn = decode_fn
+        self.lo = 0
+        self.cache: List = []
+
+    def get(self, i: int):
+        if not (self.lo <= i < self.lo + len(self.cache)):
+            hi = min(i + self.CHUNK, len(self.offs))
+            self.cache = self.decode_fn(
+                self.mm, self.offs[i:hi], self.lens[i:hi]
+            )
+            self.lo = i
+        return self.cache[i - self.lo]
+
+
 def merge_bucket(
     index_dir: str, seg_ids: List[int], b: int, tmp_dir: str
 ) -> dict:
@@ -195,10 +229,32 @@ def merge_bucket(
 
     iters = []
     heap = []
+    # chunked bulk decoders — only safe when every term is ray104 (a
+    # chunk spans arbitrary terms, so mixed-format segments dispatch
+    # per term instead)
+    all_ray104 = readers[0]._formats is None
+    decoders = []
+    pos_decoders = []
     for ri, r in enumerate(readers):
         t = r._part(b)
         terms_list = r.terms_list(b)
         iters.append((terms_list, t))
+        decoders.append(
+            _BatchedDecoder(
+                r._post_mm[b], t["post_off"], t["post_len"],
+                decode_postings_batch,
+            )
+            if all_ray104
+            else None
+        )
+        pos_decoders.append(
+            _BatchedDecoder(
+                r._pos_mm[b], t["pos_off"], t["pos_len"],
+                decode_uint_blocks_batch,
+            )
+            if with_pos and r._pos_mm[b] is not None
+            else None
+        )
         if terms_list:
             heapq.heappush(heap, (terms_list[0], ri, 0))
     rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
@@ -228,25 +284,35 @@ def merge_bucket(
         fmt_name = readers[0].fmt_for_key(term)
         for gri, gi in group:
             t = iters[gri][1]
-            mm = readers[gri]._post_mm[b]
-            off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
-            blob = mm[off : off + ln]
-            # SPI dispatch: decode with the term's field format (all
-            # mergeable segments share one formats map — checked below)
-            view = (
-                PostingsView(blob)
-                if fmt_name == "ray104"
-                else format_for_name(fmt_name).view(blob)
-            )
-            ids, tfs = view.decode_all()
+            if all_ray104:
+                # batched bulk decode (chunked, monotone per reader —
+                # codecs.postings.decode_postings_batch)
+                ids, tfs = decoders[gri].get(gi)
+            else:
+                # SPI dispatch: decode with the term's field format (all
+                # mergeable segments share one formats map — checked
+                # below)
+                mm = readers[gri]._post_mm[b]
+                off, ln = int(t["post_off"][gi]), int(t["post_len"][gi])
+                blob = mm[off : off + ln]
+                view = (
+                    PostingsView(blob)
+                    if fmt_name == "ray104"
+                    else format_for_name(fmt_name).view(blob)
+                )
+                ids, tfs = view.decode_all()
             g_ids.append(ids.astype(np.int64) + rebase[gri])
             g_tfs.append(tfs)
             df += int(t["df"][gi])
             ttf += int(t["ttf"][gi])
             if with_pos:
-                pmm = readers[gri]._pos_mm[b]
-                po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
-                pvals = decode_uint_blocks(pmm[po : po + pl])
+                pd = pos_decoders[gri]
+                if pd is not None:
+                    pvals = pd.get(gi)
+                else:
+                    pmm = readers[gri]._pos_mm[b]
+                    po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
+                    pvals = decode_uint_blocks(pmm[po : po + pl])
                 g_pos.append(pvals)
         if new_of_old is None:
             # unsorted: rebase offsets are disjoint increasing ranges, so

@@ -166,6 +166,60 @@ def decode_uint_blocks(buf) -> np.ndarray:
     return out
 
 
+def decode_uint_blocks_batch(
+    data: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> List[np.ndarray]:
+    """Batched :func:`decode_uint_blocks` over many runs in one buffer:
+    single-block runs (≤256 values — almost every term's positions)
+    group into one bit-gather per width via
+    ``codecs.postings._unpack_runs``; longer runs fall back to the
+    scalar decoder. → list of uint32 arrays aligned with ``offs``."""
+    from lucene_ray.codecs.postings import _unpack_runs
+
+    n = len(offs)
+    out: List[Optional[np.ndarray]] = [None] * n
+    if n == 0:
+        return out  # type: ignore[return-value]
+    offs = np.asarray(offs, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    # zero-length runs (keyword terms: DOCS-only, no positions) decode to
+    # empty without touching the buffer (their header bytes don't exist)
+    counts = np.zeros(n, dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        counts[nz] = (
+            np.ascontiguousarray(
+                data[offs[nz][:, None] + np.arange(4, dtype=np.int64)]
+            )
+            .view("<u4")
+            .ravel()
+            .astype(np.int64)
+        )
+    for ti in np.flatnonzero(lens == 0):
+        out[ti] = np.empty(0, dtype=np.uint32)
+    multi = np.flatnonzero((counts > 256) & (lens > 0))
+    for ti in multi:
+        o = int(offs[ti])
+        out[ti] = decode_uint_blocks(data[o : o + int(lens[ti])])
+    single = np.flatnonzero((counts <= 256) & (lens > 0))
+    if len(single) == 0:
+        return out  # type: ignore[return-value]
+    widths = data[offs[single] + 4].astype(np.int64)
+    for w in np.unique(widths):
+        w = int(w)
+        sel = single[widths == w]
+        if w == 0:
+            for ti in sel:
+                out[ti] = np.zeros(int(counts[ti]), dtype=np.uint32)
+            continue
+        vals = _unpack_runs(data, offs[sel] + 5, counts[sel], w)
+        starts = np.cumsum(counts[sel]) - counts[sel]
+        for j, ti in enumerate(sel):
+            s = int(starts[j])
+            out[ti] = vals[s : s + int(counts[ti])]
+    return out  # type: ignore[return-value]
+
+
 # --------------------------------------------------------------------------
 # inversion kernel
 # --------------------------------------------------------------------------
