@@ -1084,6 +1084,41 @@ class SegmentReader:
             self._decode_cache_post[key] = hit
         return hit
 
+    def decoded_many(
+        self, infos: List[TermInfo]
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Batched :meth:`decoded` for term-expansion consumers
+        (MultiTermQuery / TermInSetQuery unions, ``IntersectTermsEnum``
+        bulk-read role): cache misses within one part decode together via
+        :func:`codecs.postings.decode_postings_batch` — one bit-gather
+        per (kind, width) group instead of a Python decode per term.
+        Non-ray104 formats fall back to the scalar path."""
+        from lucene_ray.codecs.postings import decode_postings_batch
+
+        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(infos)
+        by_part: Dict[int, List[int]] = {}
+        for i, info in enumerate(infos):
+            hit = self._decode_cache_post.get((info.part, info.post_off))
+            if hit is not None:
+                out[i] = hit
+            elif info.fmt != "ray104":
+                out[i] = self.decoded(info)
+            else:
+                by_part.setdefault(info.part, []).append(i)
+        for part, idxs in by_part.items():
+            offs = np.array([infos[i].post_off for i in idxs], dtype=np.int64)
+            lens = np.array([infos[i].post_len for i in idxs], dtype=np.int64)
+            decoded = decode_postings_batch(self._post_mm[part], offs, lens)
+            for i, hit in zip(idxs, decoded):
+                self._decode_cache_bytes += hit[0].nbytes + hit[1].nbytes
+                if self._decode_cache_bytes > self.DECODE_CACHE_BYTES:
+                    self._decode_cache_post.clear()
+                    self._decode_cache_pos.clear()
+                    self._decode_cache_bytes = hit[0].nbytes + hit[1].nbytes
+                self._decode_cache_post[(part, infos[i].post_off)] = hit
+                out[i] = hit
+        return out  # type: ignore[return-value]
+
     def positions(self, info: TermInfo) -> np.ndarray:
         mm = self._pos_mm[info.part]
         if mm is None or info.pos_len == 0:

@@ -469,11 +469,12 @@ class IndexSearcher:
         """Union of the member terms' postings, constant score
         (``TermInSetQuery.java:48-74`` constant-score rewrite)."""
         seg = self.segments[seg_idx]
-        id_sets = []
-        for t in q.terms:
-            ti = states[term_key(q.field, t)][0][seg_idx]
-            if ti is not None:
-                id_sets.append(seg.decoded(ti)[0])
+        infos = [
+            ti
+            for t in q.terms
+            if (ti := states[term_key(q.field, t)][0][seg_idx]) is not None
+        ]
+        id_sets = [d[0] for d in seg.decoded_many(infos)]
         if not id_sets:
             return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         ids = (
@@ -599,7 +600,7 @@ class IndexSearcher:
             if self.query_cache is not None:
                 self.query_cache.put(q, seg, ids)
             return SegmentResult(ids, np.empty(0, F32))
-        id_sets = [seg.decoded(ti)[0] for _, ti in matches]
+        id_sets = [d[0] for d in seg.decoded_many([ti for _, ti in matches])]
         ids = (
             np.unique(np.concatenate(id_sets))
             if len(id_sets) > 1

@@ -103,3 +103,36 @@ def test_uint_blocks_batch_matches_scalar():
             np.testing.assert_array_equal(
                 decode_uint_blocks(bytes(blobs[i])), r
             )
+
+
+def test_segment_decoded_many_matches_scalar(ray_session, tmp_path):
+    """SegmentReader.decoded_many == per-term decoded on a real segment,
+    cold cache and warm cache, across every term of the dictionary."""
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.config import IndexConfig
+    from lucene_ray.index.manifest import segment_dir
+    from lucene_ray.index.segment import SegmentReader
+
+    d = str(tmp_path / "dm")
+    build_index(
+        "/root/testdata/sf0.001/documents.parquet",
+        d,
+        IndexConfig(rows_per_segment=300, num_buckets=3, positions=False),
+    )
+    seg = SegmentReader(segment_dir(d, 0))
+    infos = []
+    for b in range(seg.n_parts):
+        terms = seg.terms_list(b)
+        for i in range(len(terms)):
+            infos.append(seg.term_info_at(b, i, term=terms[i]))
+    assert len(infos) > 20
+    got = seg.decoded_many(infos)
+    fresh = SegmentReader(segment_dir(d, 0))
+    for info, (gi, gt) in zip(infos, got):
+        ri, rt = fresh.decoded(info)
+        np.testing.assert_array_equal(gi, ri)
+        np.testing.assert_array_equal(gt, rt)
+    # warm path: every entry now cached, same arrays come back
+    again = seg.decoded_many(infos)
+    for (gi, gt), (ai, at) in zip(got, again):
+        assert gi is ai and gt is at
