@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
         "phrase_search": sq.phrase_search,
+        "multi_phrase_search": sq.multi_phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
         "dismax_topk": sq.dismax_topk,
         "constant_score_topk": sq.constant_score_topk,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_search": hl.sql_highlight_search(),
         "more_like_this": mlt.sql_more_like_this(),
         "phrase_search": sq.sql_phrase_search(),
+        "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "dismax_topk": sq.sql_dismax_topk(),
         "constant_score_topk": sq.sql_constant_score_topk(),

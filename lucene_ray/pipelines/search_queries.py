@@ -1242,6 +1242,105 @@ from ranked where rn <= {k}
 """
 
 
+# -- MultiPhraseQuery --------------------------------------------------------
+# slot spec string: "|"-separated alternatives per whitespace-separated
+# slot, e.g. "batch|data stream" == phrase (batch OR data) followed by
+# "stream" (``core/search/MultiPhraseQuery.java``). 2-slot specs keep the
+# SQL oracle a single self-join; scores are emitted and hash-checked
+# (idf = Σ float32 idfs over term occurrences with df > 0, freq = count
+# of distinct match start positions).
+MP_QUERIES: List[Tuple[int, str]] = [
+    (0, "batch|data stream"),
+    (1, "merge sort|join"),
+    (2, "data|the data|window"),
+    (3, "spark|zzzabsent merge"),
+]
+
+
+def make_multi_phrase(spec: str):
+    """Picklable query factory for the actor pool."""
+    from lucene_ray.search.query import MultiPhraseQuery
+
+    return MultiPhraseQuery(
+        positions=tuple(tuple(part.split("|")) for part in spec.split())
+    )
+
+
+def multi_phrase_search(sf_dir: str):
+    """Scored MultiPhraseQuery match sets through the searcher actor
+    pool: per-slot union of alternatives' postings+positions, exact
+    phrase matching, BM25 at the phrase freq."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t, "k": 10**9} for q, t in MP_QUERIES]
+    )
+    res = search_dataset(
+        idx, qds, concurrency=2, query_factory=make_multi_phrase
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_multi_phrase_search() -> str:
+    slot_rows = []
+    for qid, spec in MP_QUERIES:
+        for slot, part in enumerate(spec.split()):
+            for term in part.split("|"):
+                slot_rows.append(f"({qid}, {slot}, '{term}')")
+    slots = ",\n       ".join(slot_rows)
+    return f"""{_PRELUDE},
+mpslots(qid, slot, term) as (values {slots}),
+w2 as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+ptok as (
+  select doc_id, i as pos, ws[i+1] as term
+  from w2, unnest(range(array_length(ws))) as t(i)
+  where ws[i+1] <> ''
+),
+m0 as (
+  select s0.qid, a.doc_id, a.pos
+  from ptok a
+  join mpslots s0 on s0.slot = 0 and s0.term = a.term
+  join ptok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+  join mpslots s1 on s1.qid = s0.qid and s1.slot = 1 and s1.term = b.term
+),
+pfreq as (
+  select qid, doc_id, count(distinct pos)::bigint as freq
+  from m0 group by qid, doc_id
+),
+mdf as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from mpslots) group by term
+),
+widf as (
+  -- Σ float32 idfs (double accumulation) per term OCCURRENCE with
+  -- df > 0 (inner join drops absent terms), narrowed to float32
+  select s.qid,
+         cast(sum(cast(cast(ln(1 + ((select doc_count from stats) - d.df + 0.5)
+                                  / (d.df + 0.5)) as float) as double)) as float) as w
+  from mpslots s join mdf d on d.term = s.term
+  group by s.qid
+)
+select cast(p.qid as int) as qid, p.doc_id,
+       cast(w.w - w.w / (cast(1 as float) + cast(p.freq as float) * f.inv) as float) as score
+from pfreq p
+join widf w using (qid)
+join fnorm f using (doc_id)
+"""
+
+
 def sql_phrase_search() -> str:
     return """
 with phrases(qid, p) as (values (0, 'batch stream'), (1, 'merge sort'), (2, 'data data'))

@@ -46,6 +46,27 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase with ALTERNATIVE terms per position slot
+    (``core/search/MultiPhraseQuery.java``): a doc matches where every
+    slot has one of its terms at the right relative position — each slot
+    evaluates as the union of its members' postings+positions
+    (``MultiPhraseQuery.UnionPostingsEnum``, :412). Scoring = BM25 with
+    idf summed over every term OCCURRENCE with df > 0 (a term listed in
+    two slots contributes twice, ``MultiPhraseQuery.java:219-236``) at
+    the phrase freq. ``slop`` routes through the sloppy matcher with
+    each slot as one atomic pseudo-term — the same granularity the
+    reference's SloppyPhraseMatcher sees (one ``PhrasePositions`` per
+    UnionPostingsEnum); repeat detection keys on identical slot term
+    sets, so partially-overlapping slots are treated as distinct
+    (documented divergence, exotic even in the reference)."""
+
+    positions: Tuple[Tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     boost: float = 1.0
 
@@ -292,6 +313,21 @@ def rewrite(q: Query) -> Query:
         return BooleanQuery(clauses, q.minimum_should_match)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.rewrite (:182-194): 0 slots → match nothing;
+        # 1 slot → SHOULD disjunction of its terms; singleton slots →
+        # plain PhraseQuery (identical stats and matcher)
+        if len(q.positions) == 0:
+            return BooleanQuery(())
+        if len(q.positions) == 1:
+            return BooleanQuery(
+                tuple((SHOULD, TermQuery(t, q.boost)) for t in q.positions[0])
+            )
+        if all(len(slot) == 1 for slot in q.positions):
+            return PhraseQuery(
+                tuple(slot[0] for slot in q.positions), q.slop, q.boost
+            )
+        return q
     if isinstance(q, DisjunctionMaxQuery):
         subs = tuple(rewrite(s) for s in q.disjuncts)
         if len(subs) == 1:
@@ -481,6 +517,8 @@ def query_terms(q: Query) -> List[str]:
         return [term_key(q.field, q.term)]
     if isinstance(q, PhraseQuery):
         return list(q.terms)  # phrases are text-field (bare keys)
+    if isinstance(q, MultiPhraseQuery):
+        return [t for slot in q.positions for t in slot]
     if isinstance(q, SynonymQuery):
         return [term_key(q.field, t) for t in q.terms]
     if isinstance(q, FeatureQuery):

@@ -51,6 +51,7 @@ from lucene_ray.search.query import (
     FuzzyQuery,
     JoinQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -64,6 +65,7 @@ from lucene_ray.search.query import (
     deduplicate_clauses,
     parse_query,
     query_terms,
+    rewrite as rewrite_query,
 )
 from lucene_ray.search.querycache import LRUQueryCache
 from lucene_ray.search.sloppy import sloppy_phrase_freq
@@ -86,6 +88,7 @@ _QUERY_TYPES = {
     for c in (
         TermQuery,
         PhraseQuery,
+        MultiPhraseQuery,
         BooleanQuery,
         MatchAllQuery,
         RangeQuery,
@@ -430,6 +433,8 @@ class IndexSearcher:
             return self._live(seg, SegmentResult(ids, scores))
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, seg_idx, states)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multi_phrase(q, seg_idx, states)
         if isinstance(q, MatchAllQuery):
             n = seg.n_docs
             return self._live(
@@ -937,36 +942,9 @@ class IndexSearcher:
             np.cumsum(freqs, out=offs[1:])
             decoded.append((ids, offs, pos))
         if q.slop == 0:
-            # vectorized exact phrase: intersect int64 keys
-            # docid << shift | (pos - term_index + n_terms). The +n_terms
-            # offset keeps the low field strictly positive (pos < i would
-            # otherwise underflow into the previous docid's key space) and
-            # the shift adapts to the longest document so high positions
-            # can't collide either (ADVICE r01: fixed 2^21 assumption).
-            nterms = len(decoded)
-            max_pos = max(
-                (int(p.max()) if len(p) else 0) for _, _, p in decoded
-            )
-            shift = max(21, int(max_pos + nterms + 1).bit_length())
-            if int(seg.n_docs) >= 1 << (63 - shift):
-                raise OverflowError(
-                    f"phrase key space exhausted: n_docs={seg.n_docs}, "
-                    f"max position={max_pos}"
-                )
-            keys = None
-            for i, (ids, offs, pos) in enumerate(decoded):
-                docid_per_pos = np.repeat(
-                    ids.astype(np.int64), np.diff(offs).astype(np.int64)
-                )
-                k = (docid_per_pos << shift) + (
-                    pos.astype(np.int64) - i + nterms
-                )
-                keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
-                if len(keys) == 0:
-                    return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-            docs = (keys >> shift).astype(np.uint32)
-            ids, freqs32 = np.unique(docs, return_counts=True)
-            freqs = freqs32.astype(np.uint32)
+            ids, freqs = self._exact_phrase_hits(decoded, int(seg.n_docs))
+            if len(ids) == 0:
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         else:
             out_ids, out_freq = self._sloppy_phrase(q, decoded)
             if not out_ids:
@@ -995,6 +973,134 @@ class IndexSearcher:
                     max(1, self.doc_count),
                     max(1, self.sum_ttf),
                     [(states[t][1], states[t][2]) for t in q.terms],
+                )
+                self._scorer_cache[key] = sc
+            scores = sc.score(freqs, seg.norms[ids])
+        return self._live(seg, SegmentResult(ids, scores))
+
+    @staticmethod
+    def _exact_phrase_hits(
+        decoded, n_docs: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized exact phrase over per-slot (ids, offs, pos) tuples:
+        intersect int64 keys docid << shift | (pos - slot_index + n_slots).
+        The +n_slots offset keeps the low field strictly positive (pos < i
+        would otherwise underflow into the previous docid's key space) and
+        the shift adapts to the longest document so high positions can't
+        collide either (ADVICE r01: fixed 2^21 assumption).
+        → (docids uint32, phrase freqs uint32); empties when no match."""
+        nterms = len(decoded)
+        max_pos = max((int(p.max()) if len(p) else 0) for _, _, p in decoded)
+        shift = max(21, int(max_pos + nterms + 1).bit_length())
+        if n_docs >= 1 << (63 - shift):
+            raise OverflowError(
+                f"phrase key space exhausted: n_docs={n_docs}, "
+                f"max position={max_pos}"
+            )
+        keys = None
+        for i, (ids, offs, pos) in enumerate(decoded):
+            docid_per_pos = np.repeat(
+                ids.astype(np.int64), np.diff(offs).astype(np.int64)
+            )
+            k = (docid_per_pos << shift) + (pos.astype(np.int64) - i + nterms)
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if len(keys) == 0:
+                return np.empty(0, np.uint32), np.empty(0, np.uint32)
+        docs = (keys >> shift).astype(np.uint32)
+        ids, freqs32 = np.unique(docs, return_counts=True)
+        return ids, freqs32.astype(np.uint32)
+
+    def _eval_multi_phrase(
+        self, q: MultiPhraseQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """``MultiPhraseQuery``: each position slot = the UNION of its
+        member terms' postings+positions (``MultiPhraseQuery.
+        UnionPostingsEnum``, :412), then the standard exact/sloppy phrase
+        matcher over the slot stream; idf sums every term occurrence with
+        df > 0 (``MultiPhraseQuery.java:219-236``)."""
+        if len(q.positions) < 2 or all(len(s) == 1 for s in q.positions):
+            # MultiPhraseQuery.rewrite degenerate forms (:182-194)
+            return self._eval(rewrite_query(q), seg_idx, states)
+        seg = self.segments[seg_idx]
+        decoded = []
+        for slot in q.positions:
+            infos = [
+                ti
+                for t in slot
+                if (ti := states[t][0][seg_idx]) is not None
+            ]
+            if not infos:
+                # a slot none of whose terms exist can never match
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            if len(infos) == 1:
+                ids, freqs = seg.decoded(infos[0])
+                pos = seg.positions(infos[0])
+                offs = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(freqs, out=offs[1:])
+                decoded.append((ids, offs, pos))
+                continue
+            # union the slot: merge (docid, pos) pairs of every member,
+            # sorted + deduped — one pseudo-term posting list
+            doc_parts, pos_parts = [], []
+            for ti in infos:
+                ids, freqs = seg.decoded(ti)
+                doc_parts.append(
+                    np.repeat(ids.astype(np.int64), freqs.astype(np.int64))
+                )
+                pos_parts.append(seg.positions(ti).astype(np.int64))
+            alldocs = np.concatenate(doc_parts)
+            allpos = np.concatenate(pos_parts)
+            max_pos = int(allpos.max()) if len(allpos) else 0
+            shift = max(21, int(max_pos + 1).bit_length())
+            keys = np.unique((alldocs << shift) | allpos)
+            udocs = (keys >> shift).astype(np.uint32)
+            upos = (keys & ((1 << shift) - 1)).astype(np.uint32)
+            ids, counts = np.unique(udocs, return_counts=True)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            decoded.append((ids, offs, upos))
+        if q.slop == 0:
+            ids, freqs = self._exact_phrase_hits(decoded, int(seg.n_docs))
+            if len(ids) == 0:
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            freqs = freqs.astype(F32)
+        else:
+            # slot term-tuples stand in for term identity in repeat
+            # detection (one PhrasePositions per UnionPostingsEnum)
+            pseudo = PhraseQuery(tuple(q.positions), q.slop, q.boost)
+            out_ids, out_freq = self._sloppy_phrase(pseudo, decoded)
+            if not out_ids:
+                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            ids = np.array(out_ids, dtype=np.uint32)
+            freqs = np.array(out_freq, dtype=F32)
+        # idf: one contribution per term OCCURRENCE with df > 0
+        occurrences = [t for slot in q.positions for t in slot]
+        if self.is_bm25:
+            idf_sum = float(
+                np.sum(
+                    [
+                        float(bm25_idf(states[t][1], self.doc_count))
+                        for t in occurrences
+                        if states[t][1] > 0
+                    ]
+                )
+            )
+            w = F32(q.boost) * F32(idf_sum)
+            inv = self.norm_inverse[seg.norms[ids]]
+            scores = w - w / (F32(1.0) + freqs.astype(F32) * inv)
+        else:
+            key = ("__mphrase__", tuple(q.positions), float(q.boost))
+            sc = self._scorer_cache.get(key)
+            if sc is None:
+                sc = self.sim.scorer_multi(
+                    q.boost,
+                    max(1, self.doc_count),
+                    max(1, self.sum_ttf),
+                    [
+                        (states[t][1], states[t][2])
+                        for t in occurrences
+                        if states[t][1] > 0
+                    ],
                 )
                 self._scorer_cache[key] = sc
             scores = sc.score(freqs, seg.norms[ids])
