@@ -67,6 +67,7 @@ from lucene_ray.search.query import (
     query_terms,
     rewrite as rewrite_query,
 )
+from lucene_ray.search.explain import Explanation
 from lucene_ray.search.querycache import LRUQueryCache
 from lucene_ray.search.sloppy import sloppy_phrase_freq
 
@@ -1382,6 +1383,208 @@ class IndexSearcher:
                 "score": pa.array(out_score, pa.float32()),
             }
         )
+
+    # -- explain -----------------------------------------------------------
+
+    def explain(self, query, docid: int) -> Explanation:
+        """Score attribution for one (query, global docid) pair — the
+        ``IndexSearcher.explain`` surface
+        (``core/search/IndexSearcher.java:615-632``): locate the leaf
+        (segment) containing ``docid``, explain against that leaf. The
+        root ``value`` is read from the SAME evaluation kernel ``search()``
+        uses, so ``explain(q, d).value == score(q, d)`` bit-for-bit."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        if isinstance(query, JoinQuery):
+            query = self._rewrite_join(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        docid = int(docid)
+        si = None
+        for i, seg in enumerate(self.segments):
+            if seg.base_docid <= docid < seg.base_docid + seg.n_docs:
+                si = i
+                break
+        if si is None:
+            raise ValueError(f"docid {docid} out of range")
+        local = docid - self.segments[si].base_docid
+        states = self.term_states(query_terms(query))
+        return self._explain(query, si, local, states)
+
+    def _doc_score(self, q: Query, si: int, local: int, states):
+        """float32 score of ``local`` under ``q`` on segment ``si``, or
+        None when the doc is not in the match set."""
+        r = self._eval(q, si, states)
+        hit = np.nonzero(r.docids == np.uint32(local))[0]
+        if len(hit) == 0:
+            return None
+        return r.scores[hit[0]]
+
+    def _explain(self, q: Query, si: int, local: int, states) -> Explanation:
+        seg = self.segments[si]
+        sc = self._doc_score(q, si, local, states)
+
+        if isinstance(q, TermQuery):
+            label = f"weight({q.field}:{q.term} in {local})"
+            if sc is None:
+                return Explanation.no_match(f"no matching term: {label}")
+            if not self.is_bm25:
+                return Explanation.match_(
+                    sc, f"{label} [{type(self.sim).__name__}]"
+                )
+            # BM25Similarity.explainScore detail shape
+            infos, df, ttf = states[term_key(q.field, q.term)]
+            ti = infos[si]
+            ids, freqs = seg.decoded(ti)
+            freq = int(freqs[np.nonzero(ids == np.uint32(local))[0][0]])
+            if q.field == DEFAULT_FIELD:
+                nb = int(seg.norms[local])
+                dc, sttf = self.doc_count, self.sum_ttf
+            elif q.field in self.text_fields:
+                nb = int(seg.norms_for(q.field)[local])
+                dc, sttf = self._field_stats(q.field)
+            else:
+                nb = 1  # norms-omitted keyword field: norm byte 1
+                st = self.per_field.get(q.field, {})
+                dc = int(st.get("doc_count", 0))
+                sttf = int(st.get("sum_ttf", 0))
+            dl = int(LENGTH_TABLE_INT[nb])
+            avgdl = sttf / float(dc) if dc else 1.0
+            idf_v = float(bm25_idf(df, max(1, dc)))
+            k1, b = float(self.sim.k1), float(self.sim.b)
+            tf_v = freq / (freq + k1 * (1 - b + b * dl / avgdl))
+            score_node = Explanation.match_(
+                sc,
+                f"score(freq={freq}), computed as boost * idf * tf from:",
+                Explanation.match_(float(q.boost), "boost"),
+                Explanation.match_(
+                    idf_v,
+                    "idf, computed as log(1 + (N - n + 0.5) / (n + 0.5)) from:",
+                    Explanation.match_(df, "n, number of documents containing term"),
+                    Explanation.match_(dc, "N, total number of documents with field"),
+                ),
+                Explanation.match_(
+                    tf_v,
+                    "tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl)) from:",
+                    Explanation.match_(freq, "freq, occurrences of term within document"),
+                    Explanation.match_(k1, "k1, term saturation parameter"),
+                    Explanation.match_(b, "b, length normalization parameter"),
+                    Explanation.match_(dl, "dl, length of field (approximate)"),
+                    Explanation.match_(avgdl, "avgdl, average length of field"),
+                ),
+            )
+            return Explanation.match_(
+                sc, f"{label} [BM25Similarity], result of:", score_node
+            )
+
+        if isinstance(q, BooleanQuery):
+            subs = []
+            failed_required = False
+            matched_prohibited = False
+            n_should_matched = 0
+            for occur, sub in q.clauses:
+                e = self._explain(sub, si, local, states)
+                if occur == MUST_NOT:
+                    if e.match:
+                        matched_prohibited = True
+                        subs.append(
+                            Explanation.no_match(
+                                "match on prohibited clause", e
+                            )
+                        )
+                    continue
+                if occur == FILTER:
+                    if e.match:
+                        subs.append(
+                            Explanation.match_(
+                                0.0, "match on filter clause, no scoring", e
+                            )
+                        )
+                    else:
+                        failed_required = True
+                        subs.append(e)
+                    continue
+                if occur == MUST and not e.match:
+                    failed_required = True
+                if occur == SHOULD and e.match:
+                    n_should_matched += 1
+                subs.append(e)
+            n_should = sum(1 for o, _ in q.clauses if o == SHOULD)
+            has_req = any(o in (MUST, FILTER) for o, _ in q.clauses)
+            need = (
+                q.minimum_should_match
+                if has_req
+                else max(1, q.minimum_should_match)
+            )
+            if sc is None:
+                if matched_prohibited or failed_required:
+                    why = "failure to meet condition(s) of required/prohibited clause(s)"
+                elif n_should and n_should_matched < need:
+                    why = (
+                        f"failure to match minimum number of optional clauses:"
+                        f" {need}"
+                    )
+                else:
+                    why = "no matching clauses"
+                return Explanation.no_match(why, *subs)
+            return Explanation.match_(sc, "sum of:", *subs)
+
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._explain(q.query, si, local, states)
+            if sc is None:
+                return Explanation.no_match(
+                    f"ConstantScore({q.query!r}) doesn't match", inner
+                )
+            return Explanation.match_(
+                sc, f"ConstantScore({q.query!r})^{q.boost:g}", inner
+            )
+
+        if isinstance(q, DisjunctionMaxQuery):
+            subs = [self._explain(s, si, local, states) for s in q.disjuncts]
+            if sc is None:
+                return Explanation.no_match(
+                    "no matching disjunct (DisjunctionMaxQuery)", *subs
+                )
+            desc = (
+                "max of:"
+                if q.tie_breaker == 0
+                else f"max plus {q.tie_breaker:g} times others of:"
+            )
+            return Explanation.match_(sc, desc, *[e for e in subs if e.match])
+
+        if isinstance(q, SynonymQuery):
+            if sc is None:
+                return Explanation.no_match(
+                    f"Synonym({' '.join(q.terms)}) has no match in doc"
+                )
+            freq_nodes = []
+            for t in q.terms:
+                ti = states[term_key(q.field, t)][0][si]
+                if ti is None:
+                    continue
+                ids, freqs = seg.decoded(ti)
+                hit = np.nonzero(ids == np.uint32(local))[0]
+                if len(hit):
+                    freq_nodes.append(
+                        Explanation.match_(
+                            int(freqs[hit[0]]), f"freq of {q.field}:{t}"
+                        )
+                    )
+            return Explanation.match_(
+                sc,
+                f"Synonym({' '.join(f'{q.field}:{t}' for t in q.terms)}),"
+                " scored as one pseudo-term (freq = sum of:)",
+                *freq_nodes,
+            )
+
+        # generic leaf: phrase / multiterm / range / feature / spans / ...
+        label = f"{type(q).__name__}"
+        detail = getattr(q, "terms", None) or getattr(q, "pattern", None) \
+            or getattr(q, "term", None) or getattr(q, "prefix", None) or ""
+        if sc is None:
+            return Explanation.no_match(f"{label}({detail}) doesn't match doc {local}")
+        return Explanation.match_(sc, f"{label}({detail}), result of evaluation")
 
     def suggest(
         self,
