@@ -170,9 +170,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
-        # knn_lsh + knn_hnsw + simhash_pairs: non-SQL-expressible
-        # (LSH/graph recall, hash-based) → rows-only driver check,
-        # deliberately no oracle; HNSW recall is pinned in pytest
+        # knn_lsh + knn_hnsw: non-SQL-expressible (LSH hyperplane /
+        # graph recall) → rows-only driver check, deliberately no
+        # oracle; HNSW recall is pinned in pytest
+        "simhash_pairs": dedup.sql_simhash_pairs(),
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),

@@ -278,9 +278,12 @@ order by a, b
 # SimHash
 # --------------------------------------------------------------------------
 def _term_hash64(term: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(term.encode(), digest_size=8).digest(), "little"
-    )
+    """First 8 md5 bytes, big-endian. md5 (not blake2b) so the IDENTICAL
+    value is computable in ANSI SQL — DuckDB:
+    ``('0x' || substr(md5(t), 1, 16))::UBIGINT`` — which upgrades the
+    SimHash pipeline from a rows-only driver check to a full value-hash
+    oracle (``sql_simhash_pairs``)."""
+    return int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "big")
 
 
 def simhash64(text: str, cache: Dict[str, int]) -> int:
@@ -318,7 +321,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8):
     al., WWW'07) keeps buckets sparse. Wide radii trade bucket skew for
     recall — the banding shape is the same.
 
-    Non-SQL-expressible (hash-based) → rows-only driver check."""
+    Fully SQL-expressible (md5 token hashes, see ``_term_hash64``):
+    ``sql_simhash_pairs`` recomputes the exact fingerprints and pairs in
+    DuckDB for the driver's value-hash gate."""
     import ray.data
 
     n_bands = max_hamming + 1
@@ -393,6 +398,45 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8):
         .map_groups(dedup_pair, batch_format="pyarrow")
     )
     return out.sort(["a", "b"])
+
+
+def sql_simhash_pairs(max_hamming: int = 8) -> str:
+    """Exact DuckDB replication of ``simhash_pairs``: md5-based 64-bit
+    token hashes (`_term_hash64` spec), per-bit tf votes, HUGEINT bit
+    packing narrowed to the pipeline's int64 fingerprint view, then an
+    all-pairs ``bit_count(xor(...))`` filter (the oracle may brute-force
+    what the engine finds via banding — same answer, by the pigeonhole
+    completeness argument in ``simhash_pairs``)."""
+    return rf"""
+with toks as (
+  select doc_id, tok, count(*)::BIGINT as tf
+  from (
+    select doc_id, unnest(regexp_split_to_array(text, '\s+')) as tok
+    from documents
+  ) where tok <> ''
+  group by doc_id, tok
+), votes as (
+  select doc_id, b.bit,
+         sum(case when (('0x' || substr(md5(tok), 1, 16))::UBIGINT >> b.bit) & 1 = 1
+                  then tf else -tf end) as v
+  from toks, (select unnest(range(64)) as bit) b
+  group by doc_id, b.bit
+), fps as (
+  select doc_id,
+         sum(case when v > 0 then (1::HUGEINT << bit) else 0::HUGEINT end) as fph
+  from votes group by doc_id
+), fp64 as (
+  select doc_id,
+         (case when fph >= 9223372036854775808::HUGEINT
+               then fph - 18446744073709551616::HUGEINT else fph end)::BIGINT as fp
+  from fps
+)
+select x.doc_id as a, y.doc_id as b,
+       bit_count(xor(x.fp, y.fp))::BIGINT as hamming
+from fp64 x join fp64 y on x.doc_id < y.doc_id
+where bit_count(xor(x.fp, y.fp)) <= {max_hamming}
+order by a, b
+"""
 
 
 # --------------------------------------------------------------------------
