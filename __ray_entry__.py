@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
         "hit_count": sq.hit_count,
+        "explain_score": sq.explain_score,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "pretokenized_topk": sq.sql_pretokenized_topk(),
         "bm25_topk_plain": sq.sql_bm25_topk_plain(),
         "hit_count": sq.sql_hit_count(),
+        "explain_score": sq.sql_explain_score(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),

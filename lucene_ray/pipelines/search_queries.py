@@ -360,6 +360,138 @@ select cast(qid as int) as qid, cast(cnt as bigint) as count from c
 """
 
 
+# IndexSearcher.explain: factor attribution for top hits. The oracle
+# recomputes every Explanation detail — freq, SmallFloat-quantized dl,
+# df, float32 idf, double tf narrowed to float32 — proving the tree
+# carries the REAL scoring factors, not display-only approximations.
+EXPLAIN_QUERIES: List[Tuple[int, str]] = [
+    (0, "spark"),
+    (1, "data"),
+    (2, "query"),
+    (3, "the"),
+]
+EXPLAIN_K = 3
+
+
+class _ExplainActor:
+    """Open the index once per actor; search top-k then explain each hit
+    (``IndexSearcher.explain`` surface) and emit the BM25 factor tree
+    flattened to columns."""
+
+    def __init__(self, index_dir: str):
+        self.searcher = IndexSearcher(index_dir)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = {
+            "qid": [], "rank": [], "doc_id": [], "score": [],
+            "freq": [], "dl": [], "df": [], "idf": [], "tf": [],
+        }
+        import numpy as np
+
+        for qid, term in zip(
+            b.column("qid").to_pylist(), b.column("query").to_pylist()
+        ):
+            r = self.searcher.search(
+                TermQuery(term), k=EXPLAIN_K, mode="exhaustive"
+            )
+            for rank, (docid, key) in enumerate(zip(r["docids"], r["keys"])):
+                e = self.searcher.explain(TermQuery(term), int(docid))
+                score_node = e.details[0]
+                boost_n, idf_n, tf_n = score_node.details
+                out["qid"].append(qid)
+                out["rank"].append(rank)
+                out["doc_id"].append(int(key))
+                out["score"].append(np.float32(e.value))
+                out["freq"].append(int(tf_n.details[0].value))
+                out["dl"].append(int(tf_n.details[3].value))
+                out["df"].append(int(idf_n.details[0].value))
+                out["idf"].append(np.float32(idf_n.value))
+                out["tf"].append(np.float32(tf_n.value))
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int32()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float32()),
+                "freq": pa.array(out["freq"], pa.int64()),
+                "dl": pa.array(out["dl"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "idf": pa.array(out["idf"], pa.float32()),
+                "tf": pa.array(out["tf"], pa.float32()),
+            }
+        )
+
+
+def explain_score(sf_dir: str):
+    """→ (qid, rank, doc_id, score, freq, dl, df, idf, tf): the flattened
+    ``Explanation`` tree for each top-3 hit of four term queries."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in EXPLAIN_QUERIES]
+    )
+    return qds.map_batches(
+        _ExplainActor,
+        fn_constructor_kwargs={"index_dir": idx},
+        concurrency=2,
+        batch_format="pyarrow",
+        batch_size=2,
+    )
+
+
+def sql_explain_score() -> str:
+    """Every Explanation factor recomputed in DuckDB: float32 idf/score
+    via FLOAT arithmetic, tf in double then narrowed (the engine computes
+    the tf detail in float64 with k1 = double(float32(1.2)))."""
+    values = ", ".join(f"({q}, '{t}')" for q, t in EXPLAIN_QUERIES)
+    return f"""{_PRELUDE},
+qterms(qid, term) as (values {values}),
+tf as (
+  select q.qid, q.term, tok.doc_id, count(*)::bigint as freq
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+dfs as (
+  select term, count(distinct doc_id)::bigint as df from tok
+  where term in (select term from qterms) group by term
+),
+w as (
+  select q.qid, q.term, d.df,
+         cast(ln(1 + ((select doc_count from stats) - d.df + 0.5)
+                     / (d.df + 0.5)) as float) as idf
+  from qterms q join dfs d using (term)
+),
+scored as (
+  select tf.qid, tf.doc_id, tf.freq, w.df, w.idf,
+         w.idf - w.idf / (cast(1 as float) + cast(tf.freq as float) * f.inv) as s,
+         nt.dec as dl,
+         cast(
+           cast(tf.freq as double) /
+           (cast(tf.freq as double)
+            + cast(cast(1.2 as float) as double)
+              * (1 - 0.75 + 0.75 * cast(nt.dec as double)
+                 / ((select sum_ttf from stats)
+                    / cast((select doc_count from stats) as double))))
+           as float) as tf_f
+  from tf
+  join w on w.qid = tf.qid
+  join fnorm f on f.doc_id = tf.doc_id
+  join docnorm dn on dn.doc_id = tf.doc_id
+  join nt on nt.b = dn.nb
+),
+ranked as (
+  select *, row_number() over (
+    partition by qid order by s desc, doc_id asc) as rn
+  from scored
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(s as float) as score, freq, cast(dl as bigint) as dl, df,
+       idf, tf_f as tf
+from ranked where rn <= {EXPLAIN_K}
+"""
+
+
 def bm25_disjunction(sf_dir: str):
     return _run(sf_dir, DISJ_QUERIES)
 
