@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
+        "html_bm25_topk": sq.html_bm25_topk,
         "hit_count": sq.hit_count,
         "explain_score": sq.explain_score,
         "bm25_disjunction": sq.bm25_disjunction,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "pretokenized_topk": sq.sql_pretokenized_topk(),
         "bm25_topk_plain": sq.sql_bm25_topk_plain(),
+        "html_bm25_topk": sq.sql_html_bm25_topk(),
         "hit_count": sq.sql_hit_count(),
         "explain_score": sq.sql_explain_score(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),

@@ -55,6 +55,7 @@ class Analyzer:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         lowercase: bool = True,
         term_filters: Sequence = (),
+        char_filters: Sequence = (),
     ):
         self.tokenizer = StandardTokenizer(max_token_length)
         self.stopwords: FrozenSet[str] = frozenset(stopwords or ())
@@ -65,6 +66,16 @@ class Analyzer:
         self._maps_only = all(
             getattr(f, "pure_map", False) for f in self.term_filters
         )
+        # pre-tokenizer char filters (Analyzer.initReader role,
+        # ``core/analysis/Analyzer.java:330-345``): text → text, applied
+        # in order before lowercase+tokenize on every path. They also
+        # accept bytes (html:binary columns decode inside the filter).
+        self.char_filters = tuple(char_filters)
+
+    def _apply_char(self, text):
+        for f in self.char_filters:
+            text = f(text)
+        return text
 
     def _apply_filters(self, term: str) -> Optional[str]:
         for f in self.term_filters:
@@ -81,6 +92,8 @@ class Analyzer:
         Position starts at 0 for the first emitted token; stopword drops
         advance the position counter (gap preservation).
         """
+        if self.char_filters:
+            text = self._apply_char(text)
         lowered = simple_lowercase(text) if self.lowercase else text
         toks = self.tokenizer.tokenize(lowered)
         out: List[Tuple[str, int, int, int]] = []
@@ -104,6 +117,8 @@ class Analyzer:
         dense 0..n-1 sequence (no stopwords dropped) — avoids building a
         position list in the common empty-stop-set configuration.
         """
+        if self.char_filters:
+            text = self._apply_char(text)
         lowered = simple_lowercase(text) if self.lowercase else text
         terms = self.tokenizer.terms(lowered)
         if not self.stopwords and not self.term_filters:
@@ -160,6 +175,8 @@ class Analyzer:
         import numpy as np
 
         n = len(texts)
+        if self.char_filters:
+            texts = [self._apply_char(t) for t in texts]
         # pure-map filter chains (stemming, folding) keep the vectorized
         # path: tokens flow through unchanged-length, then one
         # dictionary-encode remaps each DISTINCT term exactly once
@@ -289,10 +306,15 @@ class Analyzer:
 def analyzer_for_config(config) -> "Analyzer":
     """One construction point for every build/search site: resolves the
     config's named token-filter chain through the registry."""
+    from lucene_ray.analysis.htmlstrip import resolve_char_filters
+
     return Analyzer(
         stopwords=config.stopwords,
         max_token_length=config.max_token_length,
         term_filters=resolve_filters(getattr(config, "term_filters", ())),
+        char_filters=resolve_char_filters(
+            getattr(config, "char_filters", ())
+        ),
     )
 
 

@@ -51,6 +51,12 @@ def make_vocab(n_words: int = 5000, seed: int = 42) -> np.ndarray:
     return np.array(sorted(set(words)))
 
 
+def wrap_html(text: str) -> bytes:
+    """text → the corpus's deterministic page html (inverse of
+    ``extract_text`` up to the fixed boilerplate)."""
+    return _HTML_PRE + text.encode("utf-8") + _HTML_POST
+
+
 def extract_text(html: bytes) -> str:
     """The deterministic extractor: article body between the fixed tags."""
     start = html.index(b"<article>") + len(b"<article>")

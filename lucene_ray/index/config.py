@@ -88,6 +88,11 @@ class IndexConfig:
     # token column is inverted-index-only: it may not double as a
     # keyword / doc-values / feature column.
     pretokenized: bool = False
+    # char_filters — pre-tokenizer text transforms BY REGISTRY NAME
+    # (``analysis/htmlstrip.py`` CHAR_FILTERS — the CharFilterFactory SPI
+    # role, ``Analyzer.initReader`` wiring). "html_strip" lets the raw
+    # ``html:binary`` column of a pages corpus be the ``text_col``.
+    char_filters: Tuple[str, ...] = ()
     # postings-format SPI (``PostingsFormat.forName`` +
     # ``PerFieldPostingsFormat`` — ``core/codecs/PostingsFormat.java:30-76``,
     # ``core/codecs/perfield/PerFieldPostingsFormat.java:64-69``):
@@ -151,6 +156,7 @@ class IndexConfig:
             "key_col": self.key_col,
             "stopwords": sorted(self.stopwords),
             "term_filters": list(self.term_filters),
+            "char_filters": list(self.char_filters),
             "positions": self.positions,
             "max_token_length": self.max_token_length,
             "num_buckets": self.num_buckets,
@@ -174,6 +180,7 @@ class IndexConfig:
             key_col=d["key_col"],
             stopwords=frozenset(d["stopwords"]),
             term_filters=tuple(d.get("term_filters", ())),
+            char_filters=tuple(d.get("char_filters", ())),
             positions=d["positions"],
             max_token_length=d["max_token_length"],
             num_buckets=d["num_buckets"],

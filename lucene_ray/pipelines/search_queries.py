@@ -281,6 +281,128 @@ def sql_bm25_topk_plain() -> str:
     return sql_bm25_topk()
 
 
+# -- raw-HTML ingestion (HTMLStripCharFilter char-filter stage) ------------
+# The north rule's input corpus carries an ``html:binary`` column; this
+# query proves the engine indexes it DIRECTLY — text_col="html" with the
+# "html_strip" char filter — no separate extraction pass needed.
+HTML_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    text_col="html",
+    char_filters=("html_strip",),
+)
+
+
+def _html_corpus(sf_dir: str) -> str:
+    """Derive an (doc_id, html:binary) corpus from documents.text by the
+    deterministic page wrapper (``corpus/generator.wrap_html``), cached
+    under /tmp. Ray map_batches, two-phase directory commit."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from lucene_ray.corpus.generator import wrap_html
+    from lucene_ray.pipelines.index_cache import CACHE_ROOT
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{os.path.abspath(docs)}:{os.path.getmtime(docs)}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"html_src_{tag}")
+    if not os.path.isdir(out):
+        tmp = out + f".tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def to_html(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "html": pa.array(
+                        [
+                            wrap_html(t or "")
+                            for t in b.column("text").to_pylist()
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+            to_html, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    return out
+
+
+def html_bm25_topk(sf_dir: str):
+    """→ (qid, rank, doc_id, score): the standard term queries against an
+    index built FROM RAW HTML BYTES through the html_strip char filter."""
+    import hashlib
+
+    import ray.data
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines.index_cache import CACHE_ROOT
+
+    src = _html_corpus(sf_dir)
+    tag = hashlib.sha1(
+        f"{src}:{sorted(HTML_CONFIG.to_json().items())}".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        os.makedirs(idx, exist_ok=True)
+        build_index(src, idx, HTML_CONFIG)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in TERM_QUERIES]
+    )
+    res = search_dataset(idx, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+# token-equivalent stripped html: every tag of the fixed page wrapper
+# becomes one space, so the token stream is the boilerplate words around
+# the text (title "page", nav "boilerplate nav links", footer "footer
+# boilerplate") — recomputed here instead of regexp-stripping binary html
+# in SQL (same tokens, simpler plan)
+_TOK_HTML = r"""
+  select doc_id, t.term from (
+    select doc_id,
+           'page boilerplate nav links ' || text || ' footer boilerplate' as s
+    from documents
+  ), unnest(regexp_split_to_array(s, '\s+')) as t(term)
+  where t.term <> ''
+"""
+
+
+def sql_html_bm25_topk() -> str:
+    return f"""{_prelude(_TOK_HTML)},
+{_score_cte(TERM_QUERIES)}
+, ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
 # IndexSearcher.count (core/search/IndexSearcher.java:495-526): exact hit
 # counts without scoring — df shortcut, two-clause inclusion-exclusion,
 # exhaustive fallback — one query per code path
@@ -879,11 +1001,17 @@ def phrase_search(sf_dir: str):
 # shared prelude: tokenization, doc lengths, SmallFloat norm bytes, stats.
 # norm decode replicates SmallFloat.byte4ToInt (SmallFloat.java:145-168);
 # encode(L) == max byte whose decoded value <= L (truncating mantissa).
-_PRELUDE = """
-with tok as (
+_TOK_DEFAULT = """
   select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
   where t.term <> ''
-),
+"""
+
+
+def _prelude(tok_sql: str = _TOK_DEFAULT) -> str:
+    """The shared BM25 oracle prelude over a pluggable token source
+    (the default: whitespace tokens of ``documents.text``)."""
+    return f"""
+with tok as ({tok_sql}),
 doclen as (select doc_id, count(*)::bigint as len from tok group by doc_id),
 alldocs as (
   select d.doc_id, coalesce(l.len, 0) as len
@@ -915,6 +1043,9 @@ fnorm as (
   from docnorm dn join nt on nt.b = dn.nb
 )
 """
+
+
+_PRELUDE = _prelude()
 
 
 def _qterms_values(queries: List[Tuple[int, str]]) -> str:

@@ -1384,6 +1384,26 @@ class IndexSearcher:
             }
         )
 
+    # -- stored fields -----------------------------------------------------
+
+    def document(self, docid: int, fields: Optional[Sequence[str]] = None) -> dict:
+        """Stored-document retrieval — the ``StoredFields.document`` /
+        ``IndexReader.document`` surface (``core/index/StoredFields.java:
+        63-78``). The engine's row store is the per-segment
+        ``docmap.parquet`` (key) + ``dv.parquet`` (stored columns, docid
+        order), so a point lookup is two column reads at the local docid.
+        ``fields=None`` returns the key + every stored (DV) column."""
+        docid = int(docid)
+        for seg in self.segments:
+            if seg.base_docid <= docid < seg.base_docid + seg.n_docs:
+                local = docid - seg.base_docid
+                out = {self.config.key_col: seg.docmap[local].as_py()}
+                names = fields if fields is not None else self.config.dv_cols
+                for c in names:
+                    out[c] = seg.dv(c)[local].as_py()
+                return out
+        raise ValueError(f"docid {docid} out of range")
+
     # -- explain -----------------------------------------------------------
 
     def explain(self, query, docid: int) -> Explanation:

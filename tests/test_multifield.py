@@ -186,3 +186,24 @@ class TestMergeAndCheck:
         assert sort_before["keys"] == sort_after["keys"]
         assert sort_before["sort_values"] == sort_after["sort_values"]
         assert check_index(d) == []
+
+
+class TestStoredDocument:
+    """StoredFields.document role: key + stored (DV) columns by global docid."""
+
+    def test_document_roundtrip(self, searcher, corpus):
+        ids = corpus.column("doc_id").to_pylist()
+        nchars = corpus.column("n_chars").to_pylist()
+        want = dict(zip(ids, nchars))
+        r = searcher.search("the", k=5, mode="exhaustive")
+        for d in r["docids"]:
+            doc = searcher.document(int(d))
+            assert set(doc) == {"doc_id", "n_chars"} | {"doc_id"}
+            assert doc["n_chars"] == want[doc["doc_id"]]
+
+    def test_document_field_subset_and_range(self, searcher):
+        doc = searcher.document(0, fields=("n_chars",))
+        assert "n_chars" in doc and "doc_id" in doc
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            searcher.document(10**9)
