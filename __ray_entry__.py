@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_search": joins.join_search,
         "block_join_topk": joins.block_join_topk,
         "prefix_search": sq.prefix_search,
+        "term_range_search": sq.term_range_search,
         "wildcard_search": sq.wildcard_search,
         "fuzzy_search": sq.fuzzy_search,
         "regexp_search": sq.regexp_search,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "join_search": joins.sql_join_search(),
         "block_join_topk": joins.sql_block_join_topk(),
         "prefix_search": sq.sql_prefix_search(),
+        "term_range_search": sq.sql_term_range_search(),
         "wildcard_search": sq.sql_wildcard_search(),
         "fuzzy_search": sq.sql_fuzzy_search(),
         "regexp_search": sq.sql_regexp_search(),

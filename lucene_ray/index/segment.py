@@ -1030,6 +1030,55 @@ class SegmentReader:
         hi = bisect.bisect_right(splits, key_prefix + "\U0010ffff")
         return range(lo, min(hi, self.n_parts - 1) + 1)
 
+    def expand_terms_range(
+        self,
+        key_lo: Optional[str],
+        key_hi: Optional[str],
+        include_lo: bool = True,
+        include_hi: bool = True,
+        exclude_field_sep: bool = False,
+    ):
+        """Dictionary expansion for ``TermRangeQuery``
+        (``TermsEnum.seekCeil(lower)`` + scan to upper,
+        ``core/search/TermRangeQuery.java:33-58``): per sorted bucket,
+        bisect to the lower bound and scan until the upper bound fails.
+        With range-partitioned buckets (``meta.bucket_splits``) only the
+        buckets overlapping [key_lo, key_hi] are touched. ``None`` =
+        open bound. → sorted list of (key, TermInfo)."""
+        import bisect
+
+        splits = self.meta.get("bucket_splits")
+        if splits:
+            b_lo = bisect.bisect_right(splits, key_lo) if key_lo else 0
+            b_hi = (
+                bisect.bisect_right(splits, key_hi)
+                if key_hi is not None
+                else self.n_parts - 1
+            )
+            buckets = range(b_lo, min(b_hi, self.n_parts - 1) + 1)
+        else:
+            buckets = range(self.n_parts)
+        out = []
+        for b in buckets:
+            terms = self.terms_list(b)
+            if key_lo is None:
+                i = 0
+            elif include_lo:
+                i = bisect.bisect_left(terms, key_lo)
+            else:
+                i = bisect.bisect_right(terms, key_lo)
+            while i < len(terms):
+                t = terms[i]
+                if key_hi is not None and (
+                    t > key_hi or (t == key_hi and not include_hi)
+                ):
+                    break
+                if not exclude_field_sep or FIELD_SEP not in t:
+                    out.append((t, self.term_info_at(b, i, term=t)))
+                i += 1
+        out.sort(key=lambda x: x[0])
+        return out
+
     def expand_terms(self, key_prefix: str, match=None, exclude_field_sep=False):
         """Dictionary expansion for MultiTermQuery evaluation
         (``TermsEnum.seekCeil`` + scan; the reference intersects a term

@@ -743,6 +743,11 @@ FUZZY_QUERIES: List[Tuple[int, str]] = [
     (1, "quer~2"),
     (2, "data~1"),
 ]
+TERMRANGE_QUERIES: List[Tuple[int, str]] = [
+    (0, "[sort TO spark]"),   # lexicographic text-term range
+    (1, "[st TO sz]"),        # bounds that are not themselves terms
+    (2, "lang:[de TO es]"),   # keyword-field range
+]
 
 
 def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]], config=None):
@@ -770,6 +775,29 @@ def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]], config=None):
 def prefix_search(sf_dir: str):
     """PrefixQuery expansion (text + keyword fields)."""
     return _matchset_run(sf_dir, PREFIX_QUERIES)
+
+
+def term_range_search(sf_dir: str):
+    """TermRangeQuery expansion: lexicographic dictionary ranges
+    (``core/search/TermRangeQuery.java``), text + keyword fields."""
+    return _matchset_run(sf_dir, TERMRANGE_QUERIES)
+
+
+def sql_term_range_search() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (
+  select 0 as qid, doc_id from tok where term between 'sort' and 'spark'
+  union
+  select 1 as qid, doc_id from tok where term between 'st' and 'sz'
+  union
+  select 2 as qid, doc_id from documents where lang between 'de' and 'es'
+)
+select cast(qid as int) as qid, doc_id from m
+"""
 
 
 def wildcard_search(sf_dir: str):

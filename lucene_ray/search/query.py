@@ -144,6 +144,23 @@ class RegexpQuery:
 
 
 @dataclass(frozen=True)
+class TermRangeQuery:
+    """Lexicographic term range over the dictionary
+    (``core/search/TermRangeQuery.java:33-58``): all terms with
+    ``lower <= term <= upper`` (bound inclusivity per flags, ``None`` =
+    open), constant-score rewrite like the rest of the MultiTermQuery
+    family. With range-partitioned term buckets the expansion touches
+    only the buckets overlapping [lower, upper]."""
+
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """Terms scored as ONE pseudo-term (``core/search/SynonymQuery.java``):
     per doc the frequencies of all variants sum, the document frequency
@@ -399,12 +416,21 @@ def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
             # QueryParser regexp syntax, QueryParser.jj REGEXPTERM)
             q = RegexpQuery(m.group("regexp"), boost=boost, field=fieldname)
         elif m.group("rlo") is not None:
-            q = RangeQuery(
-                fieldname,
-                lo=_range_bound(m.group("rlo")),
-                hi=_range_bound(m.group("rhi")),
-                boost=boost,
-            )
+            lo = _range_bound(m.group("rlo"))
+            hi = _range_bound(m.group("rhi"))
+            if isinstance(lo, str) or isinstance(hi, str):
+                # non-numeric bound → lexicographic TermRangeQuery (the
+                # classic parser's range IS a term range,
+                # ``QueryParser.jj:105``); numeric bounds keep the
+                # doc-values RangeQuery (points role)
+                low = (
+                    simple_lowercase if fieldname == "text" else (lambda s: s)
+                )
+                lo_s = None if lo is None else low(str(lo))
+                hi_s = None if hi is None else low(str(hi))
+                q = TermRangeQuery(lo_s, hi_s, boost=boost, field=fieldname)
+            else:
+                q = RangeQuery(fieldname, lo=lo, hi=hi, boost=boost)
         elif m.group("fedits") is not None:
             # fuzzy: the term is lowercased, not tokenized (classic parser
             # lowercase_expanded_terms behavior), capped at 2 edits
@@ -456,7 +482,8 @@ def _strip_boost(q: Query) -> Query:
     if isinstance(
         q,
         (TermQuery, PhraseQuery, MatchAllQuery, RangeQuery,
-         PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery, SynonymQuery),
+         PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery, SynonymQuery,
+         TermRangeQuery),
     ):
         return dataclasses.replace(q, boost=1.0)
     return q

@@ -61,6 +61,7 @@ from lucene_ray.search.query import (
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
     deduplicate_clauses,
     parse_query,
@@ -102,6 +103,7 @@ _QUERY_TYPES = {
         JoinQuery,
         FeatureQuery,
         TermInSetQuery,
+        TermRangeQuery,
         ConstantScoreQuery,
         DisjunctionMaxQuery,
         SpanNearQuery,
@@ -452,7 +454,11 @@ class IndexSearcher:
             return self._eval_feature(q, seg_idx, states)
         if isinstance(q, CombinedFieldQuery):
             return self._eval_combined_field(q, seg_idx, states)
-        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+        if isinstance(
+            q,
+            (PrefixQuery, WildcardQuery, FuzzyQuery, RegexpQuery,
+             TermRangeQuery),
+        ):
             return self._eval_multiterm(q, seg_idx)
         if isinstance(q, TermInSetQuery):
             return self._eval_term_in_set(q, seg_idx, states)
@@ -573,6 +579,17 @@ class IndexSearcher:
                 SegmentResult(cached, np.full(len(cached), F32(q.boost))),
             )
         fprefix = term_key(q.field, "")
+        if isinstance(q, TermRangeQuery):
+            # seekCeil(lower) + bounded scan — no predicate needed, the
+            # dictionary order IS the match condition
+            matches = seg.expand_terms_range(
+                None if q.lower is None else term_key(q.field, q.lower),
+                None if q.upper is None else term_key(q.field, q.upper),
+                q.include_lower,
+                q.include_upper,
+                exclude_field_sep=(q.field == DEFAULT_FIELD),
+            )
+            return self._finish_multiterm(q, seg, matches)
         if isinstance(q, PrefixQuery):
             key_prefix = term_key(q.field, q.prefix)
             match = None
@@ -601,6 +618,11 @@ class IndexSearcher:
         matches = seg.expand_terms(
             key_prefix, match, exclude_field_sep=(q.field == DEFAULT_FIELD)
         )
+        return self._finish_multiterm(q, seg, matches)
+
+    def _finish_multiterm(self, q, seg, matches) -> SegmentResult:
+        """Union of expanded terms' doc sets, constant score, match-set
+        cached (shared tail of every MultiTermQuery evaluation)."""
         if not matches:
             ids = np.empty(0, np.uint32)
             if self.query_cache is not None:

@@ -194,3 +194,71 @@ class TestRegexpQuery:
         en = searcher.search("#lang:en data", k=10**9, mode="exhaustive")
         es = searcher.search("#lang:es data", k=10**9, mode="exhaustive")
         assert set(r["keys"]) == set(en["keys"]) | set(es["keys"])
+
+
+class TestTermRange:
+    """TermRangeQuery: lexicographic dictionary range, constant score
+    (``core/search/TermRangeQuery.java:33-58``)."""
+
+    def test_parser(self):
+        from lucene_ray.search.query import TermRangeQuery
+
+        assert parse_query("[apple TO banana]") == TermRangeQuery(
+            "apple", "banana"
+        )
+        assert parse_query("lang:[de TO es]") == TermRangeQuery(
+            "de", "es", field="lang"
+        )
+
+    def test_matches_sql_between(self, searcher):
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from '{DOCS}'")
+        for lo, hi in (("sort", "spark"), ("a", "c"), ("st", "sz")):
+            want = sorted(
+                r[0]
+                for r in con.execute(
+                    "select distinct doc_id from (select doc_id, "
+                    "unnest(string_split(text, ' ')) as t from documents) "
+                    f"where t between '{lo}' and '{hi}' and t <> ''"
+                ).fetchall()
+            )
+            r = searcher.search(
+                f"[{lo} TO {hi}]", k=10**9, mode="exhaustive"
+            )
+            assert sorted(r["keys"]) == want
+
+    def test_bound_flags_and_open_ends(self, searcher):
+        from lucene_ray.search.query import TermRangeQuery
+
+        inc = searcher.search(
+            TermRangeQuery("sort", "spark"), k=10**9, mode="exhaustive"
+        )
+        exc = searcher.search(
+            TermRangeQuery("sort", "spark", include_lower=False,
+                           include_upper=False),
+            k=10**9, mode="exhaustive",
+        )
+        assert set(exc["keys"]) <= set(inc["keys"])
+        # exclusive bounds must drop docs matching ONLY the bound terms
+        only_bounds = searcher.search(
+            "sort spark", k=10**9, mode="exhaustive"
+        )
+        assert len(exc["keys"]) < len(inc["keys"]) or not only_bounds["keys"]
+        # open upper bound reaches the dictionary tail
+        tail = searcher.search(
+            TermRangeQuery("z", None), k=10**9, mode="exhaustive"
+        )
+        zz = searcher.search(PrefixQuery("z"), k=10**9, mode="exhaustive")
+        assert set(zz["keys"]) <= set(tail["keys"])
+
+    def test_keyword_field_range(self, searcher):
+        con = duckdb.connect()
+        con.execute(f"create view documents as select * from '{DOCS}'")
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                "select doc_id from documents where lang between 'de' and 'es'"
+            ).fetchall()
+        )
+        r = searcher.search("lang:[de TO es]", k=10**9, mode="exhaustive")
+        assert sorted(r["keys"]) == want
