@@ -120,7 +120,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import fingerprint
     from lucene_ray.pipelines import highlight as hl
     from lucene_ray.pipelines import join as joins
-    from lucene_ray.pipelines import knn
+    from lucene_ray.pipelines import knn, lsh_knn
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
     from lucene_ray.pipelines import search_queries as sq
@@ -176,9 +176,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
-        # knn_lsh + knn_hnsw: non-SQL-expressible (LSH hyperplane /
-        # graph recall) → rows-only driver check, deliberately no
-        # oracle; HNSW recall is pinned in pytest
+        # knn_hnsw: non-SQL-expressible (graph traversal recall) →
+        # rows-only driver check, deliberately no oracle; HNSW recall
+        # is pinned in pytest
+        "knn_lsh": lsh_knn.sql_lsh_knn(),
         "simhash_pairs": dedup.sql_simhash_pairs(),
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),

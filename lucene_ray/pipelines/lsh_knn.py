@@ -36,26 +36,48 @@ N_TABLES = 8
 N_BITS = 12
 
 
-def _planes(dim: int, seed: int = 7) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((N_TABLES, N_BITS, dim))
+def _planes(dim: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplane entries from md5("t:b:d") — sign
+    random projections, a standard LSH family for cosine. Chosen over
+    seeded Gaussians because the identical entry is computable in ANSI
+    SQL (DuckDB md5), which upgrades this pipeline from a rows-only
+    driver check to a full value-hash oracle (``sql_lsh_knn``)."""
+    import hashlib
+
+    out = np.empty((N_TABLES, N_BITS, dim), dtype=np.int64)
+    for t in range(N_TABLES):
+        for b in range(N_BITS):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}:{b}:{d}".encode()).digest()
+                out[t, b, d] = 1 if (h[0] >> 7) & 1 else -1
+    return out
+
+
+def _quantize(emb: np.ndarray) -> np.ndarray:
+    """float → int64 micro-units, floor(x*1e6 + 0.5). Projections against
+    ±1 planes then sum INTEGERS — order-free, so numpy matmul and SQL
+    ``sum()`` agree bit-for-bit (a float dot's last-ulp would depend on
+    summation order and could flip a sign bit near zero)."""
+    return np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
 
 
 def _signatures(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """→ int64[n, N_TABLES] bucket ids from sign patterns."""
+    q = _quantize(emb)
     n = emb.shape[0]
     out = np.empty((n, N_TABLES), dtype=np.int64)
     pows = 1 << np.arange(N_BITS, dtype=np.int64)
     for t in range(N_TABLES):
-        bits = (emb @ planes[t].T) > 0
+        bits = (q @ planes[t].T) > 0
         out[:, t] = bits @ pows
     return out
 
 
 def lsh_knn(sf_dir: str, query_vec_ids: List[int] = (0, 1, 2), k: int = 5):
     """→ (qid, rank, vec_id, sim_bp): ANN top-k via hyperplane LSH with
-    exact cosine re-rank of candidates; recall < 1 by construction — the
-    driver records a rows-only check (non-SQL-expressible plan)."""
+    exact cosine re-rank of candidates; recall < 1 by construction, but
+    deterministic — ``sql_lsh_knn`` replicates the identical plan in
+    DuckDB for the driver's full value-hash gate."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -126,3 +148,60 @@ def lsh_knn(sf_dir: str, query_vec_ids: List[int] = (0, 1, 2), k: int = 5):
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
+
+
+def sql_lsh_knn(query_vec_ids: List[int] = (0, 1, 2), k: int = 5) -> str:
+    """Exact DuckDB replication of ``lsh_knn``: the same md5-derived ±1
+    planes, the same integer-quantized projections (order-free sums), the
+    same bucket match across tables, the same cosine bp re-rank. ANN
+    recall is whatever the hash family gives — but it is the SAME recall
+    on both sides, so the driver's value-hash gate applies."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""
+with dims as (
+  select unnest(range((select len(embedding) from embeddings limit 1))) as d
+),
+signs as (
+  select tt.t, bb.b, dims.d,
+         case when (('0x' || substr(md5(tt.t || ':' || bb.b || ':' || dims.d), 1, 16))::UBIGINT >> 63) & 1 = 1
+              then 1 else -1 end as s
+  from dims,
+       (select unnest(range({N_TABLES})) as t) tt,
+       (select unnest(range({N_BITS})) as b) bb
+),
+comp as (
+  select e.vec_id, dims.d,
+         cast(floor(cast(e.embedding[dims.d + 1] as double) * 1000000 + 0.5) as bigint) as qv
+  from embeddings e, dims
+),
+proj as (
+  select c.vec_id, s.t, s.b, sum(c.qv * s.s) as p
+  from comp c join signs s using (d)
+  group by 1, 2, 3
+),
+buckets as (
+  select vec_id, t,
+         sum(case when p > 0 then (1::BIGINT << b) else 0 end) as bucket
+  from proj group by vec_id, t
+),
+cand as (
+  select distinct qb.vec_id as qid, b.vec_id
+  from buckets b
+  join buckets qb on b.t = qb.t and b.bucket = qb.bucket
+  where qb.vec_id in ({ids})
+),
+sims as (
+  select c.qid, c.vec_id,
+         cast(floor(list_cosine_similarity(e.embedding, q.embedding) * 10000 + 0.5) as bigint) as sim_bp
+  from cand c
+  join embeddings e on e.vec_id = c.vec_id
+  join embeddings q on q.vec_id = c.qid
+),
+ranked as (
+  select qid, vec_id, sim_bp,
+         row_number() over (partition by qid order by sim_bp desc, vec_id asc) as rn
+  from sims
+)
+select qid, cast(rn - 1 as int) as rank, vec_id, sim_bp
+from ranked where rn <= {k}
+"""
