@@ -949,14 +949,17 @@ class IndexSearcher:
                 )
         return SegmentResult(cand.astype(np.uint32), acc)
 
-    def _eval_phrase(self, q: PhraseQuery, seg_idx: int, states) -> SegmentResult:
-        """Exact / sloppy phrase via positions intersection
-        (``core/search/ExactPhraseMatcher.java`` semantics; scoring = BM25
-        with summed term idfs and phrase freq, ``BM25Similarity.java:204-214``)."""
+    def _phrase_matches(
+        self, q: PhraseQuery, seg_idx: int, states
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (docids, phrase freqs) on one segment — exact (integer
+        counts) or sloppy (float sloppyWeight freqs). Shared by scoring
+        and ``explain`` (the freq is the Explanation's tf factor)."""
         seg = self.segments[seg_idx]
         infos = [states[t][0][seg_idx] for t in q.terms]
+        empty = (np.empty(0, np.uint32), np.empty(0, F32))
         if any(ti is None for ti in infos):
-            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+            return empty
         decoded = []
         for ti in infos:
             ids, freqs = seg.decoded(ti)
@@ -967,13 +970,24 @@ class IndexSearcher:
         if q.slop == 0:
             ids, freqs = self._exact_phrase_hits(decoded, int(seg.n_docs))
             if len(ids) == 0:
-                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-        else:
-            out_ids, out_freq = self._sloppy_phrase(q, decoded)
-            if not out_ids:
-                return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-            ids = np.array(out_ids, dtype=np.uint32)
-            freqs = np.array(out_freq, dtype=F32)  # float sloppy freqs
+                return empty
+            return ids, freqs
+        out_ids, out_freq = self._sloppy_phrase(q, decoded)
+        if not out_ids:
+            return empty
+        return (
+            np.array(out_ids, dtype=np.uint32),
+            np.array(out_freq, dtype=F32),  # float sloppy freqs
+        )
+
+    def _eval_phrase(self, q: PhraseQuery, seg_idx: int, states) -> SegmentResult:
+        """Exact / sloppy phrase via positions intersection
+        (``core/search/ExactPhraseMatcher.java`` semantics; scoring = BM25
+        with summed term idfs and phrase freq, ``BM25Similarity.java:204-214``)."""
+        seg = self.segments[seg_idx]
+        ids, freqs = self._phrase_matches(q, seg_idx, states)
+        if len(ids) == 0:
+            return SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
         # fall through to scoring
         if self.is_bm25:
             # weight = boost * Σ idf(term) (double-sum then narrow: idfExplain)
@@ -1620,7 +1634,53 @@ class IndexSearcher:
                 *freq_nodes,
             )
 
-        # generic leaf: phrase / multiterm / range / feature / spans / ...
+        if isinstance(q, PhraseQuery) and self.is_bm25:
+            phrase = " ".join(q.terms)
+            label = f'weight(text:"{phrase}"~{q.slop} in {local})'
+            if sc is None:
+                return Explanation.no_match(f"no matching phrase: {label}")
+            ids_f, freqs_f = self._phrase_matches(q, si, states)
+            hit = np.nonzero(ids_f == np.uint32(local))[0]
+            freq = float(freqs_f[hit[0]])
+            nb = int(seg.norms[local])
+            dl = int(LENGTH_TABLE_INT[nb])
+            avgdl = self.sum_ttf / float(self.doc_count) if self.doc_count else 1.0
+            idf_nodes = [
+                Explanation.match_(
+                    float(bm25_idf(states[t][1], self.doc_count)),
+                    f"idf(term={t}, n={states[t][1]}, N={self.doc_count})",
+                )
+                for t in q.terms
+            ]
+            idf_sum = float(np.sum([n.value for n in idf_nodes]))
+            k1, b = float(self.sim.k1), float(self.sim.b)
+            tf_v = freq / (freq + k1 * (1 - b + b * dl / avgdl))
+            score_node = Explanation.match_(
+                sc,
+                f"score(freq={freq:g}), computed as boost * idf * tf from:",
+                Explanation.match_(float(q.boost), "boost"),
+                Explanation.match_(
+                    idf_sum, "idf, sum of the phrase terms' idfs:", *idf_nodes
+                ),
+                Explanation.match_(
+                    tf_v,
+                    "tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl)) from:",
+                    Explanation.match_(
+                        freq,
+                        "freq, phrase occurrences within document"
+                        + (" (slop-weighted)" if q.slop else ""),
+                    ),
+                    Explanation.match_(k1, "k1, term saturation parameter"),
+                    Explanation.match_(b, "b, length normalization parameter"),
+                    Explanation.match_(dl, "dl, length of field (approximate)"),
+                    Explanation.match_(avgdl, "avgdl, average length of field"),
+                ),
+            )
+            return Explanation.match_(
+                sc, f"{label} [BM25Similarity], result of:", score_node
+            )
+
+        # generic leaf: multiterm / range / feature / spans / ...
         label = f"{type(q).__name__}"
         detail = getattr(q, "terms", None) or getattr(q, "pattern", None) \
             or getattr(q, "term", None) or getattr(q, "prefix", None) or ""

@@ -144,3 +144,26 @@ def test_explain_str_renders_tree(searcher):
     r = _top_query(searcher, "sort merge")
     s = str(searcher.explain("sort merge", int(r["docids"][0])))
     assert "sum of:" in s and "idf" in s and s.count("\n") > 5
+
+
+def test_phrase_explain_freq(searcher):
+    q = PhraseQuery(("sort", "order"))
+    r = searcher.search(q, k=3, mode="exhaustive")
+    assert len(r["docids"]) > 0
+    for d, s in zip(r["docids"], r["scores"]):
+        e = searcher.explain(q, int(d))
+        assert e.match and np.float32(e.value) == s
+        score_node = e.details[0]
+        _, idf_n, tf_n = score_node.details
+        freq = tf_n.details[0].value
+        assert freq >= 1 and freq == int(freq)  # exact phrase: integer freq
+        # idf detail = sum of per-term idfs
+        assert math.isclose(
+            idf_n.value, sum(x.value for x in idf_n.details), rel_tol=1e-9
+        )
+    # sloppy: float slop-weighted freq, still value-exact
+    qs = PhraseQuery(("sort", "order"), slop=2)
+    rs = searcher.search(qs, k=3, mode="exhaustive")
+    es = searcher.explain(qs, int(rs["docids"][0]))
+    assert es.match and np.float32(es.value) == rs["scores"][0]
+    assert "slop-weighted" in str(es)
