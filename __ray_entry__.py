@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
-    from lucene_ray.pipelines import percolate
+    from lucene_ray.pipelines import classify, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
 
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.embedding_near_dup,
         "image_decode": mm.image_decode,
         "percolate_docs": percolate.percolate_docs,
+        "nb_classify": classify.nb_classify,
         "events_window": ev.tumbling_window_stats,
         "events_sessionize": ev.sessionize,
     }
@@ -125,7 +126,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import knn, lsh_knn
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
-    from lucene_ray.pipelines import percolate
+    from lucene_ray.pipelines import classify, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
 
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
         "image_decode": mm.sql_image_decode(),
         "percolate_docs": percolate.sql_percolate_docs(),
+        "nb_classify": classify.sql_nb_classify(),
         "events_window": ev.sql_tumbling_window_stats(),
         "events_sessionize": ev.sql_sessionize(),
     }

@@ -1,0 +1,63 @@
+"""Naive Bayes classification (lucene/classification role): model
+shapes, integer micro-nat scoring parity with a naive recompute, and
+deterministic tie-breaking."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.pipelines.classify import SCALE, nb_classify, nb_train
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def model(ray_session):
+    return nb_train(SF)
+
+
+@pytest.fixture(scope="module")
+def result(ray_session):
+    return nb_classify(SF).to_pandas()
+
+
+def test_model_shapes(model):
+    classes, vocab, lp, prior = model
+    assert classes == sorted(classes)
+    assert lp.shape == (len(vocab) + 1, len(classes))
+    assert prior.shape == (len(classes),)
+    assert (lp < 0).all() and (prior < 0).all()  # log probs
+
+
+def test_one_prediction_per_doc(result):
+    tbl = pq.read_table(DOCS, columns=["doc_id", "lang"])
+    assert len(result) == tbl.num_rows
+    assert set(result["lang_pred"]) <= set(tbl.column("lang").to_pylist())
+    assert result["doc_id"].is_monotonic_increasing
+
+
+def test_score_matches_naive_recompute(model, result):
+    """Vectorized reduceat scoring == per-token naive sum for a sample."""
+    classes, vocab, lp, prior = model
+    tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    unk = len(vocab)
+    for _, row in result.head(25).iterrows():
+        toks = (texts[row["doc_id"]] or "").split()
+        scores = prior.copy()
+        for w in toks:
+            scores = scores + lp[vocab.get(w, unk)]
+        best = int(np.argmax(scores))
+        assert classes[best] == row["lang_pred"]
+        assert int(scores[best]) == row["score_bp"]
+
+
+def test_empty_doc_ties_break_ascending(model):
+    """A doc with no tokens scores = priors; equal priors must resolve
+    to the first class in ascending order (the documented tie rule)."""
+    classes, vocab, lp, prior = model
+    if len(set(prior.tolist())) == 1:  # uniform priors in the testdata
+        assert int(np.argmax(prior)) == 0
