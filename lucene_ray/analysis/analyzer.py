@@ -27,6 +27,7 @@ from lucene_ray.analysis.filters import (
     porter_stem,
     resolve_filters,
 )
+from lucene_ray.analysis.htmlstrip import resolve_char_filters
 from lucene_ray.analysis.lowercase import simple_lowercase
 from lucene_ray.analysis.tokenizer import (
     DEFAULT_MAX_TOKEN_LENGTH,
@@ -306,8 +307,6 @@ class Analyzer:
 def analyzer_for_config(config) -> "Analyzer":
     """One construction point for every build/search site: resolves the
     config's named token-filter chain through the registry."""
-    from lucene_ray.analysis.htmlstrip import resolve_char_filters
-
     return Analyzer(
         stopwords=config.stopwords,
         max_token_length=config.max_token_length,

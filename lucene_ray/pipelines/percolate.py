@@ -23,6 +23,8 @@ from typing import List, Tuple
 
 import pyarrow as pa
 
+from lucene_ray.search.monitor import MemoryIndex, Monitor
+
 MONITOR_QUERIES: List[Tuple[int, str]] = [
     (0, "spark"),
     (1, "+batch +stream"),
@@ -37,15 +39,11 @@ class _PercolateActor:
     """Monitor built once per actor; per batch: MemoryIndex + match."""
 
     def __init__(self):
-        from lucene_ray.search.monitor import Monitor
-
         self.monitor = Monitor()
         for qid, qs in MONITOR_QUERIES:
             self.monitor.register(qid, qs)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        from lucene_ray.search.monitor import MemoryIndex
-
         mem = MemoryIndex(
             b.column("text").to_pylist(),
             analyzer=self.monitor.analyzer,

@@ -32,6 +32,7 @@ import pyarrow as pa
 
 import ray
 
+from lucene_ray.index.manifest import load_manifest
 from lucene_ray.search.searcher import SearcherActor
 
 
@@ -58,8 +59,6 @@ class SearcherWorker:
         the new searcher mmaps new segment dirs and drops merged-away
         ones; in-flight batches on the old searcher stay consistent
         (acquire/release swap). → True if a new searcher was opened."""
-        from lucene_ray.index.manifest import load_manifest
-
         man = load_manifest(self.index_dir)
         if man is None or man.generation == self.generation():
             return False
