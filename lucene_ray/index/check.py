@@ -72,6 +72,29 @@ def check_segment(seg_dir: str) -> List[str]:
         except KeyError:
             problems.append(f"{seg_dir}: index_sort field {field!r} has no DV")
 
+    for pf, info in (meta.get("points") or {}).items():
+        # point sidecar (LongPoint/BKD role): sorted values, in-range
+        # docids, and exactly the valid (non-null) DV rows
+        try:
+            import pyarrow.compute as pc
+
+            vals, docs, _ = seg.point_index(pf)
+            if len(vals) != info["n"] or len(docs) != info["n"]:
+                problems.append(f"{seg_dir}: points {pf!r} length != meta n")
+            if len(vals) > 1 and not (np.diff(vals) >= 0).all():
+                problems.append(f"{seg_dir}: points {pf!r} values not sorted")
+            if len(docs) and (
+                int(docs.max()) >= meta["n_docs"] or int(docs.min()) < 0
+            ):
+                problems.append(f"{seg_dir}: points {pf!r} docid out of range")
+            want_docs = np.flatnonzero(np.asarray(pc.is_valid(seg.dv(pf))))
+            if not np.array_equal(np.sort(np.asarray(docs)), want_docs):
+                problems.append(
+                    f"{seg_dir}: points {pf!r} doc set != non-null DV rows"
+                )
+        except Exception as e:
+            problems.append(f"{seg_dir}: points {pf!r} check failed: {e}")
+
     n_docs = meta["n_docs"]
     sum_df = 0
     sum_ttf = 0

@@ -104,6 +104,12 @@ class IndexConfig:
     # queries run exhaustively (rank-identical; WAND needs impacts).
     postings_format: str = "ray104"
     per_field_formats: Tuple[Tuple[str, str], ...] = ()
+    # point_cols — NUMERIC/timestamp ``dv_cols`` entries that also get a
+    # per-segment sorted 1-D point index (``LongPoint`` / BKD role,
+    # ``core/util/bkd/BKDWriter.java``; see index/points.py): range
+    # filters become two binary searches over a memmapped sorted
+    # (value, docid) permutation instead of an O(maxDoc) column scan.
+    point_cols: Tuple[str, ...] = ()
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -124,6 +130,12 @@ class IndexConfig:
             raise ValueError(
                 f"pretokenized column {self.text_col!r} is inverted-index-"
                 "only; it cannot also be a keyword/dv/feature column"
+            )
+        missing = set(self.point_cols) - set(self.dv_cols)
+        if missing:
+            # points are a sidecar over the doc-values column store
+            raise ValueError(
+                f"point_cols must be a subset of dv_cols; missing {sorted(missing)}"
             )
 
     def term_bucket(self, term: str) -> int:
@@ -166,6 +178,7 @@ class IndexConfig:
             "keyword_cols": list(self.keyword_cols),
             "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
+            "point_cols": list(self.point_cols),
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
             "postings_format": self.postings_format,
@@ -190,6 +203,7 @@ class IndexConfig:
             keyword_cols=tuple(d.get("keyword_cols", ())),
             extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
+            point_cols=tuple(d.get("point_cols", ())),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),
             postings_format=d.get("postings_format", "ray104"),

@@ -34,6 +34,7 @@ import pyarrow as pa
 
 from lucene_ray.index.config import FIELD_SEP, IndexConfig
 from lucene_ray.index.deletes import _write_deleted
+from lucene_ray.index.points import build_point_files
 from lucene_ray.index.manifest import (
     Manifest,
     commit_manifest,
@@ -500,6 +501,21 @@ def _finalize_merge(
         if old_of_new is not None:
             dv_all = dv_all.take(pa.array(old_of_new))
         pq.write_table(dv_all, os.path.join(tmp_dir, "dv.parquet"))
+    points_meta: Dict[str, dict] = {}
+    point_crcs: Dict[str, int] = {}
+    point_fields = sorted(readers[0].meta.get("points") or {})
+    if point_fields and dv_cols:
+        # rebuild the 1-D point sidecars over the merged (and possibly
+        # index-sort-remapped) dv table — the BKDWriter merge role
+        for f_, (vb, db, info) in build_point_files(
+            dv_all, point_fields
+        ).items():
+            for suffix, blob in (("vals", vb), ("docs", db)):
+                name = f"points_{f_}.{suffix}.bin"
+                with open(os.path.join(tmp_dir, name), "wb") as fh:
+                    fh.write(blob)
+                point_crcs[name] = _zlib.crc32(blob)
+            points_meta[f_] = info
     kw_stats: Dict[str, dict] = {}
     for r in readers:
         for f_, st in (r.meta.get("kw_stats") or {}).items():
@@ -508,6 +524,7 @@ def _finalize_merge(
                 agg[k] += int(st[k])
     checksums: Dict[str, int] = {"norms.bin": _zlib.crc32(norm_bytes)}
     checksums.update(field_norm_crcs)
+    checksums.update(point_crcs)
     for br in bucket_results:
         checksums.update(br["checksums"])
     build_s = time.time() - t0
@@ -538,6 +555,7 @@ def _finalize_merge(
         "kw_stats": kw_stats,
         "text_fields": text_fields,
         "dv_cols": dv_cols,
+        "points": points_meta,
         "checksums": checksums,
         "lineage": lineage,
         "merged_from": seg_ids,

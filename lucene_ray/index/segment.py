@@ -37,7 +37,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer
-from lucene_ray.codecs.postings import PostingsView, encode_postings, encode_postings_batch
+from lucene_ray.codecs.postings import (
+    PostingsView,
+    _unpack_runs,
+    decode_postings_batch,
+    encode_postings,
+    encode_postings_batch,
+)
 from lucene_ray.codecs.forutil import _POW2, pack, packed_size, unpack
 from lucene_ray.codecs.feature import encode_feature_values
 from lucene_ray.codecs.spi import encode_postings_by_format, format_for_name
@@ -50,6 +56,7 @@ from lucene_ray.index.config import (
     term_key,
 )
 from lucene_ray.index.deletes import load_deleted
+from lucene_ray.index.points import build_point_files
 
 META_NAME = "meta.json"
 
@@ -174,8 +181,6 @@ def decode_uint_blocks_batch(
     group into one bit-gather per width via
     ``codecs.postings._unpack_runs``; longer runs fall back to the
     scalar decoder. → list of uint32 arrays aligned with ``offs``."""
-    from lucene_ray.codecs.postings import _unpack_runs
-
     n = len(offs)
     out: List[Optional[np.ndarray]] = [None] * n
     if n == 0:
@@ -749,6 +754,15 @@ def write_segment(
     if dv_table is not None and dv_table.num_columns:
         # doc-values column store, row-aligned with local docids
         pq.write_table(dv_table, os.path.join(tmp_dir, "dv.parquet"))
+    points_meta: Dict[str, dict] = {}
+    if config.point_cols and dv_table is not None:
+        # 1-D point index sidecars (LongPoint/BKD role, index/points.py)
+        for f_, (vb, db, info) in build_point_files(
+            dv_table, config.point_cols
+        ).items():
+            put(f"points_{f_}.vals.bin", vb)
+            put(f"points_{f_}.docs.bin", db)
+            points_meta[f_] = info
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
@@ -854,6 +868,7 @@ def write_segment(
         "kw_stats": kw_stats or {},
         "text_fields": sorted(field_norms or {}),
         "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
+        "points": points_meta,
         "checksums": checksums,
         "metrics": {
             "build_s": round(build_s, 4),
@@ -934,6 +949,7 @@ class SegmentReader:
         self._formats: Optional[dict] = self.meta.get("postings_formats")
         self._docmap: Optional[pa.Array] = None
         self._dv_cache: Dict[str, pa.Array] = {}
+        self._points_cache: Dict[str, tuple] = {}
         self._decode_cache_post: Dict[tuple, tuple] = {}
         self._decode_cache_pos: Dict[tuple, np.ndarray] = {}
         self._decode_cache_bytes = 0
@@ -1142,8 +1158,6 @@ class SegmentReader:
         :func:`codecs.postings.decode_postings_batch` — one bit-gather
         per (kind, width) group instead of a Python decode per term.
         Non-ray104 formats fall back to the scalar path."""
-        from lucene_ray.codecs.postings import decode_postings_batch
-
         out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(infos)
         by_part: Dict[int, List[int]] = {}
         for i, info in enumerate(infos):
@@ -1224,6 +1238,33 @@ class SegmentReader:
             tbl = pq.read_table(path, columns=[col])
             hit = tbl.column(col).combine_chunks()
             self._dv_cache[col] = hit
+        return hit
+
+    def point_index(self, field: str):
+        """Memmapped 1-D point index for ``field`` (LongPoint/BKD role,
+        see index/points.py), or None if the segment has none. Returns
+        ``(sorted_vals, docids, info)`` — only the pages binary search
+        touches are faulted in."""
+        info = (self.meta.get("points") or {}).get(field)
+        if info is None:
+            return None
+        hit = self._points_cache.get(field)
+        if hit is None:
+            dt = np.int64 if info["kind"] == "i64" else np.float64
+            if not info["n"]:  # all-null column: memmap rejects 0 bytes
+                hit = (np.empty(0, dt), np.empty(0, np.uint32), info)
+                self._points_cache[field] = hit
+                return hit
+            vals = np.memmap(
+                os.path.join(self.seg_dir, f"points_{field}.vals.bin"),
+                dtype=dt, mode="r",
+            )
+            docs = np.memmap(
+                os.path.join(self.seg_dir, f"points_{field}.docs.bin"),
+                dtype=np.uint32, mode="r",
+            )
+            hit = (vals, docs, info)
+            self._points_cache[field] = hit
         return hit
 
     def _part(self, b: int) -> dict:

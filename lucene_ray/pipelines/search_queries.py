@@ -29,12 +29,15 @@ from lucene_ray.search.query import (
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
 
 # multi-field index over the documents table: lang/source as keyword
-# (StringField) fields, n_chars as a doc-values column
+# (StringField) fields, n_chars as a doc-values column that also gets
+# the 1-D point sidecar (LongPoint/BKD role, index/points.py) — range
+# filters here run the binary-search path, not the DV scan
 MF_CONFIG = IndexConfig(
     rows_per_segment=2048,
     num_buckets=2,
     keyword_cols=("lang", "source"),
     dv_cols=("n_chars", "lang", "source"),
+    point_cols=("n_chars",),
 )
 
 # (qid, query) — single terms spanning head/mid df + an absent term

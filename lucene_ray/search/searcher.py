@@ -30,6 +30,7 @@ import pyarrow as pa
 from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
+from lucene_ray.index.points import point_range_docids
 from lucene_ray.index.segment import SegmentReader, TermInfo
 from lucene_ray.codecs.feature import decode_feature_values, feature_scores
 from lucene_ray.codecs.spi import format_for_name
@@ -782,6 +783,22 @@ class IndexSearcher:
                 seg,
                 SegmentResult(cached, np.full(len(cached), F32(q.boost))),
             )
+        pi = seg.point_index(q.field)
+        if pi is not None:
+            # 1-D point index (LongPoint/BKD role): two binary searches
+            # over the sorted memmapped (value, docid) permutation —
+            # O(log n) touched pages + exactly the matching docids,
+            # never an O(maxDoc) scan (index/points.py). Falls through
+            # to the scan when a bound can't be normalized.
+            ids = point_range_docids(
+                pi[0], pi[1], q.lo, q.hi, q.include_lo, q.include_hi, pi[2]
+            )
+            if ids is not None:
+                if self.query_cache is not None:
+                    self.query_cache.put(q, seg, ids)
+                return self._live(
+                    seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+                )
         col = seg.dv(q.field)
         mask: Optional[pa.ChunkedArray] = None
 

@@ -1,0 +1,209 @@
+"""1-D point index (``LongPoint`` / BKD role, ``index/points.py``):
+range filters answered by binary search over a sorted memmapped
+(value, docid) permutation must be IDENTICAL to the doc-values scan
+path, through builds, merges, nulls, timestamps, and bound-normalization
+fallbacks."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.check import check_index
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.index.merge import force_merge
+from lucene_ray.index.points import (
+    build_point_files,
+    normalize_bound,
+    point_range_docids,
+)
+from lucene_ray.search.query import BooleanQuery, RangeQuery, TermQuery
+from lucene_ray.search.searcher import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+POINT_CFG = IndexConfig(
+    rows_per_segment=120,
+    keyword_cols=("lang",),
+    dv_cols=("n_chars", "doc_id"),
+    point_cols=("n_chars", "doc_id"),
+)
+SCAN_CFG = IndexConfig(
+    rows_per_segment=120,
+    keyword_cols=("lang",),
+    dv_cols=("n_chars", "doc_id"),
+)
+
+
+@pytest.fixture(scope="module")
+def point_idx(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pointidx"))
+    build_index(DOCS, d, POINT_CFG)
+    return d
+
+
+@pytest.fixture(scope="module")
+def scan_idx(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scanidx"))
+    build_index(DOCS, d, SCAN_CFG)
+    return d
+
+
+def hits(idx_dir, q, k=500):
+    r = IndexSearcher(idx_dir, query_cache=None).search(q, k=k)
+    return sorted(zip(r["keys"], [float(s) for s in r["scores"]]))
+
+
+RANGES = [
+    RangeQuery("n_chars", lo=100, hi=300),
+    RangeQuery("n_chars", lo=100, hi=300, include_lo=False),
+    RangeQuery("n_chars", lo=100, hi=300, include_hi=False),
+    RangeQuery("n_chars", lo=100, hi=300, include_lo=False, include_hi=False),
+    RangeQuery("n_chars", lo=None, hi=250),
+    RangeQuery("n_chars", lo=250, hi=None),
+    RangeQuery("n_chars", lo=None, hi=None),
+    RangeQuery("n_chars", lo=-5, hi=0),  # empty
+    RangeQuery("doc_id", lo=17, hi=17),  # point lookup
+    RangeQuery("n_chars", lo=100.5, hi=300.5),  # fallback: non-integral
+]
+
+
+class TestPointVsScan:
+    def test_meta_and_check(self, point_idx):
+        s = IndexSearcher(point_idx)
+        assert all(
+            set(seg.meta["points"]) == {"n_chars", "doc_id"}
+            for seg in s.segments
+        )
+        assert check_index(point_idx) == []
+
+    @pytest.mark.parametrize("q", RANGES, ids=range(len(RANGES)))
+    def test_range_results_identical(self, point_idx, scan_idx, q):
+        assert hits(point_idx, q) == hits(scan_idx, q)
+
+    def test_point_path_actually_used(self, point_idx):
+        s = IndexSearcher(point_idx, query_cache=None)
+        seg = s.segments[0]
+        pi = seg.point_index("n_chars")
+        assert pi is not None and len(pi[0]) == seg.n_docs
+        assert (np.diff(pi[0]) >= 0).all()
+        # and the scan-config index has no sidecar
+        assert seg.point_index("lang") is None
+
+    def test_filtered_bool_query(self, point_idx, scan_idx):
+        q = BooleanQuery(
+            (
+                ("SHOULD", TermQuery("the")),
+                ("FILTER", RangeQuery("n_chars", lo=150, hi=400)),
+            )
+        )
+        assert hits(point_idx, q) == hits(scan_idx, q)
+
+    def test_merge_rebuilds_points(self, point_idx, scan_idx, tmp_path):
+        import shutil
+
+        d = str(tmp_path / "merged")
+        shutil.copytree(point_idx, d)
+        force_merge(d, max_segments=1)
+        s = IndexSearcher(d)
+        assert len(s.segments) == 1
+        assert set(s.segments[0].meta["points"]) == {"n_chars", "doc_id"}
+        assert check_index(d) == []
+        for q in RANGES:
+            assert hits(d, q) == hits(scan_idx, q)
+
+
+class TestNullsAndTimestamps:
+    @pytest.fixture(scope="class")
+    def ts_idx(self, ray_session, tmp_path_factory):
+        """Inline corpus: timestamp point col + an int col with nulls."""
+        rng = np.random.default_rng(7)
+        n = 240
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = base + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+        n_tok = rng.integers(1, 50, n)
+        nullable = [int(v) if v % 3 else None for v in rng.integers(0, 90, n)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [f"alpha beta doc{i % 7}" for i in range(n)]
+                ),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "maybe": pa.array(nullable, pa.int64()),
+            }
+        )
+        root = tmp_path_factory.mktemp("tscorpus")
+        src = str(root / "docs.parquet")
+        pq.write_table(tbl, src)
+        pdir, sdir = str(root / "pidx"), str(root / "sidx")
+        cols = ("warc_ts", "n_tok", "maybe")
+        build_index(
+            src,
+            pdir,
+            IndexConfig(rows_per_segment=100, dv_cols=cols, point_cols=cols),
+        )
+        build_index(
+            src, sdir, IndexConfig(rows_per_segment=100, dv_cols=cols)
+        )
+        return pdir, sdir
+
+    def test_check_green(self, ts_idx):
+        assert check_index(ts_idx[0]) == []
+
+    def test_timestamp_range_identical(self, ts_idx):
+        pdir, sdir = ts_idx
+        lo = np.datetime64("2024-01-03T00:00:00", "us")
+        hi = np.datetime64("2024-01-08T12:00:00", "us")
+        for q in (
+            RangeQuery("warc_ts", lo=lo, hi=hi),
+            RangeQuery("warc_ts", lo=lo, hi=None, include_lo=False),
+            RangeQuery("warc_ts", lo=None, hi=hi, include_hi=False),
+        ):
+            assert hits(pdir, q) == hits(sdir, q)
+
+    def test_nullable_col_identical(self, ts_idx):
+        pdir, sdir = ts_idx
+        for q in (
+            RangeQuery("maybe", lo=10, hi=60),
+            RangeQuery("maybe", lo=None, hi=None),  # matches non-null only
+        ):
+            assert hits(pdir, q) == hits(sdir, q)
+
+    def test_point_doc_sets_exclude_nulls(self, ts_idx):
+        s = IndexSearcher(ts_idx[0])
+        for seg in s.segments:
+            vals, docs, info = seg.point_index("maybe")
+            import pyarrow.compute as pc
+
+            want = np.flatnonzero(np.asarray(pc.is_valid(seg.dv("maybe"))))
+            assert np.array_equal(np.sort(np.asarray(docs)), want)
+            assert info["kind"] == "i64"
+
+
+class TestKernel:
+    def test_normalize_bound_fallbacks(self):
+        info = {"kind": "i64", "type": "int64"}
+        assert normalize_bound(None, info) is None
+        assert normalize_bound(7, info) == 7
+        assert normalize_bound(7.0, info) == 7
+        sentinel = normalize_bound(7.5, info)
+        assert sentinel is not None and not isinstance(sentinel, int)
+        tsinfo = {"kind": "i64", "type": "timestamp[us]"}
+        got = normalize_bound(np.datetime64("1970-01-01T00:00:01", "us"), tsinfo)
+        assert got == 1_000_000
+
+    def test_build_and_search_roundtrip(self):
+        tbl = pa.table({"v": pa.array([5, 1, None, 3, 3, 9], pa.int64())})
+        (vb, db, info), = build_point_files(tbl, ["v"]).values()
+        vals = np.frombuffer(vb, np.int64)
+        docs = np.frombuffer(db, np.uint32)
+        assert vals.tolist() == [1, 3, 3, 5, 9]
+        assert docs.tolist() == [1, 3, 4, 0, 5]  # stable on ties
+        got = point_range_docids(vals, docs, 3, 5, True, True, info)
+        assert got.tolist() == [0, 3, 4]
+        got = point_range_docids(vals, docs, 3, 5, False, False, info)
+        assert got.tolist() == []
+        assert point_range_docids(vals, docs, 2.5, None, True, True, info) is None
