@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import fingerprint
     from lucene_ray.pipelines import highlight as hl
     from lucene_ray.pipelines import hnsw_knn, ivf_knn, knn, lsh_knn
+    from lucene_ray.pipelines import quantized_knn
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn.knn_cosine,
         "knn_ivf": ivf_knn.knn_ivf,
         "knn_hnsw": hnsw_knn.knn_hnsw,
+        "knn_quantized": quantized_knn.knn_quantized,
         "knn_lsh": lsh_knn.lsh_knn,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_pairs": dedup.simhash_pairs,
@@ -180,6 +182,9 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
+        # quantized scoring + error-bounded pruning + exact re-rank is
+        # provably identical to brute force → same oracle
+        "knn_quantized": knn.sql_knn_cosine(),
         # knn_hnsw: non-SQL-expressible (graph traversal recall) →
         # rows-only driver check, deliberately no oracle; HNSW recall
         # is pinned in pytest
