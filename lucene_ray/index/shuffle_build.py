@@ -227,6 +227,18 @@ def build_index_shuffled(
         raise ValueError(
             "shuffle build is DOCS_AND_FREQS only; use build_index for positions"
         )
+    if (
+        config.keyword_cols
+        or config.extra_text_cols
+        or config.dv_cols
+        or config.point_cols
+        or config.feature_cols
+    ):
+        # documented limitation (module docstring): text field only
+        raise ValueError(
+            "shuffle build indexes the text field only; keyword/DV/point/"
+            "feature fields are a segmented-build feature"
+        )
     if isinstance(paths, str):
         if os.path.isdir(paths):
             paths = [os.path.join(paths, f) for f in os.listdir(paths)
