@@ -35,6 +35,7 @@ __all__ = [
     "build_point_files",
     "normalize_bound",
     "point_range_docids",
+    "sorted_topk_candidates",
 ]
 
 
@@ -99,6 +100,89 @@ def normalize_bound(x, info: dict):
         return _SENTINEL
     except Exception:
         return _SENTINEL
+
+
+def sorted_topk_candidates(
+    vals: np.ndarray,
+    docs: np.ndarray,
+    match_sorted: np.ndarray,
+    k: int,
+    descending: bool,
+    start_value=None,
+    qualifier=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Walk the sorted point permutation from the competitive end and
+    return a candidate pool GUARANTEED to contain the true top-k of the
+    match set ordered by (value, docid asc) — the role of
+    ``NumericComparator``'s point-based competitive iterator
+    (``core/search/comparators/NumericComparator.java``): a sort over a
+    big match set touches O(k * n/|matches|) permutation entries instead
+    of gathering + sorting every match's doc value.
+
+    Stops once >= k members are collected AND the next value to visit is
+    strictly worse than the pool's k-th best (equal values must keep
+    walking: ties break by docid, and equal-value runs are visited in
+    docid order only within one run). Caller does the final
+    (value, docid) sort over the small pool.
+
+    ``start_value`` (searchAfter cursor support): skip straight past
+    every entry strictly better than it — the walk seeks the cursor's
+    value by binary search instead of visiting the already-served
+    prefix. ``qualifier(vals, docs) -> bool mask`` additionally filters
+    collected members (cursor tie semantics); only qualified members
+    count toward k."""
+    n = len(vals)
+    out_v: List[np.ndarray] = []
+    out_d: List[np.ndarray] = []
+    count = 0
+    chunk = max(512, 4 * k)
+    pos = n if descending else 0
+    if start_value is not None:
+        # seek: desc pages walk values <= cursor, asc pages values >=
+        pos = int(
+            np.searchsorted(vals, start_value, "right")
+            if descending
+            else np.searchsorted(vals, start_value, "left")
+        )
+    while (pos > 0) if descending else (pos < n):
+        if descending:
+            lo, hi = max(0, pos - chunk), pos
+            pos = lo
+        else:
+            lo, hi = pos, min(n, pos + chunk)
+            pos = hi
+        cd = docs[lo:hi]
+        cv = vals[lo:hi]
+        idx = np.searchsorted(match_sorted, cd)
+        safe = np.minimum(idx, len(match_sorted) - 1)
+        member = (
+            np.zeros(len(cd), dtype=bool)
+            if len(match_sorted) == 0
+            else match_sorted[safe] == cd
+        )
+        if qualifier is not None and member.any():
+            member &= qualifier(cv, cd)
+        if member.any():
+            out_v.append(np.asarray(cv[member]))
+            out_d.append(np.asarray(cd[member]))
+            count += int(member.sum())
+        if count >= k:
+            pool_v = np.concatenate(out_v)
+            kth = (
+                -np.partition(-pool_v, k - 1)[k - 1]
+                if descending
+                else np.partition(pool_v, k - 1)[k - 1]
+            )
+            nxt = vals[pos - 1] if descending else (vals[pos] if pos < n else None)
+            boundary_done = (
+                pos == 0 if descending else pos >= n
+            )
+            if boundary_done or (kth > nxt if descending else kth < nxt):
+                break
+        chunk *= 2
+    if not out_v:
+        return np.empty(0, vals.dtype), np.empty(0, docs.dtype)
+    return np.concatenate(out_v), np.concatenate(out_d)
 
 
 def point_range_docids(

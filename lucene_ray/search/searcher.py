@@ -30,7 +30,12 @@ import pyarrow as pa
 from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
 from lucene_ray.index.config import DEFAULT_FIELD, IndexConfig, term_key
 from lucene_ray.index.manifest import Manifest, load_manifest, segment_dir
-from lucene_ray.index.points import point_range_docids
+from lucene_ray.index.points import (
+    _SENTINEL as _POINT_SENTINEL,
+    normalize_bound as points_normalize_bound,
+    point_range_docids,
+    sorted_topk_candidates,
+)
 from lucene_ray.index.segment import SegmentReader, TermInfo
 from lucene_ray.codecs.feature import decode_feature_values, feature_scores
 from lucene_ray.codecs.spi import format_for_name
@@ -1758,6 +1763,8 @@ class IndexSearcher:
         sort_field: str,
         k: int = 10,
         descending: bool = True,
+        point_walk_min: int = 1024,
+        after: Optional[tuple] = None,
     ) -> dict:
         """Field sort — the ``Sort``/``TopFieldCollector`` role
         (``core/search/TopFieldCollectorManager.java``): top-k of the
@@ -1765,6 +1772,12 @@ class IndexSearcher:
         broken by (segment order, docid) exactly like ``TopDocs.merge``
         for fields (``core/search/TopDocs.java:203-228``). The sort field
         must be a non-null numeric ``dv_cols`` column.
+
+        ``after=(sort_value, global_docid)`` — cursor pagination
+        (``IndexSearcher.searchAfter(after, query, n, sort)``): only
+        hits strictly after that sort position are returned; with a
+        point sidecar the walk binary-seeks the cursor value, so deep
+        pages never re-touch the already-served prefix.
 
         → {"docids", "keys", "sort_values", "total_hits", "relation"}.
         """
@@ -1782,6 +1795,27 @@ class IndexSearcher:
         # matches — no per-match key gather, no per-segment sort
         want_dir = "desc" if descending else "asc"
         early = self.config.index_sort == (sort_field, want_dir)
+        c_val = c_si = c_doc = None
+        if after is not None:
+            c_val, c_gdoc = after
+            for i, s in enumerate(self.segments):
+                if s.base_docid <= c_gdoc < s.base_docid + s.n_docs:
+                    c_si, c_doc = i, int(c_gdoc - s.base_docid)
+                    break
+            else:
+                raise ValueError(f"after docid {c_gdoc} not in index")
+            early = False  # cursor filtering needs the general paths
+
+        def _after_mask(v: np.ndarray, d: np.ndarray, si: int) -> np.ndarray:
+            # strictly after (sort_key, seg, docid) — the field-sort
+            # twin of the score-path searchAfter predicate
+            strict = (v < c_val) if descending else (v > c_val)
+            if si > c_si:
+                return strict | (v == c_val)
+            if si == c_si:
+                return strict | ((v == c_val) & (d > c_doc))
+            return strict
+
         rows = []  # (sort_key, seg_idx, docid, raw_value)
         total = 0
         for si, seg in enumerate(self.segments):
@@ -1796,12 +1830,56 @@ class IndexSearcher:
                 for key_, d, v in zip(skey, ids, vals):
                     rows.append((key_, si, int(d), v))
                 continue
+            pi = seg.point_index(sort_field)
+            n_cval = None
+            if pi is not None and after is not None:
+                n_cval = points_normalize_bound(c_val, pi[2])
+                if n_cval is _POINT_SENTINEL:
+                    pi = None  # unnormalizable cursor → scan path
+            if pi is not None and len(r.docids) >= max(point_walk_min, 4 * k):
+                # point-based competitive iterator (``NumericComparator``
+                # role, ``core/search/comparators/NumericComparator.java``):
+                # walk the sorted permutation from the competitive end,
+                # touching O(k * n/|matches|) entries instead of
+                # gathering + sorting every match's doc value. Pool is
+                # guaranteed to contain the true top-k; final order +
+                # display values come from the same DV column as the
+                # scan path, so results are identical.
+                qual = None
+                if after is not None:
+                    def qual(v, d, _si=si, _cv=n_cval):
+                        # same predicate as _after_mask, but in the point
+                        # index's normalized value space
+                        strict = (v < _cv) if descending else (v > _cv)
+                        if _si > c_si:
+                            return strict | (v == _cv)
+                        if _si == c_si:
+                            return strict | ((v == _cv) & (d > c_doc))
+                        return strict
+                cv, cd = sorted_topk_candidates(
+                    pi[0], pi[1], np.sort(r.docids), k, descending,
+                    start_value=n_cval, qualifier=qual,
+                )
+                ck = -cv if descending else cv
+                sel = np.lexsort((cd, ck))[:k]
+                ids = cd[sel].astype(np.int64)
+                vals = np.asarray(seg.dv(sort_field).take(pa.array(ids)))
+                skey = -vals if descending else vals
+                for key_, d, v in zip(skey, ids, vals):
+                    rows.append((key_, si, int(d), v))
+                continue
             col = seg.dv(sort_field)
-            vals = np.asarray(col.take(pa.array(r.docids.astype(np.int64))))
+            ids_m = r.docids
+            vals = np.asarray(col.take(pa.array(ids_m.astype(np.int64))))
+            if after is not None:
+                ok = _after_mask(vals, ids_m, si)
+                ids_m, vals = ids_m[ok], vals[ok]
+                if len(ids_m) == 0:
+                    continue
             skey = -vals if descending else vals
-            sel = np.lexsort((r.docids, skey))[:k]
+            sel = np.lexsort((ids_m, skey))[:k]
             for i in sel:
-                rows.append((skey[i], si, int(r.docids[i]), vals[i]))
+                rows.append((skey[i], si, int(ids_m[i]), vals[i]))
         rows.sort(key=lambda t: (t[0], t[1], t[2]))
         rows = rows[:k]
         docids = np.array(

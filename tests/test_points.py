@@ -183,6 +183,88 @@ class TestNullsAndTimestamps:
             assert info["kind"] == "i64"
 
 
+class TestSortedWalk:
+    """Point-based competitive iterator for field sort
+    (``NumericComparator`` role): identical results to the
+    gather-and-sort path, including docid tie-breaks."""
+
+    @pytest.mark.parametrize("desc", [True, False])
+    @pytest.mark.parametrize("q", ["the", "#lang:en", "*:*"])
+    def test_sort_identical(self, point_idx, scan_idx, q, desc):
+        from lucene_ray.search.query import MatchAllQuery
+
+        query = MatchAllQuery() if q == "*:*" else q
+        for k in (1, 7, 25):
+            a = IndexSearcher(point_idx, query_cache=None).search_sorted(
+                query, "n_chars", k=k, descending=desc, point_walk_min=0
+            )
+            b = IndexSearcher(scan_idx, query_cache=None).search_sorted(
+                query, "n_chars", k=k, descending=desc
+            )
+            assert a["keys"] == b["keys"]
+            assert a["sort_values"] == b["sort_values"]
+            assert a["total_hits"] == b["total_hits"]
+
+    @pytest.mark.parametrize("desc", [True, False])
+    @pytest.mark.parametrize("q", ["the", "#lang:en"])
+    def test_search_after_pages(self, point_idx, scan_idx, q, desc):
+        """searchAfter for field sort: paging through the full ranking k
+        at a time (walk path, with cursor seek) must reproduce the
+        one-shot full ranking, and must match the scan path page by
+        page. n_chars has many ties → exercises the docid tie rules."""
+        full = IndexSearcher(scan_idx, query_cache=None).search_sorted(
+            q, "n_chars", k=10**6, descending=desc
+        )
+        want = list(zip(full["keys"], full["sort_values"], full["docids"]))
+        for idx_dir, walk_min in ((point_idx, 0), (scan_idx, 1024)):
+            s = IndexSearcher(idx_dir, query_cache=None)
+            got, after, k = [], None, 7
+            while True:
+                r = s.search_sorted(
+                    q, "n_chars", k=k, descending=desc,
+                    point_walk_min=walk_min, after=after,
+                )
+                if not r["keys"]:
+                    break
+                got.extend(
+                    zip(r["keys"], r["sort_values"], r["docids"])
+                )
+                after = (r["sort_values"][-1], int(r["docids"][-1]))
+            assert [g[:2] for g in got] == [w[:2] for w in want]
+            assert [int(g[2]) for g in got] == [int(w[2]) for w in want]
+
+    @pytest.mark.parametrize("desc", [True, False])
+    def test_kernel_tie_heavy(self, desc):
+        """Random fuzz with few distinct values (ties span chunks)."""
+        from lucene_ray.index.points import sorted_topk_candidates
+
+        rng = np.random.default_rng(23)
+        for trial in range(40):
+            n = int(rng.integers(1, 3000))
+            vals = rng.integers(0, 5, n).astype(np.int64)
+            order = np.argsort(vals, kind="stable")
+            docs = np.arange(n, dtype=np.uint32)[order]
+            svals = vals[order]
+            m = int(rng.integers(1, n + 1))
+            match = np.sort(
+                rng.choice(n, size=m, replace=False).astype(np.uint32)
+            )
+            k = int(rng.integers(1, 20))
+            cv, cd = sorted_topk_candidates(svals, docs, match, k, desc)
+            ck = -cv if desc else cv
+            got = [
+                (int(cd[i]), int(cv[i]))
+                for i in np.lexsort((cd, ck))[:k]
+            ]
+            mv = vals[match]
+            mk = -mv if desc else mv
+            want = [
+                (int(match[i]), int(mv[i]))
+                for i in np.lexsort((match, mk))[:k]
+            ]
+            assert got == want, (trial, n, m, k, desc)
+
+
 class TestKernel:
     def test_normalize_bound_fallbacks(self):
         info = {"kind": "i64", "type": "int64"}
