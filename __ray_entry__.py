@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_tfidf_topk": sq.classic_tfidf_topk,
         "lmdirichlet_topk": sq.lmdirichlet_topk,
         "sort_by_field": sq.sort_by_field,
+        "sort_by_field_page2": sq.sort_by_field_page2,
         "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_topk": sq.sql_classic_tfidf_topk(),
         "lmdirichlet_topk": sq.sql_lmdirichlet_topk(),
         "sort_by_field": sq.sql_sort_by_field(),
+        "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_by_field_indexsorted": sq.sql_sort_by_field(),
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),

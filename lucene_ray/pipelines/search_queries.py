@@ -661,6 +661,42 @@ def sort_by_field(sf_dir: str, k: int = 25):
     )
 
 
+def sort_by_field_page2(sf_dir: str, k: int = 25):
+    """Cursor-paginated field sort (``IndexSearcher.searchAfter`` with a
+    ``Sort``): page 1's last (sort_value, docid) becomes the cursor, the
+    point-walk path binary-seeks it (``NumericComparator`` competitive
+    iterator role) — deep pages never re-touch the served prefix."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    p1 = s.search_sorted(
+        "#lang:en", "n_chars", k=k, descending=True, point_walk_min=0
+    )
+    after = (p1["sort_values"][-1], int(p1["docids"][-1]))
+    r = s.search_sorted(
+        "#lang:en", "n_chars", k=k, descending=True,
+        point_walk_min=0, after=after,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(k, k + len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "n_chars": pa.array([int(v) for v in r["sort_values"]], pa.int64()),
+        }
+    )
+
+
+def sql_sort_by_field_page2(k: int = 25) -> str:
+    return f"""
+with ranked as (
+  select doc_id, n_chars,
+         row_number() over (order by n_chars desc, doc_id asc) as rn
+  from documents where lang = 'en'
+)
+select cast(rn - 1 as int) as rank, doc_id, n_chars::bigint as n_chars
+from ranked where rn > {k} and rn <= {2 * k}
+"""
+
+
 def bm25_conjunction(sf_dir: str):
     return _run(sf_dir, CONJ_QUERIES)
 
