@@ -1511,6 +1511,53 @@ group by d.lang
 """
 
 
+def drill_sideways_facets(sf_dir: str):
+    """DrillSideways (`lucene/facet/.../DrillSideways.java`): base query
+    'data' drilled down to lang=en AND source=src0; each dimension's
+    counts drop its own filter but keep the other's, plus the fully
+    drilled hit count."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    r = s.drill_sideways(
+        "data",
+        drill_downs=(("lang", "en"), ("source", "src0")),
+        facet_fields=("lang", "source"),
+    )
+    dims, vals, ns = [], [], []
+    for f in sorted(r["facets"]):
+        for v, n in sorted(r["facets"][f].items()):
+            dims.append(f)
+            vals.append(str(v))
+            ns.append(n)
+    dims.append("_drilled")
+    vals.append("hits")
+    ns.append(r["hits"])
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.large_string()),
+            "value": pa.array(vals, pa.large_string()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def sql_drill_sideways_facets() -> str:
+    return """
+with m as (
+  select doc_id, lang, source from documents
+  where list_contains(string_split(text, ' '), 'data')
+)
+select 'lang' as dim, lang as value, count(*)::bigint as n
+from m where source = 'src0' group by lang
+union all
+select 'source', source, count(*)::bigint
+from m where lang = 'en' group by source
+union all
+select '_drilled', 'hits', count(*)::bigint
+from m where lang = 'en' and source = 'src0'
+"""
+
+
 def grouped_topk(sf_dir: str, k_per_group: int = 3):
     """Per-lang top-k BM25 for 'data' (lucene/grouping two-pass collector
     role) — scores bit-exact, ties by docid."""

@@ -1997,6 +1997,60 @@ class IndexSearcher:
             }
         )
 
+    def drill_sideways(
+        self,
+        base_query,
+        drill_downs: Sequence[Tuple[str, str]],
+        facet_fields: Sequence[str],
+    ) -> dict:
+        """DrillSideways faceting (``lucene/facet/src/java/org/apache/
+        lucene/facet/DrillSideways.java``): for each facet dimension that
+        carries a drill-down filter, count facets over base + all OTHER
+        drill-downs — the dimension's own filter removed ("sideways"),
+        so the UI shows what its other values would yield. Dimensions
+        without a drill-down count over the fully drilled set.
+
+        ``drill_downs``: (keyword_field, value) filters;
+        ``facet_fields``: DV columns to count.
+        → {"facets": {field: {value: n}}, "hits": fully-drilled count}.
+        """
+        import pyarrow.compute as pc
+
+        if isinstance(base_query, str):
+            base_query = parse_query(base_query, self.analyzer)
+        else:
+            base_query = localize_query(base_query)
+        states = self.term_states(query_terms(base_query))
+        dd_fields = [f for f, _ in drill_downs]
+        facets: Dict[str, Dict[object, int]] = {f: {} for f in facet_fields}
+        hits = 0
+        for si, seg in enumerate(self.segments):
+            base = self._eval(base_query, si, states).docids
+            if len(base) == 0:
+                continue
+            dd_sets = [
+                self._eval(q, si, self.term_states(query_terms(q))).docids
+                for q in (TermQuery(v, field=f) for f, v in drill_downs)
+            ]
+            drilled = base
+            for m in dd_sets:
+                drilled = np.intersect1d(drilled, m, assume_unique=True)
+            hits += len(drilled)
+            for f in facet_fields:
+                sel = base
+                for (df, _), m in zip(drill_downs, dd_sets):
+                    if df != f:  # sideways: drop the dim's own filter
+                        sel = np.intersect1d(sel, m, assume_unique=True)
+                if len(sel) == 0:
+                    continue
+                vals = seg.dv(f).take(pa.array(sel.astype(np.int64)))
+                for item in pc.value_counts(vals):
+                    v = item["values"].as_py()
+                    facets[f][v] = facets[f].get(v, 0) + int(
+                        item["counts"].as_py()
+                    )
+        return {"facets": facets, "hits": hits}
+
     def group_topk(
         self, query, group_field: str, k_per_group: int = 3
     ) -> pa.Table:

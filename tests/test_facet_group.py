@@ -85,3 +85,71 @@ class TestGrouping:
         )
         assert best_key in rows
         assert np.float32(rows[best_key]) == full["scores"][0]
+
+
+class TestDrillSideways:
+    """DrillSideways (lucene/facet DrillSideways.java): each dim counts
+    with its own filter removed; hits = fully drilled."""
+
+    @pytest.fixture(scope="class")
+    def ds_searcher(self, ray_session, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("dsidx"))
+        build_index(
+            DOCS,
+            d,
+            IndexConfig(
+                rows_per_segment=150,
+                keyword_cols=("lang", "source"),
+                dv_cols=("lang", "source"),
+            ),
+        )
+        return IndexSearcher(d)
+
+    def test_matches_bruteforce(self, ds_searcher, corpus):
+        rows = list(
+            zip(
+                corpus.column("doc_id").to_pylist(),
+                corpus.column("lang").to_pylist(),
+                corpus.column("source").to_pylist(),
+                corpus.column("text").to_pylist(),
+            )
+        )
+        base = [(d, l, s_) for d, l, s_, t in rows if "data" in (t or "").split()]
+        r = ds_searcher.drill_sideways(
+            "data",
+            drill_downs=(("lang", "en"), ("source", "src0")),
+            facet_fields=("lang", "source"),
+        )
+        want_lang = {}
+        for _, l, s_ in base:
+            if s_ == "src0":
+                want_lang[l] = want_lang.get(l, 0) + 1
+        want_source = {}
+        for _, l, s_ in base:
+            if l == "en":
+                want_source[s_] = want_source.get(s_, 0) + 1
+        assert r["facets"]["lang"] == want_lang
+        assert r["facets"]["source"] == want_source
+        assert r["hits"] == sum(
+            1 for _, l, s_ in base if l == "en" and s_ == "src0"
+        )
+
+    def test_no_drilldown_dim_counts_fully_drilled(self, ds_searcher, corpus):
+        """A facet dim WITHOUT a drill-down counts over base + all
+        filters (n_chars-free case: facet lang, drill source only)."""
+        r = ds_searcher.drill_sideways(
+            "data", drill_downs=(("source", "src0"),), facet_fields=("lang",)
+        )
+        rows = list(
+            zip(
+                corpus.column("lang").to_pylist(),
+                corpus.column("source").to_pylist(),
+                corpus.column("text").to_pylist(),
+            )
+        )
+        want = {}
+        for l, s_, t in rows:
+            if s_ == "src0" and "data" in (t or "").split():
+                want[l] = want.get(l, 0) + 1
+        assert r["facets"]["lang"] == want
+        assert r["hits"] == sum(want.values())
