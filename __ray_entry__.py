@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "drill_sideways": sq.drill_sideways_facets,
+        "hybrid_fusion": sq.hybrid_fusion,
         "synonym_search": sq.synonym_search,
         "combined_field_topk": sq.combined_field_topk,
         "feature_boosted_topk": sq.feature_boosted_topk,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),
         "drill_sideways": sq.sql_drill_sideways_facets(),
+        "hybrid_fusion": sq.sql_hybrid_fusion(),
         "synonym_search": sq.sql_synonym_search(),
         "combined_field_topk": sq.sql_combined_field_topk(),
         "feature_boosted_topk": sq.sql_feature_boosted_topk(),

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 from typing import List, Sequence, Tuple
 
+import numpy as np
 import pyarrow as pa
 
 from lucene_ray.index.config import IndexConfig
@@ -1508,6 +1509,104 @@ m as (select distinct doc_id from tok where term = 'data')
 select d.lang, count(*)::bigint as n
 from documents d join m using (doc_id)
 group by d.lang
+"""
+
+
+FUSION_QUERY = "data"
+FUSION_VEC = 0
+FUSION_N = 50
+FUSION_K = 10
+FUSION_AT, FUSION_BT = 0.8, 2.0  # text calibration (alpha, beta)
+FUSION_AV, FUSION_BV = 3.0, 0.5  # vector calibration
+
+
+def hybrid_fusion(sf_dir: str):
+    """Hybrid BM25+KNN retrieval — the fork's flagship composition
+    (``core/search/RescoreTopNQuery.java:17-26`` two-phase shape with
+    ``BayesianScoreQuery.java:17-25`` sigmoid calibration feeding
+    ``LogOddsFusionQuery.java:17-26`` log-odds fusion): first-phase BM25
+    top-N, then each candidate's text score and its embedding's cosine
+    to the query vector are calibrated into probabilities and fused by
+    log-odds sum; final top-k by (fused desc, doc_id asc).
+
+    Float64 end-to-end after the (bit-exact float32) BM25 scores so the
+    DuckDB oracle reproduces every operation: probabilities clamped to
+    [1e-6, 1-1e-6] exactly like ``rescore.log_odds_fusion``, fused
+    log-odds quantized to integer micro-units on BOTH sides, ranking by
+    the quantized value (same discipline as the knn bp scores)."""
+    import pyarrow.parquet as pq_
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    first = s.search(FUSION_QUERY, k=FUSION_N, mode="exhaustive")
+    keys = [int(k_) for k_ in first["keys"]]
+    bm25 = np.asarray(first["scores"], dtype=np.float64)  # f32→f64 exact
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", sorted(set(keys) | {FUSION_VEC}))],
+    )
+    arr = tbl.column("embedding").combine_chunks()
+    emb = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+    by_id = {int(v): i for i, v in enumerate(tbl.column("vec_id").to_pylist())}
+    q = emb[by_id[FUSION_VEC]]
+    cand = emb[[by_id[k_] for k_ in keys]]
+    # dot/(|a||b|) — the same operation order as list_cosine_similarity
+    cos = (cand @ q) / (
+        np.linalg.norm(cand, axis=1) * np.linalg.norm(q)
+    )
+    eps = 1e-6
+
+    def logodds(x):
+        p = np.clip(1.0 / (1.0 + np.exp(-x)), eps, 1.0 - eps)
+        return np.log(p / (1.0 - p))
+
+    L = logodds(FUSION_AT * (bm25 - FUSION_BT)) + logodds(
+        FUSION_AV * (cos - FUSION_BV)
+    )
+    micro = np.floor(L * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((np.asarray(keys), -micro))[:FUSION_K]
+    return pa.table(
+        {
+            "rank": pa.array(range(len(order)), pa.int32()),
+            "doc_id": pa.array([keys[i] for i in order], pa.int64()),
+            "fused_micro": pa.array(micro[order], pa.int64()),
+        }
+    )
+
+
+def sql_hybrid_fusion() -> str:
+    return f"""{_PRELUDE},
+{_score_cte([(0, FUSION_QUERY)])}
+, cand as (
+  select doc_id, s, row_number() over (order by s desc, doc_id asc) as rn
+  from tscore
+),
+qvec as (select embedding::DOUBLE[] as qe from embeddings where vec_id = {FUSION_VEC}),
+sims as (
+  select c.doc_id, cast(c.s as double) as s64,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) as cos
+  from cand c join embeddings e on e.vec_id = c.doc_id, qvec q
+  where c.rn <= {FUSION_N}
+),
+probs as (
+  select doc_id,
+         least(greatest(1/(1+exp(-({FUSION_AT}*(s64-{FUSION_BT})))), 1e-6), 1-1e-6) as pt,
+         least(greatest(1/(1+exp(-({FUSION_AV}*(cos-{FUSION_BV})))), 1e-6), 1-1e-6) as pv
+  from sims
+),
+fused as (
+  select doc_id,
+         cast(floor((ln(pt/(1-pt)) + ln(pv/(1-pv))) * 1000000 + 0.5) as bigint) as fused_micro
+  from probs
+),
+out as (
+  select doc_id, fused_micro,
+         row_number() over (order by fused_micro desc, doc_id asc) as rn
+  from fused
+)
+select cast(rn - 1 as int) as rank, doc_id, fused_micro
+from out where rn <= {FUSION_K}
 """
 
 
