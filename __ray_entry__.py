@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": co.lang_counts,
         "text_quality": co.text_quality,
         "knn_cosine": knn.knn_cosine,
+        "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
         "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_quantized": quantized_knn.knn_quantized,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": co.sql_lang_counts(),
         "text_quality": co.sql_text_quality(),
         "knn_cosine": knn.sql_knn_cosine(),
+        "knn_filtered": knn.sql_knn_filtered(),
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),

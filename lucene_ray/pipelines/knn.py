@@ -102,6 +102,121 @@ def knn_cosine(sf_dir: str):
     )
 
 
+def knn_filtered(sf_dir: str, lang: str = "en"):
+    """Pre-filtered vector search — ``KnnFloatVectorQuery``'s filter
+    argument (``core/search/KnnFloatVectorQuery.java``: the kNN search
+    only visits documents accepted by the filter — Lucene evaluates the
+    filter into a per-segment bitset first). Ray plan: the filter side
+    reads ONLY the (doc_id) column with the predicate pushed into the
+    parquet read, the sorted id set is broadcast once via ``ray.put``
+    (8 bytes/id — the "broadcast small side" pattern; a non-selective
+    filter at cluster scale would instead co-partition ids and vectors
+    and semi-join per partition), and every embedding batch masks by
+    membership before the same broadcast-query partial-top-k scoring as
+    ``knn_cosine``."""
+    import pyarrow.parquet as pq_
+
+    import ray
+    import ray.data
+
+    q = _load_queries(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ids = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"],
+        filters=[("lang", "=", lang)],
+    ).column("doc_id")
+    allowed = np.sort(np.asarray(ids, dtype=np.int64))
+    bcast = ray.put((qn, allowed))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        qm, ok_ids = ray.get(bcast)
+        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        pos = np.searchsorted(ok_ids, vec_ids)
+        safe = np.minimum(pos, len(ok_ids) - 1)
+        keep = (
+            np.zeros(len(vec_ids), dtype=bool)
+            if len(ok_ids) == 0
+            else ok_ids[safe] == vec_ids
+        )
+        if not keep.any():
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim_bp": pa.array([], pa.int64()),
+                }
+            )
+        arr = b.column("embedding").combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        emb = flat.reshape(len(arr), -1)[keep]
+        vec_ids = vec_ids[keep]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            bp = np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64)
+            order = np.lexsort((vec_ids, -bp))[:KNN_K]
+            out_q.extend([qi] * len(order))
+            out_v.extend(vec_ids[order])
+            out_s.extend(bp[order])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_bp": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    emb_ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    partials = emb_ds.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=4096
+    )
+    cand = partials.to_pandas()
+    rows = []
+    for qi in range(len(QUERY_VEC_IDS)):
+        sub = cand[cand.qi == qi].copy()
+        sub = sub.sort_values(
+            ["sim_bp", "vec_id"], ascending=[False, True]
+        ).head(KNN_K)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_knn_filtered(lang: str = "en") -> str:
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+with q as (
+  select vec_id as qid, embedding as qe from embeddings where vec_id in ({ids})
+),
+sims as (
+  select q.qid, e.vec_id,
+         cast(floor(list_cosine_similarity(e.embedding, q.qe) * 10000 + 0.5) as bigint) as sim_bp
+  from embeddings e
+  join documents d on d.doc_id = e.vec_id and d.lang = '{lang}'
+  cross join q
+),
+ranked as (
+  select qid, vec_id, sim_bp,
+         row_number() over (partition by qid order by sim_bp desc, vec_id asc) as rn
+  from sims
+)
+select qid, cast(rn - 1 as int) as rank, vec_id, sim_bp
+from ranked where rn <= {KNN_K}
+"""
+
+
 def sql_knn_cosine() -> str:
     ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
     return f"""
