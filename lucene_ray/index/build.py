@@ -287,6 +287,12 @@ def build_index(
                 build_partition(json.loads(item_json), config, index_dir)
             )
 
+        # LUCENE_RAY_BUILD_TASK_CPUS > 1 caps build concurrency (fewer
+        # simultaneous inverts per node = less memory-bandwidth thrash
+        # on small-RAM nodes); default 1 = one task per core
+        task_cpus = int(os.environ.get("LUCENE_RAY_BUILD_TASK_CPUS", "1"))
+        if task_cpus > 1:
+            run_partition = run_partition.options(num_cpus=task_cpus)
         futs = [run_partition.remote(json.dumps(p)) for p in pending]
         metas.extend(json.loads(r) for r in ray.get(futs))
 
