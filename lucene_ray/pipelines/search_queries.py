@@ -1512,6 +1512,38 @@ group by d.lang
 """
 
 
+def sort_multi(sf_dir: str, k: int = 25):
+    """Multi-field sort (``Sort(SortField a, SortField b)``): lang:en
+    ordered by (n_chars desc, doc_id desc) — the secondary direction
+    differs from the docid tie-break, so it is observable."""
+    idx = get_or_build_index(sf_dir, IDXSORT_CONFIG)
+    s = IndexSearcher(idx)
+    r = s.search_sorted_multi(
+        "#lang:en", (("n_chars", "desc"), ("doc_id", "desc")), k=k
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "n_chars": pa.array(
+                [int(v[0]) for v in r["sort_values"]], pa.int64()
+            ),
+        }
+    )
+
+
+def sql_sort_multi(k: int = 25) -> str:
+    return f"""
+with ranked as (
+  select doc_id, n_chars,
+         row_number() over (order by n_chars desc, doc_id desc) as rn
+  from documents where lang = 'en'
+)
+select cast(rn - 1 as int) as rank, doc_id, n_chars::bigint as n_chars
+from ranked where rn <= {k}
+"""
+
+
 FUSION_QUERY = "data"
 FUSION_VEC = 0
 FUSION_N = 50

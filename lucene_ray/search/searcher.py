@@ -1895,6 +1895,75 @@ class IndexSearcher:
             "relation": "EQ",
         }
 
+    def search_sorted_multi(
+        self,
+        query,
+        sort_spec: Sequence[Tuple[str, str]],
+        k: int = 10,
+        point_walk_min: int = 1024,
+    ) -> dict:
+        """Multi-field sort — ``Sort(SortField a, SortField b, ...)``
+        (``core/search/Sort.java``, ``TopFieldCollector`` with secondary
+        comparators): top-k ordered by each numeric DV field in turn
+        (``(field, "desc"|"asc")`` pairs), ties after ALL fields broken
+        by (segment order, docid). The PRIMARY field's point sidecar (if
+        any) prunes candidates exactly as in :meth:`search_sorted` — the
+        walk pool contains every match whose primary value ties or beats
+        the pool's k-th best, which is a superset of the true multi-key
+        top-k, so secondary ordering is decided over the small pool.
+
+        → {"docids", "keys", "sort_values" (tuples), "total_hits",
+        "relation"}."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        specs = [(f, d == "desc") for f, d in sort_spec]
+        pf, pdesc = specs[0]
+        rows = []  # (key_tuple, si, docid, raw_tuple)
+        total = 0
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            total += len(r.docids)
+            if len(r.docids) == 0:
+                continue
+            ids_m = r.docids
+            pi = seg.point_index(pf)
+            if pi is not None and len(ids_m) >= max(point_walk_min, 4 * k):
+                _, cd = sorted_topk_candidates(
+                    pi[0], pi[1], np.sort(ids_m), k, pdesc
+                )
+                ids_m = cd
+            ids64 = pa.array(ids_m.astype(np.int64))
+            vals = [np.asarray(seg.dv(f).take(ids64)) for f, _ in specs]
+            skeys = [(-v if d else v) for v, (_, d) in zip(vals, specs)]
+            sel = np.lexsort((ids_m, *reversed(skeys)))[:k]
+            for i in sel:
+                rows.append(
+                    (
+                        tuple(kk[i] for kk in skeys),
+                        si,
+                        int(ids_m[i]),
+                        tuple(v[i].item() for v in vals),
+                    )
+                )
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        rows = rows[:k]
+        docids = np.array(
+            [self.segments[si].base_docid + d for _, si, d, _ in rows],
+            dtype=np.int64,
+        )
+        keys = [self.segments[si].docmap[d].as_py() for _, si, d, _ in rows]
+        return {
+            "docids": docids,
+            "keys": keys,
+            "sort_values": [v for *_, v in rows],
+            "total_hits": total,
+            "relation": "EQ",
+        }
+
     def search_expr(
         self,
         query,

@@ -233,6 +233,23 @@ class TestSortedWalk:
             assert [g[:2] for g in got] == [w[:2] for w in want]
             assert [int(g[2]) for g in got] == [int(w[2]) for w in want]
 
+    @pytest.mark.parametrize("d1", ["desc", "asc"])
+    @pytest.mark.parametrize("d2", ["desc", "asc"])
+    def test_multi_sort_walk_equals_scan(self, point_idx, scan_idx, d1, d2):
+        """Multi-field sort: primary point-walk pruning (superset pool)
+        must equal the full gather+sort, for every direction combo.
+        n_chars is tie-heavy so the secondary field decides often."""
+        spec = (("n_chars", d1), ("doc_id", d2))
+        for q in ("the", "#lang:en"):
+            a = IndexSearcher(point_idx, query_cache=None).search_sorted_multi(
+                q, spec, k=15, point_walk_min=0
+            )
+            b = IndexSearcher(scan_idx, query_cache=None).search_sorted_multi(
+                q, spec, k=15
+            )
+            assert a["keys"] == b["keys"]
+            assert a["sort_values"] == b["sort_values"]
+
     @pytest.mark.parametrize("desc", [True, False])
     def test_kernel_tie_heavy(self, desc):
         """Random fuzz with few distinct values (ties span chunks)."""
