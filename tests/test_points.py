@@ -91,6 +91,27 @@ class TestPointVsScan:
         # and the scan-config index has no sidecar
         assert seg.point_index("lang") is None
 
+    def test_range_never_touches_dv_column(self, point_idx, monkeypatch):
+        """With a point sidecar the range path must not read the DV
+        column at all (the O(maxDoc) scan is what the index exists to
+        avoid)."""
+        from lucene_ray.index.segment import SegmentReader
+
+        s = IndexSearcher(point_idx, query_cache=None)
+
+        def boom(self, col):
+            raise AssertionError(f"DV scan of {col!r} on the point path")
+
+        monkeypatch.setattr(SegmentReader, "dv", boom)
+        q = BooleanQuery(
+            (
+                ("SHOULD", TermQuery("the")),
+                ("FILTER", RangeQuery("n_chars", lo=150, hi=400)),
+            )
+        )
+        r = s.search(q, k=5)
+        assert len(r["keys"]) > 0
+
     def test_filtered_bool_query(self, point_idx, scan_idx):
         q = BooleanQuery(
             (
