@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": sq.sort_by_field,
         "sort_by_field_page2": sq.sort_by_field_page2,
         "sort_multi": sq.sort_multi,
+        "interval_ordered": sq.interval_ordered,
         "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": sq.sql_sort_by_field(),
         "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_multi": sq.sql_sort_multi(),
+        "interval_ordered": sq.sql_interval_ordered(),
         "sort_by_field_indexsorted": sq.sql_sort_by_field(),
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),

@@ -1512,6 +1512,94 @@ group by d.lang
 """
 
 
+# (qid, first term, second term, maxgaps)
+INTERVAL_QUERIES = [
+    (0, "scan", "column", 4),
+    (1, "sort", "order", 8),
+    (2, "join", "merge", 15),
+]
+
+
+def interval_ordered(sf_dir: str):
+    """Minimal ordered intervals (``lucene/queries/intervals``
+    ``Intervals.ordered`` + ``maxgaps``): per doc, every minimal
+    interval [start, end] with t1 before t2 and at most g gap positions
+    — emitted STRUCTURALLY (integer rows), so the DuckDB oracle checks
+    the minimal-interval algorithm itself, not a float score. The
+    scored ``IntervalQuery`` surface runs through the searcher and is
+    property-tested in ``tests/test_intervals.py``."""
+    import ray.data
+
+    from lucene_ray.search.intervals import filter_maxgaps, ordered_intervals
+
+    class Stage:
+        def __init__(self):
+            self.an = Analyzer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qids, dids, starts, ends = [], [], [], []
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                terms, _ = self.an.analyze_fast(text or "")
+                ta = np.asarray(terms, dtype=object)
+                for qid, t1, t2, g in INTERVAL_QUERIES:
+                    p1 = np.flatnonzero(ta == t1)
+                    p2 = np.flatnonzero(ta == t2)
+                    if len(p1) == 0 or len(p2) == 0:
+                        continue
+                    for s_, e_ in filter_maxgaps(
+                        ordered_intervals([p1, p2]), 2, g
+                    ):
+                        qids.append(qid)
+                        dids.append(int(did))
+                        starts.append(s_)
+                        ends.append(e_)
+            return pa.table(
+                {
+                    "qid": pa.array(qids, pa.int32()),
+                    "doc_id": pa.array(dids, pa.int64()),
+                    "start": pa.array(starts, pa.int64()),
+                    "iend": pa.array(ends, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+
+
+def sql_interval_ordered() -> str:
+    qs = ", ".join(f"({q}, '{a}', '{b}', {g})" for q, a, b, g in INTERVAL_QUERIES)
+    return f"""
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+ptok as (
+  select doc_id, i as pos, ws[i+1] as term
+  from w, unnest(range(array_length(ws))) as t(i)
+  where ws[i+1] <> ''
+),
+iq(qid, t1, t2, g) as (values {qs}),
+cand as (
+  -- for each t2 position: tightest preceding t1 position
+  select q.qid, a.doc_id, b.pos as p2, max(a.pos) as s
+  from iq q
+  join ptok a on a.term = q.t1
+  join ptok b on b.term = q.t2 and b.doc_id = a.doc_id and a.pos < b.pos
+  group by q.qid, a.doc_id, b.pos
+),
+minimal as (
+  -- non-nested: one interval per start (the shortest)
+  select qid, doc_id, s, min(p2) as p2 from cand group by qid, doc_id, s
+)
+select cast(m.qid as int) as qid, m.doc_id, m.s as start, m.p2 as iend
+from minimal m join iq q on q.qid = m.qid
+where (m.p2 - m.s + 1) - 2 <= q.g
+"""
+
+
 def sort_multi(sf_dir: str, k: int = 25):
     """Multi-field sort (``Sort(SortField a, SortField b)``): lang:en
     ordered by (n_chars desc, doc_id desc) — the secondary direction

@@ -19,6 +19,7 @@ from typing import List, Optional, Tuple, Union
 from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.analysis.lowercase import simple_lowercase
 from lucene_ray.index.config import term_key
+from lucene_ray.search.intervals import source_terms
 
 SHOULD = "SHOULD"
 MUST = "MUST"
@@ -275,6 +276,20 @@ class SpanNearQuery:
     terms: Tuple[str, ...]
     slop: int = 0
     in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalQuery:
+    """Minimal-interval proximity scoring — ``lucene/queries/intervals``
+    (``IntervalQuery.java:71-84``): docs score by the saturation of
+    their minimal-interval sloppy freq (``IntervalScorer.java:60-69``).
+    ``source`` is a tuple spec over TERM leaves — see
+    ``search/intervals.py`` for syntax, kernels, and the scoped subset.
+    Text-field only (needs positions)."""
+
+    source: tuple
+    pivot: float = 1.0
     boost: float = 1.0
 
 
@@ -552,6 +567,8 @@ def query_terms(q: Query) -> List[str]:
         return [term_key(q.field, q.feature)]
     if isinstance(q, SpanNearQuery):
         return list(q.terms)  # spans are text-field (positions required)
+    if isinstance(q, IntervalQuery):
+        return source_terms(q.source)  # text-field (positions required)
     if isinstance(q, TermInSetQuery):
         return [term_key(q.field, t) for t in q.terms]
     if isinstance(q, ConstantScoreQuery):

@@ -44,8 +44,15 @@ from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
 from lucene_ray.search.expressions import Expression
 from lucene_ray.search.similarities import similarity_for_name
 from lucene_ray.search.wand import block_gmax, wand_topk, window_gmax
+from lucene_ray.search.intervals import (
+    eval_source as interval_eval_source,
+    interval_freq,
+    saturation_score,
+    source_terms as interval_source_terms,
+)
 from lucene_ray.search.query import (
     FILTER,
+    IntervalQuery,
     MUST,
     MUST_NOT,
     SHOULD,
@@ -113,6 +120,7 @@ _QUERY_TYPES = {
         ConstantScoreQuery,
         DisjunctionMaxQuery,
         SpanNearQuery,
+        IntervalQuery,
     )
 }
 
@@ -444,6 +452,8 @@ class IndexSearcher:
             return self._eval_phrase(q, seg_idx, states)
         if isinstance(q, MultiPhraseQuery):
             return self._eval_multi_phrase(q, seg_idx, states)
+        if isinstance(q, IntervalQuery):
+            return self._eval_interval(q, seg_idx, states)
         if isinstance(q, MatchAllQuery):
             n = seg.n_docs
             return self._live(
@@ -970,6 +980,59 @@ class IndexSearcher:
                     s.boost, s.field,
                 )
         return SegmentResult(cand.astype(np.uint32), acc)
+
+    def _eval_interval(
+        self, q: IntervalQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """IntervalQuery (``lucene/queries/intervals/IntervalQuery.java``):
+        candidate docs = conjunction of the leaf terms' postings; per
+        candidate doc the terms' position lists feed the minimal-interval
+        kernels (search/intervals.py), ``IntervalScorer``'s float32 freq
+        accumulation, and the saturation score function."""
+        seg = self.segments[seg_idx]
+        terms = interval_source_terms(q.source)
+        infos = [states[t][0][seg_idx] for t in terms]
+        empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        if any(ti is None for ti in infos):
+            return empty
+        decoded = []
+        for ti in infos:
+            ids, freqs = seg.decoded(ti)
+            pos = seg.positions(ti)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(freqs, out=offs[1:])
+            decoded.append((ids, offs, pos))
+        cand = decoded[0][0]
+        for ids, _, _ in decoded[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        lookups = [
+            np.searchsorted(ids, cand) for ids, _, _ in decoded
+        ]
+        out_ids: List[int] = []
+        out_scores: List[np.float32] = []
+        for ci in range(len(cand)):
+            pls = {}
+            for (ids, offs, pos), lk in zip(decoded, lookups):
+                r = int(lk[ci])
+                pls_arr = pos[offs[r] : offs[r + 1]].astype(np.int64)
+                pls[terms[len(pls)]] = pls_arr
+            iv, me = interval_eval_source(q.source, pls)
+            if not iv:
+                continue
+            f = interval_freq(iv, me)
+            out_ids.append(int(cand[ci]))
+            out_scores.append(saturation_score(f, q.pivot, q.boost))
+        if not out_ids:
+            return empty
+        return self._live(
+            seg,
+            SegmentResult(
+                np.array(out_ids, dtype=np.uint32),
+                np.array(out_scores, dtype=F32),
+            ),
+        )
 
     def _phrase_matches(
         self, q: PhraseQuery, seg_idx: int, states

@@ -1,0 +1,129 @@
+"""Minimal-interval semantics (lucene/queries/intervals): kernels vs
+brute-force enumeration, IntervalScorer freq/saturation, and the
+index-backed IntervalQuery vs text-side recomputation."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.analyzer import Analyzer
+from lucene_ray.index.build import build_index
+from lucene_ray.index.config import IndexConfig
+from lucene_ray.search.intervals import (
+    eval_source,
+    filter_maxgaps,
+    filter_maxwidth,
+    interval_freq,
+    ordered_intervals,
+    saturation_score,
+    source_terms,
+    unordered_intervals,
+)
+from lucene_ray.search.query import IntervalQuery
+from lucene_ray.search.searcher import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def brute_minimal(pls, ordered):
+    cands = set()
+    for combo in itertools.product(*[list(map(int, l)) for l in pls]):
+        if ordered and any(
+            combo[i] >= combo[i + 1] for i in range(len(combo) - 1)
+        ):
+            continue
+        cands.add((min(combo), max(combo)))
+    return sorted(
+        c
+        for c in cands
+        if not any(
+            d != c and d[0] >= c[0] and d[1] <= c[1] for d in cands
+        )
+    )
+
+
+class TestKernels:
+    @pytest.mark.parametrize("ordered", [True, False])
+    def test_fuzz_vs_bruteforce(self, ordered):
+        rng = np.random.default_rng(31)
+        for trial in range(200):
+            n_terms = int(rng.integers(2, 4))
+            # unique positions across terms (one token per position)
+            univ = rng.choice(60, size=min(60, 4 * n_terms + 8), replace=False)
+            rng.shuffle(univ)
+            pls, off = [], 0
+            for j in range(n_terms):
+                cnt = int(rng.integers(1, 5))
+                pls.append(np.sort(univ[off : off + cnt]).astype(np.int64))
+                off += cnt
+            fn = ordered_intervals if ordered else unordered_intervals
+            got = sorted(fn(pls))
+            want = brute_minimal(pls, ordered)
+            assert got == want, (trial, ordered, [l.tolist() for l in pls])
+
+    def test_filters_and_freq(self):
+        iv = [(0, 1), (5, 9), (20, 22)]
+        assert filter_maxwidth(iv, 3) == [(0, 1), (20, 22)]
+        assert filter_maxgaps(iv, 2, 1) == [(0, 1), (20, 22)]
+        # freq: 1/max(len-me+1,1) per interval, me=2
+        f = interval_freq([(0, 1), (5, 9)], 2)
+        assert f == np.float32(np.float32(1.0) + np.float32(1.0 / 4))
+        s = saturation_score(f, pivot=1.0, weight=2.0)
+        assert s == np.float32(2.0) * (
+            np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + f)
+        )
+
+    def test_source_spec_validation(self):
+        assert source_terms(("maxgaps", 2, ("ordered", ("term", "a"), ("term", "b")))) == ["a", "b"]
+        with pytest.raises(ValueError):
+            source_terms(("ordered", ("term", "a"), ("term", "a")))
+        with pytest.raises(ValueError):
+            source_terms(("ordered", ("ordered", ("term", "a")), ("term", "b")))
+
+
+class TestIntervalQuery:
+    @pytest.fixture(scope="class")
+    def idx(self, ray_session, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("ividx"))
+        build_index(DOCS, d, IndexConfig(rows_per_segment=150))
+        return d
+
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            ("ordered", ("term", "scan"), ("term", "column")),
+            ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column"))),
+            ("unordered", ("term", "sort"), ("term", "order")),
+            ("maxwidth", 6, ("unordered", ("term", "join"), ("term", "merge"))),
+        ],
+        ids=["ordered", "maxgaps", "unordered", "maxwidth"],
+    )
+    def test_index_matches_text_side(self, idx, spec):
+        """Index-decoded positions must reproduce exactly what the
+        analyzer sees on the raw text (same kernels both sides)."""
+        import pyarrow.parquet as pq
+
+        q = IntervalQuery(spec, boost=1.5)
+        r = IndexSearcher(idx).search(q, k=10**6)
+        got = dict(zip([int(k) for k in r["keys"]],
+                       [float(s) for s in r["scores"]]))
+        an = Analyzer()
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        want = {}
+        for did, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            terms, _ = an.analyze_fast(text or "")
+            ta = np.asarray(terms, dtype=object)
+            pls = {
+                t: np.flatnonzero(ta == t).astype(np.int64)
+                for t in source_terms(spec)
+            }
+            iv, me = eval_source(spec, pls)
+            if iv:
+                want[int(did)] = float(
+                    saturation_score(interval_freq(iv, me), 1.0, 1.5)
+                )
+        assert got == want
+        assert len(got) > 0
