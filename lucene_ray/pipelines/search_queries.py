@@ -1670,6 +1670,21 @@ def hybrid_fusion(sf_dir: str):
     emb = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
     by_id = {int(v): i for i, v in enumerate(tbl.column("vec_id").to_pylist())}
     q = emb[by_id[FUSION_VEC]]
+    # inner-join semantics (same as the oracle): first-phase candidates
+    # without an embedding row cannot be fused and drop out AFTER the
+    # top-N cut (at sf0.1 the embeddings table covers only a subset of
+    # documents)
+    have = [i for i, k_ in enumerate(keys) if k_ in by_id]
+    keys = [keys[i] for i in have]
+    bm25 = bm25[have]
+    if not keys:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "fused_micro": pa.array([], pa.int64()),
+            }
+        )
     cand = emb[[by_id[k_] for k_ in keys]]
     # dot/(|a||b|) — the same operation order as list_cosine_similarity
     cos = (cand @ q) / (

@@ -31,6 +31,9 @@ Source spec syntax (plain tuples — hashable, picklable):
     ("unordered", ...)
     ("maxgaps", g, inner)
     ("maxwidth", w, inner)
+    ("or", inner1, inner2, ...)          # DisjunctionIntervalsSource
+    ("containing", big, small)           # big intervals holding a small
+    ("contained_by", small, big)         # small intervals inside a big
 """
 from __future__ import annotations
 
@@ -109,6 +112,23 @@ def unordered_intervals(pls: Sequence[np.ndarray]) -> List[Interval]:
     return out
 
 
+def minimize(iv: List[Interval]) -> List[Interval]:
+    """Drop every interval that contains another (minimal antichain) —
+    the union step of ``DisjunctionIntervalsSource``. Input may hold
+    duplicates from different children."""
+    # (start asc, end desc) so the reversed scan sees, for equal starts,
+    # the narrower interval first and drops the wider one
+    uniq = sorted(set(iv), key=lambda t: (t[0], -t[1]))
+    out: List[Interval] = []
+    best = None
+    for s, e in reversed(uniq):
+        if best is None or e < best:
+            out.append((s, e))
+            best = e
+    out.reverse()
+    return out
+
+
 def filter_maxgaps(iv: List[Interval], n_terms: int, g: int) -> List[Interval]:
     """Keep intervals with at most ``g`` gap positions
     (``Intervals.maxgaps``: gaps = length - minExtent)."""
@@ -140,6 +160,13 @@ def source_terms(spec: tuple) -> List[str]:
         return terms
     if kind in ("maxgaps", "maxwidth"):
         return source_terms(spec[2])
+    if kind in ("or", "containing", "contained_by"):
+        seen: List[str] = []
+        for sub in spec[1:]:
+            for t in source_terms(sub):
+                if t not in seen:
+                    seen.append(t)
+        return seen
     raise ValueError(f"unknown interval source {kind!r}")
 
 
@@ -164,6 +191,36 @@ def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
     if kind == "maxwidth":
         iv, me = eval_source(spec[2], pls_by_term)
         return filter_maxwidth(iv, int(spec[1])), me
+    if kind == "or":
+        # DisjunctionIntervalsSource: minimized union; minExtent = min
+        # over children (DisjunctionIntervalsSource.minExtent)
+        ivs: List[Interval] = []
+        mes: List[int] = []
+        for sub in spec[1:]:
+            iv, me = eval_source(sub, pls_by_term)
+            ivs.extend(iv)
+            mes.append(me)
+        return minimize(ivs), min(mes)
+    if kind == "containing":
+        # Intervals.containing(big, small): big's intervals that contain
+        # at least one interval of small (ContainingIntervalsSource)
+        big, bme = eval_source(spec[1], pls_by_term)
+        small, _ = eval_source(spec[2], pls_by_term)
+        return [
+            (s, e)
+            for s, e in big
+            if any(s <= s2 and e2 <= e for s2, e2 in small)
+        ], bme
+    if kind == "contained_by":
+        # Intervals.containedBy(small, big): small's intervals lying
+        # inside an interval of big (ContainedByIntervalsSource)
+        small, sme = eval_source(spec[1], pls_by_term)
+        big, _ = eval_source(spec[2], pls_by_term)
+        return [
+            (s, e)
+            for s, e in small
+            if any(s2 <= s and e <= e2 for s2, e2 in big)
+        ], sme
     raise ValueError(f"unknown interval source {kind!r}")
 
 

@@ -991,33 +991,45 @@ class IndexSearcher:
         accumulation, and the saturation score function."""
         seg = self.segments[seg_idx]
         terms = interval_source_terms(q.source)
-        infos = [states[t][0][seg_idx] for t in terms]
         empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
-        if any(ti is None for ti in infos):
-            return empty
-        decoded = []
-        for ti in infos:
+        no_pos = np.empty(0, dtype=np.int64)
+        decoded = []  # per term: (ids, offs, pos) or None (term absent)
+        for t in terms:
+            ti = states[t][0][seg_idx]
+            if ti is None:
+                decoded.append(None)
+                continue
             ids, freqs = seg.decoded(ti)
             pos = seg.positions(ti)
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(freqs, out=offs[1:])
             decoded.append((ids, offs, pos))
-        cand = decoded[0][0]
-        for ids, _, _ in decoded[1:]:
-            cand = np.intersect1d(cand, ids, assume_unique=True)
-        if len(cand) == 0:
+        # candidates = UNION of the leaves' doc sets ("or" sources don't
+        # require every term; sources needing a missing term evaluate to
+        # no intervals for that doc)
+        doc_sets = [d[0] for d in decoded if d is not None]
+        if not doc_sets:
             return empty
+        cand = np.unique(np.concatenate(doc_sets))
         lookups = [
-            np.searchsorted(ids, cand) for ids, _, _ in decoded
+            None if d is None else np.searchsorted(d[0], cand)
+            for d in decoded
         ]
         out_ids: List[int] = []
         out_scores: List[np.float32] = []
         for ci in range(len(cand)):
+            d_ = int(cand[ci])
             pls = {}
-            for (ids, offs, pos), lk in zip(decoded, lookups):
+            for t, dec, lk in zip(terms, decoded, lookups):
+                if dec is None:
+                    pls[t] = no_pos
+                    continue
+                ids, offs, pos = dec
                 r = int(lk[ci])
-                pls_arr = pos[offs[r] : offs[r + 1]].astype(np.int64)
-                pls[terms[len(pls)]] = pls_arr
+                if r >= len(ids) or int(ids[r]) != d_:
+                    pls[t] = no_pos  # term absent from this doc
+                else:
+                    pls[t] = pos[offs[r] : offs[r + 1]].astype(np.int64)
             iv, me = interval_eval_source(q.source, pls)
             if not iv:
                 continue

@@ -74,6 +74,62 @@ class TestKernels:
             np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + f)
         )
 
+    def test_or_minimized_union_fuzz(self):
+        """or = minimized union (DisjunctionIntervalsSource): no kept
+        interval contains another, and every dropped one contains a
+        kept one."""
+        from lucene_ray.search.intervals import minimize
+
+        rng = np.random.default_rng(41)
+        for _ in range(100):
+            n = int(rng.integers(1, 15))
+            iv = [
+                (int(s), int(s + rng.integers(0, 6)))
+                for s in rng.integers(0, 25, n)
+            ]
+            got = minimize(iv)
+            uniq = set(iv)
+            want = sorted(
+                c
+                for c in uniq
+                if not any(
+                    d != c and d[0] >= c[0] and d[1] <= c[1] for d in uniq
+                )
+            )
+            assert got == want, iv
+
+    def test_containing_contained_by(self):
+        pls = {
+            "a": np.array([0, 10], dtype=np.int64),
+            "b": np.array([3, 20], dtype=np.int64),
+            "c": np.array([1, 15], dtype=np.int64),
+        }
+        big = ("unordered", ("term", "a"), ("term", "b"))
+        # big minimal windows: (0,3) and (10,20)... (3,10) also a window
+        iv, me = eval_source(("containing", big, ("term", "c")), pls)
+        assert me == 2
+        assert all(
+            any(s <= q <= e for q in (1, 15)) for s, e in iv
+        ) and len(iv) > 0
+        iv2, me2 = eval_source(("contained_by", ("term", "c"), big), pls)
+        assert me2 == 1
+        base, _ = eval_source(big, pls)
+        assert iv2 == [
+            (q, q)
+            for q in (1, 15)
+            if any(s <= q <= e for s, e in base)
+        ]
+
+    def test_or_minextent_and_freq(self):
+        pls = {
+            "a": np.array([0], dtype=np.int64),
+            "b": np.array([4], dtype=np.int64),
+        }
+        spec = ("or", ("ordered", ("term", "a"), ("term", "b")), ("term", "b"))
+        iv, me = eval_source(spec, pls)
+        # (4,4) nests inside (0,4) -> union minimizes to the point only
+        assert iv == [(4, 4)] and me == 1
+
     def test_source_spec_validation(self):
         assert source_terms(("maxgaps", 2, ("ordered", ("term", "a"), ("term", "b")))) == ["a", "b"]
         with pytest.raises(ValueError):
@@ -96,8 +152,10 @@ class TestIntervalQuery:
             ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column"))),
             ("unordered", ("term", "sort"), ("term", "order")),
             ("maxwidth", 6, ("unordered", ("term", "join"), ("term", "merge"))),
+            ("or", ("ordered", ("term", "scan"), ("term", "column")), ("term", "agg")),
+            ("containing", ("unordered", ("term", "sort"), ("term", "order")), ("term", "key")),
         ],
-        ids=["ordered", "maxgaps", "unordered", "maxwidth"],
+        ids=["ordered", "maxgaps", "unordered", "maxwidth", "or", "containing"],
     )
     def test_index_matches_text_side(self, idx, spec):
         """Index-decoded positions must reproduce exactly what the
