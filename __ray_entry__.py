@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_page2": sq.sort_by_field_page2,
         "sort_multi": sq.sort_multi,
         "interval_ordered": sq.interval_ordered,
+        "interval_or": sq.interval_or,
         "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_multi": sq.sql_sort_multi(),
         "interval_ordered": sq.sql_interval_ordered(),
+        "interval_or": sq.sql_interval_or(),
         "sort_by_field_indexsorted": sq.sql_sort_by_field(),
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),

@@ -1600,6 +1600,107 @@ where (m.p2 - m.s + 1) - 2 <= q.g
 """
 
 
+# (qid, t1, t2, t3): or(ordered(t1, t2), term(t3))
+INTERVAL_OR_QUERIES = [
+    (0, "scan", "column", "agg"),
+    (1, "sort", "order", "key"),
+]
+
+
+def interval_or(sf_dir: str):
+    """Disjunctive minimal intervals (``Intervals.or`` /
+    ``DisjunctionIntervalsSource``): minimized union of an ordered
+    two-term source and a term source — a term occurrence nests inside
+    any ordered interval covering it, so exactly those ordered intervals
+    drop out. Structural rows, integer-exact oracle."""
+    import ray.data
+
+    from lucene_ray.search.intervals import eval_source
+
+    class Stage:
+        def __init__(self):
+            self.an = Analyzer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qids, dids, starts, ends = [], [], [], []
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                terms, _ = self.an.analyze_fast(text or "")
+                ta = np.asarray(terms, dtype=object)
+                for qid, t1, t2, t3 in INTERVAL_OR_QUERIES:
+                    pls = {
+                        t: np.flatnonzero(ta == t).astype(np.int64)
+                        for t in (t1, t2, t3)
+                    }
+                    spec = (
+                        "or",
+                        ("ordered", ("term", t1), ("term", t2)),
+                        ("term", t3),
+                    )
+                    iv, _ = eval_source(spec, pls)
+                    for s_, e_ in iv:
+                        qids.append(qid)
+                        dids.append(int(did))
+                        starts.append(s_)
+                        ends.append(e_)
+            return pa.table(
+                {
+                    "qid": pa.array(qids, pa.int32()),
+                    "doc_id": pa.array(dids, pa.int64()),
+                    "start": pa.array(starts, pa.int64()),
+                    "iend": pa.array(ends, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+
+
+def sql_interval_or() -> str:
+    qs = ", ".join(
+        f"({q}, '{a}', '{b}', '{c}')" for q, a, b, c in INTERVAL_OR_QUERIES
+    )
+    return f"""
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+ptok as (
+  select doc_id, i as pos, ws[i+1] as term
+  from w, unnest(range(array_length(ws))) as t(i)
+  where ws[i+1] <> ''
+),
+iq(qid, t1, t2, t3) as (values {qs}),
+cand as (
+  select q.qid, a.doc_id, b.pos as p2, max(a.pos) as s
+  from iq q
+  join ptok a on a.term = q.t1
+  join ptok b on b.term = q.t2 and b.doc_id = a.doc_id and a.pos < b.pos
+  group by q.qid, a.doc_id, b.pos
+),
+minimal as (
+  select qid, doc_id, s, min(p2) as p2 from cand group by qid, doc_id, s
+),
+keep_ord as (
+  -- an ordered interval survives the disjunctive union only if no t3
+  -- occurrence (a width-1 interval) nests inside it
+  select m.qid, m.doc_id, m.s, m.p2
+  from minimal m join iq q on q.qid = m.qid
+  where not exists (
+    select 1 from ptok p
+    where p.doc_id = m.doc_id and p.term = q.t3
+      and p.pos between m.s and m.p2
+  )
+)
+select cast(qid as int) as qid, doc_id, s as start, p2 as iend from keep_ord
+union all
+select cast(q.qid as int), p.doc_id, p.pos, p.pos
+from iq q join ptok p on p.term = q.t3
+"""
+
+
 def sort_multi(sf_dir: str, k: int = 25):
     """Multi-field sort (``Sort(SortField a, SortField b)``): lang:en
     ordered by (n_chars desc, doc_id desc) — the secondary direction
