@@ -66,6 +66,13 @@ def build_point_files(
         vals = np.asarray(
             col.filter(pa.array(valid)).cast(pa_target), dtype=np_dtype
         )
+        if kind == "f64" and np.isnan(vals).any():
+            # NaN breaks the total order binary search relies on, and the
+            # scan path's NaN semantics (excluded by bounded comparisons,
+            # included by the fully-open is_valid range) can't be
+            # reproduced by a slice — skip the sidecar so every query
+            # path keeps the scan semantics for this segment+field
+            continue
         order = np.argsort(vals, kind="stable")
         info = {"n": int(len(vals)), "kind": kind, "type": str(col.type)}
         out[f] = (vals[order].tobytes(), docids[order].tobytes(), info)
@@ -82,17 +89,28 @@ def normalize_bound(x, info: dict):
     if x is None:
         return None
     try:
-        if info["kind"] == "f64":
-            return float(x)
-        if isinstance(x, (bool,)):
+        if isinstance(x, (bool, np.bool_)):
+            # arrow compare kernels have no (numeric, bool) kernel — the
+            # scan path raises, so the point path must not answer either
             return _SENTINEL
-        if isinstance(x, (int, np.integer)):
-            return int(x)
+        if info["kind"] == "f64":
+            if not isinstance(x, (int, float, np.integer, np.floating)):
+                return _SENTINEL
+            return float(x)
         t = info.get("type", "")
         if t.startswith("timestamp"):
-            # timestamp[us] / [ns] / ... → raw ticks in the stored unit
+            # datetime-like bounds only: arrow has no
+            # (timestamp, int64) compare kernel, so a raw-number bound
+            # must fall back to the scan path (which raises, identical
+            # to a sidecar-less config)
+            if not isinstance(x, np.datetime64) and not hasattr(
+                x, "toordinal"
+            ):
+                return _SENTINEL
             unit = t.split("[", 1)[1].split(",")[0].rstrip("]")
             return int(np.datetime64(x, unit).astype(np.int64))
+        if isinstance(x, (int, np.integer)):
+            return int(x)
         if isinstance(x, (float, np.floating)) and float(x).is_integer():
             return int(x)  # integral float bound on int col: exact
         # non-integral float vs int column has ceil/floor semantics that
@@ -135,6 +153,7 @@ def sorted_topk_candidates(
     out_v: List[np.ndarray] = []
     out_d: List[np.ndarray] = []
     count = 0
+    kth = None  # cached pool k-th best (invalidated when members land)
     chunk = max(512, 4 * k)
     pos = n if descending else 0
     if start_value is not None:
@@ -166,13 +185,15 @@ def sorted_topk_candidates(
             out_v.append(np.asarray(cv[member]))
             out_d.append(np.asarray(cd[member]))
             count += int(member.sum())
+            kth = None  # pool changed → recompute at the next stop-check
         if count >= k:
-            pool_v = np.concatenate(out_v)
-            kth = (
-                -np.partition(-pool_v, k - 1)[k - 1]
-                if descending
-                else np.partition(pool_v, k - 1)[k - 1]
-            )
+            if kth is None:
+                pool_v = np.concatenate(out_v)
+                kth = (
+                    -np.partition(-pool_v, k - 1)[k - 1]
+                    if descending
+                    else np.partition(pool_v, k - 1)[k - 1]
+                )
             nxt = vals[pos - 1] if descending else (vals[pos] if pos < n else None)
             boundary_done = (
                 pos == 0 if descending else pos >= n

@@ -40,6 +40,50 @@ def _load_queries(sf_dir: str) -> np.ndarray:
     return q
 
 
+def partial_topk_table(per_q) -> pa.Table:
+    """One batch's partial top-k rows. ``per_q``: per query index, a
+    (vec_ids int64, sim_bp int64) pair — possibly different candidate
+    subsets per query. The cut uses the FINAL ordering (bp desc, vec_id
+    asc) so it can never drop a global winner. Shared by knn_cosine /
+    knn_filtered / knn_quantized so the tie/rounding discipline lives in
+    exactly one place."""
+    out_q, out_v, out_s = [], [], []
+    for qi, (ids, bp) in enumerate(per_q):
+        order = np.lexsort((ids, -bp))[: min(KNN_K, len(ids))]
+        out_q.extend([qi] * len(order))
+        out_v.extend(ids[order])
+        out_s.extend(bp[order])
+    return pa.table(
+        {
+            "qi": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim_bp": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+def reduce_topk(partials) -> pa.Table:
+    """Tiny global reduce over the partial rows (≤ k per query per
+    batch) → (qid, rank, vec_id, sim_bp)."""
+    cand = partials.to_pandas()
+    rows = []
+    for qi in range(len(QUERY_VEC_IDS)):
+        sub = cand[cand.qi == qi].copy()
+        sub = sub.sort_values(
+            ["sim_bp", "vec_id"], ascending=[False, True]
+        ).head(KNN_K)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def knn_cosine(sf_dir: str):
     """→ (qid, rank, vec_id, sim_bp) — cosine top-k per query vector,
     sim as integer basis points (floor(sim*1e4 + 0.5), the identical
@@ -61,45 +105,19 @@ def knn_cosine(sf_dir: str):
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ qm.T  # (batch, nq)
         vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(qm.shape[0]):
-            # partial top-k by the FINAL ordering (bp desc, vec_id asc) so
-            # the per-batch cut can never drop a global winner (ADVICE r01:
-            # raw-score cuts could drop an equal-bp lower-vec_id tie).
-            # bp = floor(x*1e4 + 0.5): half-away rounding written as the
-            # SAME expression as the SQL oracle — self-pairs sit exactly on
-            # the integer boundary where plain floor() flips on ±1ulp
-            bp = np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64)
-            order = np.lexsort((vec_ids, -bp))[:KNN_K]
-            out_q.extend([qi] * len(order))
-            out_v.extend(vec_ids[order])
-            out_s.extend(bp[order])
-        return pa.table(
-            {
-                "qi": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim_bp": pa.array(out_s, pa.int64()),
-            }
+        # bp = floor(x*1e4 + 0.5): half-away rounding written as the SAME
+        # expression as the SQL oracle; cut by the final (bp, vec_id)
+        # order inside partial_topk_table (ADVICE r01)
+        return partial_topk_table(
+            [
+                (vec_ids, np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64))
+                for qi in range(qm.shape[0])
+            ]
         )
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
-    # tiny global reduce: ≤ k rows per (query, batch)
-    cand = partials.to_pandas()
-    rows = []
-    for qi in range(len(QUERY_VEC_IDS)):
-        sub = cand[cand.qi == qi].copy()
-        sub = sub.sort_values(["sim_bp", "vec_id"], ascending=[False, True]).head(KNN_K)
-        for rank, (_, r) in enumerate(sub.iterrows()):
-            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
-    return pa.table(
-        {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int32()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    return reduce_topk(partials)
 
 
 def knn_filtered(sf_dir: str, lang: str = "en"):
@@ -154,19 +172,11 @@ def knn_filtered(sf_dir: str, lang: str = "en"):
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ qm.T
-        out_q, out_v, out_s = [], [], []
-        for qi in range(qm.shape[0]):
-            bp = np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64)
-            order = np.lexsort((vec_ids, -bp))[:KNN_K]
-            out_q.extend([qi] * len(order))
-            out_v.extend(vec_ids[order])
-            out_s.extend(bp[order])
-        return pa.table(
-            {
-                "qi": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim_bp": pa.array(out_s, pa.int64()),
-            }
+        return partial_topk_table(
+            [
+                (vec_ids, np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64))
+                for qi in range(qm.shape[0])
+            ]
         )
 
     emb_ds = ray.data.read_parquet(
@@ -175,23 +185,7 @@ def knn_filtered(sf_dir: str, lang: str = "en"):
     partials = emb_ds.map_batches(
         score_batch, batch_format="pyarrow", batch_size=4096
     )
-    cand = partials.to_pandas()
-    rows = []
-    for qi in range(len(QUERY_VEC_IDS)):
-        sub = cand[cand.qi == qi].copy()
-        sub = sub.sort_values(
-            ["sim_bp", "vec_id"], ascending=[False, True]
-        ).head(KNN_K)
-        for rank, (_, r) in enumerate(sub.iterrows()):
-            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
-    return pa.table(
-        {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int32()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    return reduce_topk(partials)
 
 
 def sql_knn_filtered(lang: str = "en") -> str:

@@ -35,6 +35,8 @@ from lucene_ray.pipelines.knn import (
     QUERY_VEC_IDS,
     _emb_path,
     _load_queries,
+    partial_topk_table,
+    reduce_topk,
     sql_knn_cosine,
 )
 
@@ -88,7 +90,6 @@ def knn_quantized(sf_dir: str):
         doc_l1 = np.abs(emb).sum(axis=1)
         eps = DELTA * (doc_l1[:, None] + ql1[None, :]) + 1e-9
         vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-        out_q, out_v, out_s = [], [], []
         keep_union = np.zeros(len(emb), dtype=bool)
         keeps = []
         for qi in range(qm.shape[0]):
@@ -108,41 +109,21 @@ def knn_quantized(sf_dir: str):
         pos = np.full(len(emb), -1, np.int64)
         pos[sub] = np.arange(len(sub))
         sims_sub = emb[sub] @ qm.T  # (survivors, nq)
-        for qi, keep in enumerate(keeps):
-            bp = np.floor(
-                sims_sub[pos[keep], qi] * 10000 + 0.5
-            ).astype(np.int64)
-            order = np.lexsort((vec_ids[keep], -bp))[: min(KNN_K, len(keep))]
-            out_q.extend([qi] * len(order))
-            out_v.extend(vec_ids[keep][order])
-            out_s.extend(bp[order])
-        return pa.table(
-            {
-                "qi": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim_bp": pa.array(out_s, pa.int64()),
-            }
+        return partial_topk_table(
+            [
+                (
+                    vec_ids[keep],
+                    np.floor(
+                        sims_sub[pos[keep], qi] * 10000 + 0.5
+                    ).astype(np.int64),
+                )
+                for qi, keep in enumerate(keeps)
+            ]
         )
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
-    cand = partials.to_pandas()
-    rows = []
-    for qi in range(len(QUERY_VEC_IDS)):
-        sub = cand[cand.qi == qi].copy()
-        sub = sub.sort_values(
-            ["sim_bp", "vec_id"], ascending=[False, True]
-        ).head(KNN_K)
-        for rank, (_, r) in enumerate(sub.iterrows()):
-            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
-    return pa.table(
-        {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int32()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    return reduce_topk(partials)
 
 
 def sql_knn_quantized() -> str:

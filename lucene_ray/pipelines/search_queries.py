@@ -1739,6 +1739,10 @@ FUSION_N = 50
 FUSION_K = 10
 FUSION_AT, FUSION_BT = 0.8, 2.0  # text calibration (alpha, beta)
 FUSION_AV, FUSION_BV = 3.0, 0.5  # vector calibration
+# ln((1-eps)/eps) for eps=1e-6 — the log-odds clamp bound implied by
+# rescore.log_odds_fusion's probability clipping (hardcoded so the SQL
+# oracle uses the bit-identical literal)
+FUSION_CLAMP = 13.815509557963773
 
 
 def hybrid_fusion(sf_dir: str):
@@ -1791,15 +1795,15 @@ def hybrid_fusion(sf_dir: str):
     cos = (cand @ q) / (
         np.linalg.norm(cand, axis=1) * np.linalg.norm(q)
     )
-    eps = 1e-6
-
-    def logodds(x):
-        p = np.clip(1.0 / (1.0 + np.exp(-x)), eps, 1.0 - eps)
-        return np.log(p / (1.0 - p))
-
-    L = logodds(FUSION_AT * (bm25 - FUSION_BT)) + logodds(
-        FUSION_AV * (cos - FUSION_BV)
-    )
+    # log-odds of an eps-clamped sigmoid is the IDENTITY clamped at
+    # ±ln((1-eps)/eps): ln(clip(sigmoid(x))/(1-clip(sigmoid(x)))) ==
+    # clip(x, ±CL). Computing the closed form keeps the pipeline to
+    # *, +, clip — operations DuckDB reproduces bit-for-bit — where the
+    # sigmoid→ln roundtrip differs from DuckDB's libm by ~1e-14 and
+    # could flake the integer quantization at a .5 boundary.
+    L = np.clip(
+        FUSION_AT * (bm25 - FUSION_BT), -FUSION_CLAMP, FUSION_CLAMP
+    ) + np.clip(FUSION_AV * (cos - FUSION_BV), -FUSION_CLAMP, FUSION_CLAMP)
     micro = np.floor(L * 1_000_000 + 0.5).astype(np.int64)
     order = np.lexsort((np.asarray(keys), -micro))[:FUSION_K]
     return pa.table(
@@ -1825,16 +1829,15 @@ sims as (
   from cand c join embeddings e on e.vec_id = c.doc_id, qvec q
   where c.rn <= {FUSION_N}
 ),
-probs as (
-  select doc_id,
-         least(greatest(1/(1+exp(-({FUSION_AT}*(s64-{FUSION_BT})))), 1e-6), 1-1e-6) as pt,
-         least(greatest(1/(1+exp(-({FUSION_AV}*(cos-{FUSION_BV})))), 1e-6), 1-1e-6) as pv
-  from sims
-),
 fused as (
+  -- log-odds of an eps-clamped sigmoid == identity clamped at +-CL
+  -- (see hybrid_fusion): pure *, +, clip — bit-identical to numpy
   select doc_id,
-         cast(floor((ln(pt/(1-pt)) + ln(pv/(1-pv))) * 1000000 + 0.5) as bigint) as fused_micro
-  from probs
+         cast(floor((
+           least(greatest({FUSION_AT}*(s64-{FUSION_BT}), -{FUSION_CLAMP!r}), {FUSION_CLAMP!r})
+           + least(greatest({FUSION_AV}*(cos-{FUSION_BV}), -{FUSION_CLAMP!r}), {FUSION_CLAMP!r})
+         ) * 1000000 + 0.5) as bigint) as fused_micro
+  from sims
 ),
 out as (
   select doc_id, fused_micro,

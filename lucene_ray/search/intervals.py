@@ -170,6 +170,20 @@ def source_terms(spec: tuple) -> List[str]:
     raise ValueError(f"unknown interval source {kind!r}")
 
 
+def spec_is_conjunctive(spec: tuple) -> bool:
+    """True when a doc must contain EVERY leaf term to produce intervals
+    (no ``or`` anywhere) — lets the searcher intersect postings instead
+    of unioning them when collecting candidate docs."""
+    kind = spec[0]
+    if kind == "or":
+        return False
+    if kind in ("maxgaps", "maxwidth"):
+        return spec_is_conjunctive(spec[2])
+    if kind in ("containing", "contained_by"):
+        return spec_is_conjunctive(spec[1]) and spec_is_conjunctive(spec[2])
+    return True  # term / ordered / unordered
+
+
 def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
     """→ (minimal intervals, minExtent) for one doc's position lists
     (``pls_by_term``: term → sorted int positions array)."""

@@ -49,6 +49,7 @@ from lucene_ray.search.intervals import (
     interval_freq,
     saturation_score,
     source_terms as interval_source_terms,
+    spec_is_conjunctive as interval_spec_is_conjunctive,
 )
 from lucene_ray.search.query import (
     FILTER,
@@ -985,10 +986,12 @@ class IndexSearcher:
         self, q: IntervalQuery, seg_idx: int, states
     ) -> SegmentResult:
         """IntervalQuery (``lucene/queries/intervals/IntervalQuery.java``):
-        candidate docs = conjunction of the leaf terms' postings; per
-        candidate doc the terms' position lists feed the minimal-interval
-        kernels (search/intervals.py), ``IntervalScorer``'s float32 freq
-        accumulation, and the saturation score function."""
+        candidate docs = postings intersection for conjunctive sources
+        (every leaf term required), union when an ``or`` branch is
+        present; per candidate doc the terms' position lists feed the
+        minimal-interval kernels (search/intervals.py),
+        ``IntervalScorer``'s float32 freq accumulation, and the
+        saturation score function."""
         seg = self.segments[seg_idx]
         terms = interval_source_terms(q.source)
         empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
@@ -1004,13 +1007,23 @@ class IndexSearcher:
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(freqs, out=offs[1:])
             decoded.append((ids, offs, pos))
-        # candidates = UNION of the leaves' doc sets ("or" sources don't
-        # require every term; sources needing a missing term evaluate to
-        # no intervals for that doc)
-        doc_sets = [d[0] for d in decoded if d is not None]
-        if not doc_sets:
+        # conjunctive sources (no "or") require EVERY leaf term, so the
+        # candidate set is the postings intersection; with an "or"
+        # branch it is the union, and a per-doc missing term evaluates
+        # to no intervals for that branch
+        if interval_spec_is_conjunctive(q.source):
+            if any(d is None for d in decoded):
+                return empty
+            cand = decoded[0][0]
+            for d in decoded[1:]:
+                cand = np.intersect1d(cand, d[0], assume_unique=True)
+        else:
+            doc_sets = [d[0] for d in decoded if d is not None]
+            if not doc_sets:
+                return empty
+            cand = np.unique(np.concatenate(doc_sets))
+        if len(cand) == 0:
             return empty
-        cand = np.unique(np.concatenate(doc_sets))
         lookups = [
             None if d is None else np.searchsorted(d[0], cand)
             for d in decoded
@@ -1881,14 +1894,16 @@ class IndexSearcher:
                 raise ValueError(f"after docid {c_gdoc} not in index")
             early = False  # cursor filtering needs the general paths
 
-        def _after_mask(v: np.ndarray, d: np.ndarray, si: int) -> np.ndarray:
-            # strictly after (sort_key, seg, docid) — the field-sort
-            # twin of the score-path searchAfter predicate
-            strict = (v < c_val) if descending else (v > c_val)
+        def _after_mask(v, d, si, cval) -> np.ndarray:
+            # strictly after (sort_key, seg, docid) — the field-sort twin
+            # of the score-path searchAfter predicate; ``cval`` is the
+            # cursor value in the CALLER's value space (raw DV for the
+            # scan path, normalized for the point walk)
+            strict = (v < cval) if descending else (v > cval)
             if si > c_si:
-                return strict | (v == c_val)
+                return strict | (v == cval)
             if si == c_si:
-                return strict | ((v == c_val) & (d > c_doc))
+                return strict | ((v == cval) & (d > c_doc))
             return strict
 
         rows = []  # (sort_key, seg_idx, docid, raw_value)
@@ -1923,14 +1938,7 @@ class IndexSearcher:
                 qual = None
                 if after is not None:
                     def qual(v, d, _si=si, _cv=n_cval):
-                        # same predicate as _after_mask, but in the point
-                        # index's normalized value space
-                        strict = (v < _cv) if descending else (v > _cv)
-                        if _si > c_si:
-                            return strict | (v == _cv)
-                        if _si == c_si:
-                            return strict | ((v == _cv) & (d > c_doc))
-                        return strict
+                        return _after_mask(v, d, _si, _cv)
                 cv, cd = sorted_topk_candidates(
                     pi[0], pi[1], np.sort(r.docids), k, descending,
                     start_value=n_cval, qualifier=qual,
@@ -1947,7 +1955,7 @@ class IndexSearcher:
             ids_m = r.docids
             vals = np.asarray(col.take(pa.array(ids_m.astype(np.int64))))
             if after is not None:
-                ok = _after_mask(vals, ids_m, si)
+                ok = _after_mask(vals, ids_m, si, c_val)
                 ids_m, vals = ids_m[ok], vals[ok]
                 if len(ids_m) == 0:
                     continue

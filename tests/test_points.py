@@ -303,6 +303,63 @@ class TestSortedWalk:
             assert got == want, (trial, n, m, k, desc)
 
 
+class TestReviewRegressions:
+    """Confirmed round-2 self-review findings."""
+
+    def test_nan_float_column_skips_sidecar(self, ray_session, tmp_path):
+        """A float point column containing NaN gets NO sidecar (NaN
+        breaks the binary search's total order AND the scan path's NaN
+        semantics can't be sliced) — every query keeps scan semantics."""
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(["alpha beta"] * 5),
+                "score": pa.array(
+                    [1.0, float("nan"), 3.0, None, 2.0], pa.float64()
+                ),
+            }
+        )
+        src = str(tmp_path / "nan.parquet")
+        pq.write_table(tbl, src)
+        d = str(tmp_path / "nanidx")
+        build_index(
+            src,
+            d,
+            IndexConfig(dv_cols=("score",), point_cols=("score",)),
+        )
+        s = IndexSearcher(d, query_cache=None)
+        assert all(
+            seg.point_index("score") is None for seg in s.segments
+        )
+        assert check_index(d) == []
+        r = s.search(RangeQuery("score", lo=2.0, hi=None), k=10)
+        assert sorted(r["keys"]) == [2, 4]  # NaN and null excluded
+
+    def test_bound_types_scan_parity(self):
+        """normalize_bound must REJECT bound types the pyarrow compare
+        kernels reject, so behavior never depends on sidecar presence."""
+        assert normalize_bound(True, {"kind": "f64", "type": "double"}) not in (
+            1.0,
+            1,
+        )
+        assert not isinstance(
+            normalize_bound(True, {"kind": "i64", "type": "int64"}), int
+        )
+        # raw int on a timestamp column: arrow has no such compare kernel
+        got = normalize_bound(5, {"kind": "i64", "type": "timestamp[us]"})
+        assert not isinstance(got, int)
+        # datetime-likes still normalize
+        import datetime
+
+        assert (
+            normalize_bound(
+                datetime.datetime(1970, 1, 1, 0, 0, 1),
+                {"kind": "i64", "type": "timestamp[us]"},
+            )
+            == 1_000_000
+        )
+
+
 class TestKernel:
     def test_normalize_bound_fallbacks(self):
         info = {"kind": "i64", "type": "int64"}
