@@ -52,6 +52,16 @@ def main(argv=None):
     b.add_argument("--rows-per-segment", type=int, default=1 << 20)
     b.add_argument("--buckets", type=int, default=1)
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--keyword-cols", default="",
+                   help="comma-separated StringField-style keyword columns")
+    b.add_argument("--dv-cols", default="",
+                   help="comma-separated doc-values columns")
+    b.add_argument("--point-cols", default="",
+                   help="comma-separated dv columns that also get the 1-D "
+                        "point sidecar (LongPoint/BKD range filtering)")
+    b.add_argument("--index-sort", default=None,
+                   help="'field:asc|desc' index sort (IndexWriterConfig."
+                        "setIndexSort role); field must be in --dv-cols")
     b.add_argument("--shuffle", action="store_true",
                    help="use the groupby-term shuffle build (postings only)")
     b.add_argument("--num-cpus", type=int, default=None)
@@ -80,12 +90,23 @@ def main(argv=None):
     if args.cmd == "build":
         from lucene_ray.index.config import IndexConfig
 
+        def _cols(v):
+            return tuple(c for c in v.split(",") if c)
+
+        isort = None
+        if args.index_sort:
+            f_, _, d_ = args.index_sort.partition(":")
+            isort = (f_, d_ or "asc")
         cfg = IndexConfig(
             key_col=args.key_col,
             text_col=args.text_col,
             rows_per_segment=args.rows_per_segment,
             num_buckets=args.buckets,
             positions=not args.no_positions and not args.shuffle,
+            keyword_cols=_cols(args.keyword_cols),
+            dv_cols=_cols(args.dv_cols),
+            point_cols=_cols(args.point_cols),
+            index_sort=isort,
         )
         t0 = time.time()
         if args.shuffle:

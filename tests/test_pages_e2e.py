@@ -142,3 +142,40 @@ class TestCLI:
         assert len(out["hits"]) <= 3
         out = run("check", "--index", idx, "--num-cpus", "2")
         assert out["healthy"]
+
+    def test_cli_multifield_points_build(self, tmp_path):
+        """ray-job surface with the multi-field knobs: keyword/dv/point
+        columns + field-scoped query with a point-path range filter."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        corpus = str(tmp_path / "c2")
+        os.makedirs(corpus)
+        pq.write_table(generate_pages(0, 200), f"{corpus}/p.parquet")
+        idx = str(tmp_path / "i2")
+        env = dict(os.environ, RAY_ADDRESS="local")
+
+        def run(*args):
+            r = subprocess.run(
+                [sys.executable, "-m", "lucene_ray", *args],
+                capture_output=True, text=True, cwd="/root/repo", env=env,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            return json.loads(r.stdout.strip().splitlines()[-1])
+
+        run("build", "--input", corpus, "--index", idx,
+            "--key-col", "url", "--rows-per-segment", "100",
+            "--keyword-cols", "lang", "--dv-cols", "warc_ts,lang",
+            "--point-cols", "warc_ts", "--num-cpus", "4")
+        out = run("search", "--index", idx, "--query", "#lang:en the",
+                  "--k", "5", "--num-cpus", "2")
+        assert out["total_hits"] >= len(out["hits"]) > 0
+        # CheckIndex validates the timestamp point sidecar (sortedness,
+        # doc set == non-null DV rows) built through the CLI path
+        out = run("check", "--index", idx, "--num-cpus", "2")
+        assert out["healthy"]
+        from lucene_ray.search.searcher import IndexSearcher
+
+        segs = IndexSearcher(idx).segments
+        assert all(s.point_index("warc_ts") is not None for s in segs)
