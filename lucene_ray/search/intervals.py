@@ -29,6 +29,7 @@ Source spec syntax (plain tuples — hashable, picklable):
     ("term", "t")
     ("ordered",  ("term","a"), ("term","b"), ...)
     ("unordered", ...)
+    ("phrase", ("term","a"), ("term","b"), ...)   # BlockIntervalsSource
     ("maxgaps", g, inner)
     ("maxwidth", w, inner)
     ("or", inner1, inner2, ...)          # DisjunctionIntervalsSource
@@ -158,6 +159,8 @@ def source_terms(spec: tuple) -> List[str]:
             # gives each duplicate its own iterator — out of scope
             raise ValueError("duplicate term leaves unsupported")
         return terms
+    if kind == "phrase":
+        return source_terms(("ordered",) + spec[1:])
     if kind in ("maxgaps", "maxwidth"):
         return source_terms(spec[2])
     if kind in ("or", "containing", "contained_by"):
@@ -199,6 +202,11 @@ def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
             else unordered_intervals(pls)
         )
         return iv, len(terms)
+    if kind == "phrase":
+        # BlockIntervalsSource (Intervals.phrase): consecutive terms ==
+        # ordered intervals of exactly minExtent width (zero gaps)
+        iv, me = eval_source(("ordered",) + spec[1:], pls_by_term)
+        return filter_maxgaps(iv, me, 0), me
     if kind == "maxgaps":
         iv, me = eval_source(spec[2], pls_by_term)
         return filter_maxgaps(iv, me, int(spec[1])), me

@@ -38,8 +38,14 @@ import numpy as np
 
 from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.index.segment import invert_texts
+from lucene_ray.search.intervals import (
+    eval_source as _interval_eval,
+    source_terms as _interval_terms,
+    spec_is_conjunctive as _interval_conj,
+)
 from lucene_ray.search.query import (
     FILTER,
+    IntervalQuery,
     MUST,
     MUST_NOT,
     SHOULD,
@@ -152,6 +158,8 @@ class MemoryIndex:
                 lo=q.lower, hi=q.upper, field=q.field,
                 include_lo=q.include_lower, include_hi=q.include_upper,
             )
+        if isinstance(q, IntervalQuery):
+            return self._match_interval(q)
         if isinstance(q, BooleanQuery):
             return self._match_bool(q)
         raise TypeError(
@@ -230,6 +238,44 @@ class MemoryIndex:
                     out.append(int(d))
         return np.array(out, dtype=np.int64)
 
+    def _match_interval(self, q: IntervalQuery) -> np.ndarray:
+        """IntervalQuery over the transient batch view: per candidate
+        doc, term positions feed the minimal-interval kernels
+        (search/intervals.py); match = any interval survives. Matches
+        the segmented searcher's _eval_interval match set (tested)."""
+        terms = _interval_terms(q.source)
+        per_term = []
+        for t in terms:
+            ids, _, ti = self.postings(t)
+            start = int(self.inv.term_starts[ti]) if ti >= 0 else 0
+            per_term.append((ids, ti, start))
+        doc_sets = [p[0] for p in per_term if p[1] >= 0]
+        if _interval_conj(q.source):
+            if len(doc_sets) != len(terms) or not doc_sets:
+                return _EMPTY
+            cand = doc_sets[0]
+            for m in doc_sets[1:]:
+                cand = np.intersect1d(cand, m, assume_unique=True)
+        else:
+            if not doc_sets:
+                return _EMPTY
+            cand = np.unique(np.concatenate(doc_sets))
+        no_pos = np.empty(0, dtype=np.int64)
+        out = []
+        for d in cand:
+            d = int(d)
+            pls = {}
+            for t, (ids, ti, start) in zip(terms, per_term):
+                j = int(np.searchsorted(ids, d)) if ti >= 0 else 0
+                if ti < 0 or j >= len(ids) or int(ids[j]) != d:
+                    pls[t] = no_pos
+                else:
+                    pls[t] = self.positions_of(ti, start + j)
+            iv, _ = _interval_eval(q.source, pls)
+            if iv:
+                out.append(d)
+        return np.array(out, dtype=np.int64)
+
     def _match_bool(self, q: BooleanQuery) -> np.ndarray:
         req = [self._match(s) for o, s in q.clauses if o in (MUST, FILTER)]
         should = [self._match(s) for o, s in q.clauses if o == SHOULD]
@@ -267,6 +313,16 @@ def trigger_terms(q: Query) -> Optional[frozenset]:
     if isinstance(q, PhraseQuery):
         # every phrase term is required — anchor on the first
         return frozenset([q.terms[0]])
+    if isinstance(q, IntervalQuery):
+        # conjunctive spec: one required leaf suffices (smallest trigger
+        # set prunes hardest); with an 'or' branch, every match still
+        # contains all leaves of SOME branch, so the union is valid
+        leaves = _interval_terms(q.source)
+        return (
+            frozenset([leaves[0]])
+            if _interval_conj(q.source)
+            else frozenset(leaves)
+        )
     if isinstance(q, BooleanQuery):
         # ANY single MUST/FILTER clause's triggers suffice (conjunction:
         # doc must match every clause); pick the first prunable one.

@@ -120,6 +120,14 @@ class TestKernels:
             if any(s <= q <= e for s, e in base)
         ]
 
+    def test_phrase_is_consecutive_ordered(self):
+        pls = {
+            "a": np.array([0, 5, 9], dtype=np.int64),
+            "b": np.array([1, 7, 10], dtype=np.int64),
+        }
+        iv, me = eval_source(("phrase", ("term", "a"), ("term", "b")), pls)
+        assert iv == [(0, 1), (9, 10)] and me == 2  # (5,7) has a gap
+
     def test_or_minextent_and_freq(self):
         pls = {
             "a": np.array([0], dtype=np.int64),
@@ -148,6 +156,7 @@ class TestIntervalQuery:
     @pytest.mark.parametrize(
         "spec",
         [
+            ("phrase", ("term", "scan"), ("term", "column")),
             ("ordered", ("term", "scan"), ("term", "column")),
             ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column"))),
             ("unordered", ("term", "sort"), ("term", "order")),
@@ -155,7 +164,8 @@ class TestIntervalQuery:
             ("or", ("ordered", ("term", "scan"), ("term", "column")), ("term", "agg")),
             ("containing", ("unordered", ("term", "sort"), ("term", "order")), ("term", "key")),
         ],
-        ids=["ordered", "maxgaps", "unordered", "maxwidth", "or", "containing"],
+        ids=["phrase", "ordered", "maxgaps", "unordered", "maxwidth", "or",
+             "containing"],
     )
     def test_index_matches_text_side(self, idx, spec):
         """Index-decoded positions must reproduce exactly what the
@@ -185,3 +195,28 @@ class TestIntervalQuery:
                 )
         assert got == want
         assert len(got) > 0
+
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column"))),
+            ("or", ("ordered", ("term", "scan"), ("term", "column")), ("term", "agg")),
+        ],
+        ids=["maxgaps", "or"],
+    )
+    def test_memory_index_matches_searcher(self, idx, spec):
+        """MemoryIndex (percolator view) interval match set == the
+        segmented searcher's — one semantics, two execution shapes."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.search.monitor import MemoryIndex
+
+        q = IntervalQuery(spec)
+        r = IndexSearcher(idx).search(q, k=10**6)
+        want = sorted(int(k) for k in r["keys"])
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        mem = MemoryIndex(tbl.column("text").to_pylist(), analyzer=Analyzer())
+        local = mem.match(q)
+        ids = tbl.column("doc_id").to_pylist()
+        got = sorted(int(ids[i]) for i in local)
+        assert got == want and len(got) > 0
