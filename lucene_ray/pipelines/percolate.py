@@ -25,14 +25,28 @@ import pyarrow as pa
 
 from lucene_ray.search.monitor import MemoryIndex, Monitor
 
-MONITOR_QUERIES: List[Tuple[int, str]] = [
+MONITOR_QUERIES: List[Tuple[int, object]] = [
     (0, "spark"),
     (1, "+batch +stream"),
     (2, '"sort order"'),
     (3, "data -window"),
     (4, "#lang:de +merge"),
     (5, "st*"),
+    # minimal-interval subscription (lucene/queries/intervals through the
+    # percolator): scan before column with at most 4 gap positions —
+    # match iff ANY ordered pair qualifies (a qualifying pair implies a
+    # qualifying minimal interval and vice versa), which keeps the SQL
+    # oracle a positional EXISTS
+    (6, None),  # placeholder replaced below (needs the query class)
 ]
+
+
+def _interval_subscription():
+    from lucene_ray.search.query import IntervalQuery
+
+    return IntervalQuery(
+        ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column")))
+    )
 
 
 class _PercolateActor:
@@ -41,7 +55,9 @@ class _PercolateActor:
     def __init__(self):
         self.monitor = Monitor()
         for qid, qs in MONITOR_QUERIES:
-            self.monitor.register(qid, qs)
+            self.monitor.register(
+                qid, _interval_subscription() if qs is None else qs
+            )
 
     def __call__(self, b: pa.Table) -> pa.Table:
         mem = MemoryIndex(
@@ -108,6 +124,21 @@ m as (
   where lang = 'de' and doc_id in (select doc_id from tok where term = 'merge')
   union
   select 5, doc_id from tok where term like 'st%'
+  union
+  select 6, doc_id from (
+    select doc_id, i as pos, ws[i+1] as term from (
+      select doc_id, string_split(text, ' ') as ws from documents
+    ), unnest(range(array_length(ws))) as t(i)
+  ) a
+  where a.term = 'scan' and exists (
+    select 1 from (
+      select doc_id, i as pos, ws[i+1] as term from (
+        select doc_id, string_split(text, ' ') as ws from documents
+      ), unnest(range(array_length(ws))) as t(i)
+    ) b
+    where b.doc_id = a.doc_id and b.term = 'column'
+      and b.pos > a.pos and b.pos - a.pos - 1 <= 4
+  )
 )
 select cast(qid as int) as query_id, doc_id from m
 """

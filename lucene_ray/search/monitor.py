@@ -56,6 +56,7 @@ from lucene_ray.search.query import (
     Query,
     TermQuery,
     TermRangeQuery,
+    localize_query,
     parse_query,
 )
 from lucene_ray.search.sloppy import sloppy_phrase_freq
@@ -135,6 +136,10 @@ class MemoryIndex:
         only — the Monitor contract; no scores)."""
         if isinstance(q, str):
             q = parse_query(q)
+        else:
+            # identity-normalize (pickle-by-value ships a second copy of
+            # every Query class; see query.localize_query)
+            q = localize_query(q)
         return self._match(q)
 
     def _match(self, q: Query) -> np.ndarray:
@@ -358,6 +363,8 @@ class Monitor:
     def register(self, query_id, query) -> None:
         if isinstance(query, str):
             query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
         self._queries[query_id] = (query, trigger_terms(query))
 
     def match_batch(self, mem: MemoryIndex) -> List[Tuple[int, object]]:

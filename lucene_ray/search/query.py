@@ -586,3 +586,57 @@ def query_terms(q: Query) -> List[str]:
             out.extend(query_terms(sub))
         return out
     return []
+
+
+_QUERY_TYPES = {
+    c.__name__: c
+    for c in (
+        TermQuery,
+        PhraseQuery,
+        MultiPhraseQuery,
+        BooleanQuery,
+        MatchAllQuery,
+        RangeQuery,
+        PrefixQuery,
+        WildcardQuery,
+        FuzzyQuery,
+        RegexpQuery,
+        SynonymQuery,
+        CombinedFieldQuery,
+        JoinQuery,
+        FeatureQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        SpanNearQuery,
+        IntervalQuery,
+    )
+}
+
+
+def localize_query(q):
+    """Rebuild a Query tree with THIS module's classes. Under cloudpickle
+    pickle-by-value (``__ray_entry__`` registers the package by value so
+    workers without the repo on sys.path still deserialize), a Query
+    constructed from a runtime import and a searcher deserialized from a
+    by-value copy hold two distinct class objects with the same name —
+    isinstance dispatch would miss. Identity-normalizing at the search
+    entry makes the engine agnostic to how the plan crossed the wire."""
+    import dataclasses
+
+    cls = _QUERY_TYPES.get(type(q).__name__)
+    if cls is None or type(q) is cls:
+        return q
+    if cls is BooleanQuery:
+        return BooleanQuery(
+            tuple((o, localize_query(s)) for o, s in q.clauses),
+            q.minimum_should_match,
+        )
+    if cls is DisjunctionMaxQuery:
+        return DisjunctionMaxQuery(
+            tuple(localize_query(s) for s in q.disjuncts), q.tie_breaker
+        )
+    if cls is ConstantScoreQuery:
+        return ConstantScoreQuery(localize_query(q.query), q.boost)
+    return cls(**{f.name: getattr(q, f.name) for f in dataclasses.fields(cls)})
