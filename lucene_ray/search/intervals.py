@@ -35,6 +35,8 @@ Source spec syntax (plain tuples — hashable, picklable):
     ("or", inner1, inner2, ...)          # DisjunctionIntervalsSource
     ("containing", big, small)           # big intervals holding a small
     ("contained_by", small, big)         # small intervals inside a big
+    ("not_containing", a, b)             # a's intervals free of any b
+    ("not_contained_by", a, b)           # a's intervals outside every b
 """
 from __future__ import annotations
 
@@ -163,7 +165,8 @@ def source_terms(spec: tuple) -> List[str]:
         return source_terms(("ordered",) + spec[1:])
     if kind in ("maxgaps", "maxwidth"):
         return source_terms(spec[2])
-    if kind in ("or", "containing", "contained_by"):
+    if kind in ("or", "containing", "contained_by",
+                "not_containing", "not_contained_by"):
         seen: List[str] = []
         for sub in spec[1:]:
             for t in source_terms(sub):
@@ -173,18 +176,38 @@ def source_terms(spec: tuple) -> List[str]:
     raise ValueError(f"unknown interval source {kind!r}")
 
 
-def spec_is_conjunctive(spec: tuple) -> bool:
-    """True when a doc must contain EVERY leaf term to produce intervals
-    (no ``or`` anywhere) — lets the searcher intersect postings instead
-    of unioning them when collecting candidate docs."""
+def required_terms(spec: tuple) -> List[str]:
+    """Leaf terms a doc MUST contain to produce any interval (the
+    candidate-pruning set): the searcher intersects these terms'
+    postings; empty list = nothing provably required (an ``or`` at the
+    top), so candidates fall back to the union of all leaves. For
+    ``not_containing``/``not_contained_by`` only the minuend side is
+    required — the subtracted side may be absent entirely."""
     kind = spec[0]
-    if kind == "or":
-        return False
+    if kind == "term":
+        return [spec[1]]
+    if kind in ("ordered", "unordered", "phrase"):
+        return source_terms(spec)
     if kind in ("maxgaps", "maxwidth"):
-        return spec_is_conjunctive(spec[2])
+        return required_terms(spec[2])
     if kind in ("containing", "contained_by"):
-        return spec_is_conjunctive(spec[1]) and spec_is_conjunctive(spec[2])
-    return True  # term / ordered / unordered
+        out = list(required_terms(spec[1]))
+        for t in required_terms(spec[2]):
+            if t not in out:
+                out.append(t)
+        return out
+    if kind in ("not_containing", "not_contained_by"):
+        return required_terms(spec[1])
+    if kind == "or":
+        return []
+    raise ValueError(f"unknown interval source {kind!r}")
+
+
+def spec_is_conjunctive(spec: tuple) -> bool:
+    """True when the candidate set can be the intersection of EVERY leaf
+    term's postings — i.e. all leaves are required."""
+    req = required_terms(spec)
+    return bool(req) and set(req) == set(source_terms(spec))
 
 
 def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
@@ -242,6 +265,27 @@ def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
             (s, e)
             for s, e in small
             if any(s2 <= s and e <= e2 for s2, e2 in big)
+        ], sme
+    if kind == "not_containing":
+        # Intervals.notContaining(minuend, subtrahend): minuend intervals
+        # containing NO subtrahend interval (NonOverlappingIntervalsSource
+        # family, DifferenceIntervalsSource.java)
+        big, bme = eval_source(spec[1], pls_by_term)
+        small, _ = eval_source(spec[2], pls_by_term)
+        return [
+            (s, e)
+            for s, e in big
+            if not any(s <= s2 and e2 <= e for s2, e2 in small)
+        ], bme
+    if kind == "not_contained_by":
+        # Intervals.notContainedBy(small, big): small's intervals NOT
+        # lying inside any interval of big
+        small, sme = eval_source(spec[1], pls_by_term)
+        big, _ = eval_source(spec[2], pls_by_term)
+        return [
+            (s, e)
+            for s, e in small
+            if not any(s2 <= s and e <= e2 for s2, e2 in big)
         ], sme
     raise ValueError(f"unknown interval source {kind!r}")
 

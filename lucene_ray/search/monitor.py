@@ -40,8 +40,8 @@ from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.index.segment import invert_texts
 from lucene_ray.search.intervals import (
     eval_source as _interval_eval,
+    required_terms as _interval_required,
     source_terms as _interval_terms,
-    spec_is_conjunctive as _interval_conj,
 )
 from lucene_ray.search.query import (
     FILTER,
@@ -254,14 +254,16 @@ class MemoryIndex:
             ids, _, ti = self.postings(t)
             start = int(self.inv.term_starts[ti]) if ti >= 0 else 0
             per_term.append((ids, ti, start))
-        doc_sets = [p[0] for p in per_term if p[1] >= 0]
-        if _interval_conj(q.source):
-            if len(doc_sets) != len(terms) or not doc_sets:
+        req = _interval_required(q.source)
+        by_term = {t: p for t, p in zip(terms, per_term)}
+        if req:
+            if any(by_term[t][1] < 0 for t in req):
                 return _EMPTY
-            cand = doc_sets[0]
-            for m in doc_sets[1:]:
-                cand = np.intersect1d(cand, m, assume_unique=True)
+            cand = by_term[req[0]][0]
+            for t in req[1:]:
+                cand = np.intersect1d(cand, by_term[t][0], assume_unique=True)
         else:
+            doc_sets = [p[0] for p in per_term if p[1] >= 0]
             if not doc_sets:
                 return _EMPTY
             cand = np.unique(np.concatenate(doc_sets))
@@ -319,14 +321,15 @@ def trigger_terms(q: Query) -> Optional[frozenset]:
         # every phrase term is required — anchor on the first
         return frozenset([q.terms[0]])
     if isinstance(q, IntervalQuery):
-        # conjunctive spec: one required leaf suffices (smallest trigger
-        # set prunes hardest); with an 'or' branch, every match still
-        # contains all leaves of SOME branch, so the union is valid
-        leaves = _interval_terms(q.source)
+        # any single REQUIRED leaf is a valid trigger (smallest set
+        # prunes hardest); nothing required ('or' at the top) → every
+        # match still contains all leaves of SOME branch, so the union
+        # of all leaves is a valid trigger superset
+        req = _interval_required(q.source)
         return (
-            frozenset([leaves[0]])
-            if _interval_conj(q.source)
-            else frozenset(leaves)
+            frozenset([req[0]])
+            if req
+            else frozenset(_interval_terms(q.source))
         )
     if isinstance(q, BooleanQuery):
         # ANY single MUST/FILTER clause's triggers suffice (conjunction:

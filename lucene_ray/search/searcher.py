@@ -48,8 +48,8 @@ from lucene_ray.search.intervals import (
     eval_source as interval_eval_source,
     interval_freq,
     saturation_score,
+    required_terms as interval_required_terms,
     source_terms as interval_source_terms,
-    spec_is_conjunctive as interval_spec_is_conjunctive,
 )
 from lucene_ray.search.query import (
     FILTER,
@@ -954,16 +954,21 @@ class IndexSearcher:
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(freqs, out=offs[1:])
             decoded.append((ids, offs, pos))
-        # conjunctive sources (no "or") require EVERY leaf term, so the
-        # candidate set is the postings intersection; with an "or"
-        # branch it is the union, and a per-doc missing term evaluates
-        # to no intervals for that branch
-        if interval_spec_is_conjunctive(q.source):
-            if any(d is None for d in decoded):
+        # candidates: intersect the REQUIRED leaves' postings (terms a
+        # match must contain — interval_required_terms handles or /
+        # not_containing asymmetries); nothing required → union of all
+        # leaves. A per-doc missing optional term evaluates to no
+        # intervals for its branch.
+        req = interval_required_terms(q.source)
+        if req:
+            by_term = dict(zip(terms, decoded))
+            if any(by_term[t] is None for t in req):
                 return empty
-            cand = decoded[0][0]
-            for d in decoded[1:]:
-                cand = np.intersect1d(cand, d[0], assume_unique=True)
+            cand = by_term[req[0]][0]
+            for t in req[1:]:
+                cand = np.intersect1d(
+                    cand, by_term[t][0], assume_unique=True
+                )
         else:
             doc_sets = [d[0] for d in decoded if d is not None]
             if not doc_sets:

@@ -128,6 +128,72 @@ class TestKernels:
         iv, me = eval_source(("phrase", ("term", "a"), ("term", "b")), pls)
         assert iv == [(0, 1), (9, 10)] and me == 2  # (5,7) has a gap
 
+    def test_not_containing_and_required(self):
+        from lucene_ray.search.intervals import required_terms
+
+        pls = {
+            "a": np.array([0, 10], dtype=np.int64),
+            "b": np.array([3, 20], dtype=np.int64),
+            "x": np.array([1], dtype=np.int64),
+        }
+        big = ("unordered", ("term", "a"), ("term", "b"))
+        base, _ = eval_source(big, pls)
+        iv, me = eval_source(("not_containing", big, ("term", "x")), pls)
+        assert me == 2
+        assert iv == [
+            (s, e) for s, e in base if not (s <= 1 <= e)
+        ]
+        # subtrahend absent entirely → nothing subtracted
+        pls2 = dict(pls, x=np.empty(0, dtype=np.int64))
+        iv2, _ = eval_source(("not_containing", big, ("term", "x")), pls2)
+        assert iv2 == base
+        # only the minuend is required for candidate pruning
+        assert set(required_terms(("not_containing", big, ("term", "x")))) == {
+            "a",
+            "b",
+        }
+        assert required_terms(("or", ("term", "a"), ("term", "b"))) == []
+        iv3, _ = eval_source(
+            ("not_contained_by", ("term", "x"), big), pls
+        )
+        assert iv3 == [
+            (1, 1)
+        ] if not any(s <= 1 <= e for s, e in base) else iv3 == []
+
+    def test_not_containing_searcher_matches_absent_subtrahend(
+        self, ray_session, tmp_path
+    ):
+        """A doc WITHOUT the subtracted term must still match — the
+        candidate set may not intersect over the subtrahend's postings."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta",          # matches (no 'bad')
+                        "alpha bad beta",      # interval contains 'bad'
+                        "alpha beta bad",      # 'bad' outside the interval
+                    ]
+                ),
+            }
+        )
+        src = str(tmp_path / "nc.parquet")
+        pq.write_table(tbl, src)
+        d = str(tmp_path / "ncidx")
+        build_index(src, d, IndexConfig())
+        q = IntervalQuery(
+            (
+                "not_containing",
+                ("ordered", ("term", "alpha"), ("term", "beta")),
+                ("term", "bad"),
+            )
+        )
+        r = IndexSearcher(d).search(q, k=10)
+        assert sorted(int(k) for k in r["keys"]) == [0, 2]
+
     def test_or_minextent_and_freq(self):
         pls = {
             "a": np.array([0], dtype=np.int64),
