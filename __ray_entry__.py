@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn.knn_cosine,
         "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
+        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
         "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_quantized": quantized_knn.knn_quantized,
         "knn_lsh": lsh_knn.lsh_knn,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_lists scans every list exactly once →
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
+        "knn_ivf_quantized": knn.sql_knn_cosine(),
         # quantized scoring + error-bounded pruning + exact re-rank is
         # provably identical to brute force → same oracle
         "knn_quantized": knn.sql_knn_cosine(),

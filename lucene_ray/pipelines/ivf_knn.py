@@ -206,3 +206,162 @@ def knn_ivf(sf_dir: str):
     layout, results identical to brute force (same SQL oracle as
     ``knn_cosine``)."""
     return ivf_knn(sf_dir, nprobe=N_LISTS)
+
+
+# ---------------------------------------------------------------------------
+# IVF x scalar quantization: partition-pruned probes over int8 codes
+# ---------------------------------------------------------------------------
+def build_ivf_quantized(sf_dir: str, n_lists: int = N_LISTS) -> str:
+    """IVF layout whose rows ALSO carry the int8 quantized code
+    (``Lucene99ScalarQuantizedVectorsFormat`` inside the inverted file):
+    the codes are the resident scoring working set (4x smaller), the
+    float column stays for the exact re-rank — the same pairing the
+    reference keeps on disk (quantized vectors + raw vectors)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.quantized_knn import quantize
+
+    emb = _emb_path(sf_dir)
+    tag = hashlib.sha1(
+        f"ivfq:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
+        f"{KMEANS_ITERS}:{SAMPLE_ROWS}".encode()
+    ).hexdigest()[:16]
+    ivf_dir = os.path.join(CACHE_ROOT, f"ivfq_{tag}")
+    marker = os.path.join(ivf_dir, "_DONE")
+    if os.path.exists(marker):
+        return ivf_dir
+
+    pf = pq.ParquetFile(emb)
+    first = next(pf.iter_batches(batch_size=SAMPLE_ROWS, columns=["embedding"]))
+    arr = first.column(0)
+    sample = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+    cents = train_centroids(sample, n_lists)
+    os.makedirs(ivf_dir, exist_ok=True)
+    np.save(os.path.join(ivf_dir, "centroids.npy"), cents)
+    c_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cm = _ray.get(c_ref)
+        a = b.column("embedding").combine_chunks()
+        m = np.asarray(a.values, dtype=np.float64).reshape(len(a), -1)
+        mn = _normalize(m)
+        lists = np.argmax(mn @ cm.T, axis=1).astype(np.int32)
+        codes = quantize(mn)
+        dim = m.shape[1]
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.int8()), dim
+        )
+        return b.append_column("code", code_col).append_column(
+            "list", pa.array(lists)
+        )
+
+    ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(ivf_dir, "data"), partition_cols=["list"]
+    )
+    with open(marker, "w"):
+        pass
+    return ivf_dir
+
+
+def ivf_knn_quantized(
+    sf_dir: str, nprobe: int = N_LISTS, n_lists: int = N_LISTS
+):
+    """IVF probe + int8 scoring + error-bounded exact re-rank: only the
+    probed ``list=`` partitions are read at all, every batch scores with
+    one int32 matmul over the stored codes, and only candidates whose
+    quantized score ± the per-pair bound could reach the top-k are
+    re-ranked with exact float math (see pipelines/quantized_knn.py for
+    the bound) — so at nprobe == n_lists results equal brute force and
+    share its oracle."""
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.knn import partial_topk_table, reduce_topk
+    from lucene_ray.pipelines.quantized_knn import (
+        DELTA,
+        SCALE,
+        dequantize,
+        quantize,
+    )
+
+    ivf_dir = build_ivf_quantized(sf_dir, n_lists)
+    cents = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    qn = _normalize(_load_queries(sf_dir).astype(np.float64))
+    probe = _probe_lists(qn, cents, nprobe)
+    q_codes = quantize(qn)
+    q_l1_hat = np.abs(dequantize(q_codes)).sum(axis=1)
+    bcast = ray.put((qn, q_codes, q_l1_hat, probe))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qm, qc, ql1, probe_sets = _ray.get(bcast)
+        codes = np.asarray(
+            b.column("code").combine_chunks().values, dtype=np.int8
+        ).reshape(len(b), -1)
+        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        lists = np.asarray(b.column("list").cast(pa.int64()))
+        approx = (codes.astype(np.int32) @ qc.T.astype(np.int32)) / (
+            SCALE * SCALE
+        )
+        # the float column is only GATHERED for survivors below; the
+        # bound needs sum|x| <= sum|x_hat| + d*delta over the codes
+        doc_l1 = np.abs(dequantize(codes)).sum(axis=1) + codes.shape[1] * DELTA
+        eps = DELTA * (doc_l1[:, None] + ql1[None, :]) + 1e-9
+        a_full = b.column("embedding").combine_chunks()
+        emb = None  # decoded lazily, once, only if any query has survivors
+        per_q = []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, list(probe_sets[qi]))
+            if not mask.any():
+                per_q.append(
+                    (np.empty(0, np.int64), np.empty(0, np.int64))
+                )
+                continue
+            a, e = approx[mask, qi], eps[mask, qi]
+            k = min(KNN_K, len(a))
+            lower = a - e
+            theta = np.partition(lower, len(lower) - k)[len(lower) - k]
+            keep_local = np.flatnonzero(a + e >= theta)
+            keep = np.flatnonzero(mask)[keep_local]
+            if emb is None:
+                emb = _normalize(
+                    np.asarray(a_full.values, dtype=np.float64).reshape(
+                        len(b), -1
+                    )
+                )
+            # matmul (not matvec) so BLAS accumulates exactly like
+            # knn_cosine's (emb @ qm.T)[:, qi] — bit-identical bp
+            sims = (emb[keep] @ qm.T)[:, qi]
+            bp = np.floor(sims * 10000 + 0.5).astype(np.int64)
+            per_q.append((vec_ids[keep], bp))
+        return partial_topk_table(per_q)
+
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+    )
+
+    needed = set().union(*probe)
+    ds = ray.data.read_parquet(
+        os.path.join(ivf_dir, "data"),
+        columns=["vec_id", "embedding", "code", "list"],
+        partitioning=Partitioning("hive", field_types={"list": int}),
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["list"]) in needed, style="hive"
+        ),
+    )
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return reduce_topk(partials)
+
+
+def knn_ivf_quantized(sf_dir: str):
+    """Driver-gate entry: nprobe == n_lists → partition-complete, and
+    the quantized pruning is lossless → brute-force-identical (same
+    oracle as ``knn_cosine``)."""
+    return ivf_knn_quantized(sf_dir, nprobe=N_LISTS)

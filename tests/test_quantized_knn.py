@@ -24,6 +24,47 @@ class TestExactness:
         assert a.equals(b)
 
 
+class TestIvfQuantized:
+    def test_nprobe_all_equals_brute_force(self, ray_session):
+        from lucene_ray.pipelines.ivf_knn import N_LISTS, ivf_knn_quantized
+
+        a = knn_cosine(SF).to_pandas()
+        b = ivf_knn_quantized(SF, nprobe=N_LISTS).to_pandas()
+        assert a.equals(b)
+
+    def test_partial_probe_recall(self, ray_session):
+        """nprobe < n_lists: a valid (possibly lossy) subset — every
+        returned neighbor must appear in the brute-force ranking with
+        the same bp, and recall should be non-trivial."""
+        from lucene_ray.pipelines.ivf_knn import ivf_knn_quantized
+
+        full = knn_cosine(SF).to_pandas()
+        part = ivf_knn_quantized(SF, nprobe=2).to_pandas()
+        truth = {
+            (int(r.qid), int(r.vec_id)): int(r.sim_bp)
+            for _, r in full.iterrows()
+        }
+        hits = sum(
+            1
+            for _, r in part.iterrows()
+            if truth.get((int(r.qid), int(r.vec_id))) == int(r.sim_bp)
+        )
+        assert hits >= len(part) * 0.4  # self-neighbor always probed
+
+    def test_codes_stored_in_layout(self, ray_session):
+        import pyarrow.dataset as pads
+
+        from lucene_ray.pipelines.ivf_knn import build_ivf_quantized
+
+        d = build_ivf_quantized(SF)
+        schema = pads.dataset(
+            f"{d}/data", partitioning="hive"
+        ).schema
+        assert "code" in schema.names
+        t = str(schema.field("code").type)
+        assert "int8" in t and "fixed_size_list" in t
+
+
 class TestBound:
     def test_error_bound_holds(self):
         rng = np.random.default_rng(11)
