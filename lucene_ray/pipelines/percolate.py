@@ -24,6 +24,7 @@ from typing import List, Tuple
 import pyarrow as pa
 
 from lucene_ray.search.monitor import MemoryIndex, Monitor
+from lucene_ray.search.query import IntervalQuery
 
 MONITOR_QUERIES: List[Tuple[int, object]] = [
     (0, "spark"),
@@ -37,16 +38,10 @@ MONITOR_QUERIES: List[Tuple[int, object]] = [
     # match iff ANY ordered pair qualifies (a qualifying pair implies a
     # qualifying minimal interval and vice versa), which keeps the SQL
     # oracle a positional EXISTS
-    (6, None),  # placeholder replaced below (needs the query class)
-]
-
-
-def _interval_subscription():
-    from lucene_ray.search.query import IntervalQuery
-
-    return IntervalQuery(
+    (6, IntervalQuery(
         ("maxgaps", 4, ("ordered", ("term", "scan"), ("term", "column")))
-    )
+    )),
+]
 
 
 class _PercolateActor:
@@ -55,9 +50,7 @@ class _PercolateActor:
     def __init__(self):
         self.monitor = Monitor()
         for qid, qs in MONITOR_QUERIES:
-            self.monitor.register(
-                qid, _interval_subscription() if qs is None else qs
-            )
+            self.monitor.register(qid, qs)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         mem = MemoryIndex(
