@@ -91,7 +91,7 @@ def main(argv=None):
         from lucene_ray.index.config import IndexConfig
 
         def _cols(v):
-            return tuple(c for c in v.split(",") if c)
+            return tuple(c.strip() for c in v.split(",") if c.strip())
 
         isort = None
         if args.index_sort:

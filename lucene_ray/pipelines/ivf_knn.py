@@ -34,7 +34,13 @@ from typing import List, Set
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.pipelines.knn import KNN_K, QUERY_VEC_IDS, _emb_path, _load_queries
+from lucene_ray.pipelines.knn import (
+    KNN_K,
+    _emb_path,
+    _load_queries,
+    partial_topk_table,
+    reduce_topk,
+)
 
 N_LISTS = 8
 KMEANS_ITERS = 8
@@ -68,18 +74,27 @@ def train_centroids(sample: np.ndarray, n_lists: int, seed: int = 13) -> np.ndar
     return cents
 
 
-def build_ivf(sf_dir: str, n_lists: int = N_LISTS) -> str:
-    """Build (or reuse) the partitioned IVF layout; returns its dir."""
+def build_ivf(
+    sf_dir: str, n_lists: int = N_LISTS, with_codes: bool = False
+) -> str:
+    """Build (or reuse) the partitioned IVF layout; returns its dir.
+    ``with_codes=True`` also stores each vector's int8 quantized code
+    (fixed_size_list<int8>) beside the floats — the
+    ``Lucene99ScalarQuantizedVectorsFormat`` on-disk pairing used by
+    :func:`ivf_knn_quantized`."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
 
+    from lucene_ray.pipelines.quantized_knn import quantize
+
     emb = _emb_path(sf_dir)
+    prefix = "ivfq" if with_codes else "ivf"
     tag = hashlib.sha1(
-        f"ivf:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
+        f"{prefix}:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
         f"{KMEANS_ITERS}:{SAMPLE_ROWS}".encode()
     ).hexdigest()[:16]
-    ivf_dir = os.path.join(CACHE_ROOT, f"ivf_{tag}")
+    ivf_dir = os.path.join(CACHE_ROOT, f"{prefix}_{tag}")
     marker = os.path.join(ivf_dir, "_DONE")
     if os.path.exists(marker):
         return ivf_dir
@@ -103,7 +118,16 @@ def build_ivf(sf_dir: str, n_lists: int = N_LISTS) -> str:
         cm = _ray.get(c_ref)
         a = b.column("embedding").combine_chunks()
         m = np.asarray(a.values, dtype=np.float64).reshape(len(a), -1)
-        lists = np.argmax(_normalize(m) @ cm.T, axis=1).astype(np.int32)
+        mn = _normalize(m)
+        lists = np.argmax(mn @ cm.T, axis=1).astype(np.int32)
+        if with_codes:
+            codes = quantize(mn)
+            b = b.append_column(
+                "code",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.int8()), m.shape[1]
+                ),
+            )
         return b.append_column("list", pa.array(lists))
 
     ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
@@ -147,24 +171,16 @@ def ivf_knn(sf_dir: str, nprobe: int = N_LISTS, n_lists: int = N_LISTS):
         sims = _normalize(m) @ qm.T
         vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
         lists = np.asarray(b.column("list").cast(pa.int64()))
-        out_q, out_v, out_s = [], [], []
+        per_q = []
         for qi in range(qm.shape[0]):
             mask = np.isin(lists, list(probe_sets[qi]))
-            if not mask.any():
-                continue
-            bp = np.floor(sims[mask, qi] * 10000 + 0.5).astype(np.int64)
-            vids = vec_ids[mask]
-            order = np.lexsort((vids, -bp))[:KNN_K]
-            out_q.extend([qi] * len(order))
-            out_v.extend(vids[order])
-            out_s.extend(bp[order])
-        return pa.table(
-            {
-                "qi": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim_bp": pa.array(out_s, pa.int64()),
-            }
-        )
+            per_q.append(
+                (
+                    vec_ids[mask],
+                    np.floor(sims[mask, qi] * 10000 + 0.5).astype(np.int64),
+                )
+            )
+        return partial_topk_table(per_q)
 
     # partition pruning: the hive `list=` filter prunes whole partition
     # dirs at the read — only probed lists are touched at all
@@ -182,23 +198,8 @@ def ivf_knn(sf_dir: str, nprobe: int = N_LISTS, n_lists: int = N_LISTS):
             lambda kv: int(kv["list"]) in needed_set, style="hive"
         ),
     )
-    cand = ds.map_batches(score, batch_format="pyarrow", batch_size=4096).to_pandas()
-    rows = []
-    for qi in range(len(QUERY_VEC_IDS)):
-        sub = cand[cand.qi == qi].copy()
-        sub = sub.sort_values(
-            ["sim_bp", "vec_id"], ascending=[False, True]
-        ).head(KNN_K)
-        for rank, (_, r) in enumerate(sub.iterrows()):
-            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
-    return pa.table(
-        {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int32()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return reduce_topk(partials)
 
 
 def knn_ivf(sf_dir: str):
@@ -212,60 +213,9 @@ def knn_ivf(sf_dir: str):
 # IVF x scalar quantization: partition-pruned probes over int8 codes
 # ---------------------------------------------------------------------------
 def build_ivf_quantized(sf_dir: str, n_lists: int = N_LISTS) -> str:
-    """IVF layout whose rows ALSO carry the int8 quantized code
-    (``Lucene99ScalarQuantizedVectorsFormat`` inside the inverted file):
-    the codes are the resident scoring working set (4x smaller), the
-    float column stays for the exact re-rank — the same pairing the
-    reference keeps on disk (quantized vectors + raw vectors)."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data
-
-    from lucene_ray.pipelines.quantized_knn import quantize
-
-    emb = _emb_path(sf_dir)
-    tag = hashlib.sha1(
-        f"ivfq:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
-        f"{KMEANS_ITERS}:{SAMPLE_ROWS}".encode()
-    ).hexdigest()[:16]
-    ivf_dir = os.path.join(CACHE_ROOT, f"ivfq_{tag}")
-    marker = os.path.join(ivf_dir, "_DONE")
-    if os.path.exists(marker):
-        return ivf_dir
-
-    pf = pq.ParquetFile(emb)
-    first = next(pf.iter_batches(batch_size=SAMPLE_ROWS, columns=["embedding"]))
-    arr = first.column(0)
-    sample = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
-    cents = train_centroids(sample, n_lists)
-    os.makedirs(ivf_dir, exist_ok=True)
-    np.save(os.path.join(ivf_dir, "centroids.npy"), cents)
-    c_ref = ray.put(cents)
-
-    def assign(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        cm = _ray.get(c_ref)
-        a = b.column("embedding").combine_chunks()
-        m = np.asarray(a.values, dtype=np.float64).reshape(len(a), -1)
-        mn = _normalize(m)
-        lists = np.argmax(mn @ cm.T, axis=1).astype(np.int32)
-        codes = quantize(mn)
-        dim = m.shape[1]
-        code_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(codes.ravel(), pa.int8()), dim
-        )
-        return b.append_column("code", code_col).append_column(
-            "list", pa.array(lists)
-        )
-
-    ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(ivf_dir, "data"), partition_cols=["list"]
-    )
-    with open(marker, "w"):
-        pass
-    return ivf_dir
+    """IVF layout with int8 codes stored beside the floats — see
+    :func:`build_ivf` (``with_codes=True``)."""
+    return build_ivf(sf_dir, n_lists, with_codes=True)
 
 
 def ivf_knn_quantized(
@@ -281,7 +231,6 @@ def ivf_knn_quantized(
     import ray
     import ray.data
 
-    from lucene_ray.pipelines.knn import partial_topk_table, reduce_topk
     from lucene_ray.pipelines.quantized_knn import (
         DELTA,
         SCALE,
@@ -313,32 +262,45 @@ def ivf_knn_quantized(
         # bound needs sum|x| <= sum|x_hat| + d*delta over the codes
         doc_l1 = np.abs(dequantize(codes)).sum(axis=1) + codes.shape[1] * DELTA
         eps = DELTA * (doc_l1[:, None] + ql1[None, :]) + 1e-9
-        a_full = b.column("embedding").combine_chunks()
-        emb = None  # decoded lazily, once, only if any query has survivors
-        per_q = []
+        keeps = []
+        keep_union = np.zeros(len(b), dtype=bool)
         for qi in range(qm.shape[0]):
             mask = np.isin(lists, list(probe_sets[qi]))
             if not mask.any():
-                per_q.append(
-                    (np.empty(0, np.int64), np.empty(0, np.int64))
-                )
+                keeps.append(np.empty(0, np.int64))
                 continue
             a, e = approx[mask, qi], eps[mask, qi]
             k = min(KNN_K, len(a))
             lower = a - e
             theta = np.partition(lower, len(lower) - k)[len(lower) - k]
-            keep_local = np.flatnonzero(a + e >= theta)
-            keep = np.flatnonzero(mask)[keep_local]
-            if emb is None:
-                emb = _normalize(
-                    np.asarray(a_full.values, dtype=np.float64).reshape(
-                        len(b), -1
-                    )
+            # slack of one bp quantum: the FINAL order is (bp, vec_id),
+            # so a pruned candidate must be a full bucket below the
+            # k-th survivor or a same-bucket smaller-vec_id tie could
+            # outrank it (the ADVICE r01 rounded-cut rule)
+            keep = np.flatnonzero(mask)[np.flatnonzero(a + e >= theta - 1e-4)]
+            keeps.append(keep)
+            keep_union[keep] = True
+        # ONE float matmul over the survivor union, per-query gathers —
+        # the same bit-parity-safe shape as knn_quantized
+        sub = np.flatnonzero(keep_union)
+        if len(sub):
+            a_full = b.column("embedding").combine_chunks()
+            emb = _normalize(
+                np.asarray(a_full.values, dtype=np.float64).reshape(
+                    len(b), -1
                 )
-            # matmul (not matvec) so BLAS accumulates exactly like
-            # knn_cosine's (emb @ qm.T)[:, qi] — bit-identical bp
-            sims = (emb[keep] @ qm.T)[:, qi]
-            bp = np.floor(sims * 10000 + 0.5).astype(np.int64)
+            )
+            pos = np.full(len(b), -1, np.int64)
+            pos[sub] = np.arange(len(sub))
+            sims_sub = emb[sub] @ qm.T
+        per_q = []
+        for qi, keep in enumerate(keeps):
+            if len(keep) == 0:
+                per_q.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            bp = np.floor(
+                sims_sub[pos[keep], qi] * 10000 + 0.5
+            ).astype(np.int64)
             per_q.append((vec_ids[keep], bp))
         return partial_topk_table(per_q)
 

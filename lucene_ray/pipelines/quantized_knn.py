@@ -14,9 +14,10 @@ exact float arithmetic. The bound
     delta = 1/254  (symmetric int8 over [-1, 1] after normalization)
 
 follows from x.y - x_hat.y_hat = x.(y - y_hat) + (x - x_hat).y_hat with
-per-component quantization error <= delta, so pruning by
-``approx + eps < theta`` (theta = k-th largest ``approx - eps``) can
-never drop a true top-k member — the same oracle as brute-force
+per-component quantization error <= delta, so pruning candidates with
+``approx + eps < theta - 1e-4`` (theta = k-th largest ``approx - eps``;
+the extra basis-point quantum protects same-bucket vec_id tie-breaks in
+the final (bp, vec_id) order) can never drop a true top-k member — the same oracle as brute-force
 ``knn_cosine`` therefore checks this pipeline hash-exactly, while the
 float path touches only the few survivors per batch.
 
@@ -32,7 +33,6 @@ import pyarrow as pa
 
 from lucene_ray.pipelines.knn import (
     KNN_K,
-    QUERY_VEC_IDS,
     _emb_path,
     _load_queries,
     partial_topk_table,
@@ -99,7 +99,11 @@ def knn_quantized(sf_dir: str):
             # bound can't reach it can't be in the true top-k
             lower = a - e
             theta = np.partition(lower, len(lower) - k)[len(lower) - k]
-            keep = np.flatnonzero(a + e >= theta)
+            # slack of one bp quantum: the FINAL order is (bp, vec_id),
+            # so a pruned candidate must be a full bucket below the
+            # k-th survivor or a same-bucket smaller-vec_id tie could
+            # outrank it (the ADVICE r01 rounded-cut rule)
+            keep = np.flatnonzero(a + e >= theta - 1e-4)
             keeps.append(keep)
             keep_union[keep] = True
         # exact float re-rank of the (small) survivor union — the SAME

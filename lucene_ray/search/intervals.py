@@ -203,12 +203,6 @@ def required_terms(spec: tuple) -> List[str]:
     raise ValueError(f"unknown interval source {kind!r}")
 
 
-def spec_is_conjunctive(spec: tuple) -> bool:
-    """True when the candidate set can be the intersection of EVERY leaf
-    term's postings — i.e. all leaves are required."""
-    req = required_terms(spec)
-    return bool(req) and set(req) == set(source_terms(spec))
-
 
 def eval_source(spec: tuple, pls_by_term) -> Tuple[List[Interval], int]:
     """→ (minimal intervals, minExtent) for one doc's position lists

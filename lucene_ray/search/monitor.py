@@ -248,6 +248,10 @@ class MemoryIndex:
         doc, term positions feed the minimal-interval kernels
         (search/intervals.py); match = any interval survives. Matches
         the segmented searcher's _eval_interval match set (tested)."""
+        if self._pair_pos_starts is None:
+            raise ValueError(
+                "IntervalQuery matching needs with_positions=True"
+            )
         terms = _interval_terms(q.source)
         per_term = []
         for t in terms:
