@@ -100,6 +100,13 @@ from lucene_ray.search.multiterm import (
 F32 = np.float32
 
 
+def _sort_key(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving numeric view of a sort column: datetime64 (any
+    unit) views as int64 ticks so field sort works on timestamp DV
+    columns ("latest N pages by warc_ts"); plain numerics pass through."""
+    return vals.view("i8") if vals.dtype.kind in "Mm" else vals
+
+
 def _span_near_match(
     per_term: List[np.ndarray], budget: int, in_order: bool
 ) -> bool:
@@ -1868,7 +1875,7 @@ class IndexSearcher:
             if early:
                 ids = np.sort(r.docids.astype(np.int64))[:k]
                 vals = np.asarray(seg.dv(sort_field).take(pa.array(ids)))
-                skey = -vals if descending else vals
+                skey = -_sort_key(vals) if descending else _sort_key(vals)
                 for key_, d, v in zip(skey, ids, vals):
                     rows.append((key_, si, int(d), v))
                 continue
@@ -1895,11 +1902,11 @@ class IndexSearcher:
                     pi[0], pi[1], np.sort(r.docids), k, descending,
                     start_value=n_cval, qualifier=qual,
                 )
-                ck = -cv if descending else cv
+                ck = -_sort_key(cv) if descending else _sort_key(cv)
                 sel = np.lexsort((cd, ck))[:k]
                 ids = cd[sel].astype(np.int64)
                 vals = np.asarray(seg.dv(sort_field).take(pa.array(ids)))
-                skey = -vals if descending else vals
+                skey = -_sort_key(vals) if descending else _sort_key(vals)
                 for key_, d, v in zip(skey, ids, vals):
                     rows.append((key_, si, int(d), v))
                 continue
@@ -1911,7 +1918,7 @@ class IndexSearcher:
                 ids_m, vals = ids_m[ok], vals[ok]
                 if len(ids_m) == 0:
                     continue
-            skey = -vals if descending else vals
+            skey = -_sort_key(vals) if descending else _sort_key(vals)
             sel = np.lexsort((ids_m, skey))[:k]
             for i in sel:
                 rows.append((skey[i], si, int(ids_m[i]), vals[i]))
@@ -1973,7 +1980,10 @@ class IndexSearcher:
                 ids_m = cd
             ids64 = pa.array(ids_m.astype(np.int64))
             vals = [np.asarray(seg.dv(f).take(ids64)) for f, _ in specs]
-            skeys = [(-v if d else v) for v, (_, d) in zip(vals, specs)]
+            skeys = [
+                (-_sort_key(v) if d else _sort_key(v))
+                for v, (_, d) in zip(vals, specs)
+            ]
             sel = np.lexsort((ids_m, *reversed(skeys)))[:k]
             for i in sel:
                 rows.append(
@@ -2045,7 +2055,7 @@ class IndexSearcher:
             vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
             if vals.shape == ():  # constant expression
                 vals = np.full(len(r.docids), float(vals))
-            skey = -vals if descending else vals
+            skey = -_sort_key(vals) if descending else _sort_key(vals)
             sel = np.lexsort((r.docids, skey))[:k]
             for i in sel:
                 rows.append(

@@ -193,6 +193,26 @@ class TestNullsAndTimestamps:
         ):
             assert hits(pdir, q) == hits(sdir, q)
 
+    @pytest.mark.parametrize("desc", [True, False])
+    def test_timestamp_field_sort(self, ts_idx, desc):
+        """'latest N pages by warc_ts' — field sort over a TIMESTAMP DV
+        column, walk path vs scan path identical (datetime64 keys sort
+        via the order-preserving int64 view)."""
+        pdir, sdir = ts_idx
+        a = IndexSearcher(pdir, query_cache=None).search_sorted(
+            "alpha", "warc_ts", k=9, descending=desc, point_walk_min=0
+        )
+        b = IndexSearcher(sdir, query_cache=None).search_sorted(
+            "alpha", "warc_ts", k=9, descending=desc
+        )
+        assert a["keys"] == b["keys"]
+        assert [str(v) for v in a["sort_values"]] == [
+            str(v) for v in b["sort_values"]
+        ]
+        vals = np.array(a["sort_values"], dtype="datetime64[us]")
+        diffs = np.diff(vals.view("i8"))
+        assert (diffs <= 0).all() if desc else (diffs >= 0).all()
+
     def test_point_doc_sets_exclude_nulls(self, ts_idx):
         s = IndexSearcher(ts_idx[0])
         for seg in s.segments:
