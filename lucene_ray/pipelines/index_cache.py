@@ -18,17 +18,25 @@ CACHE_ROOT = os.environ.get("LUCENE_RAY_CACHE", "/tmp/lucene_ray_idx")
 DEFAULT_CONFIG = IndexConfig(rows_per_segment=2048, num_buckets=2)
 
 
-def index_dir_for(sf_dir: str, config: IndexConfig = DEFAULT_CONFIG) -> str:
-    docs = os.path.join(sf_dir, "documents.parquet")
+def index_dir_for(
+    sf_dir: str,
+    config: IndexConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+) -> str:
+    docs = os.path.join(sf_dir, f"{table}.parquet")
     tag = hashlib.sha1(
         f"{os.path.abspath(docs)}:{os.path.getmtime(docs)}:{sorted(config.to_json().items())}".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, tag)
 
 
-def get_or_build_index(sf_dir: str, config: IndexConfig = DEFAULT_CONFIG) -> str:
-    docs = os.path.join(sf_dir, "documents.parquet")
-    idx = index_dir_for(sf_dir, config)
+def get_or_build_index(
+    sf_dir: str,
+    config: IndexConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+) -> str:
+    docs = os.path.join(sf_dir, f"{table}.parquet")
+    idx = index_dir_for(sf_dir, config, table)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         os.makedirs(idx, exist_ok=True)
         build_index(docs, idx, config)

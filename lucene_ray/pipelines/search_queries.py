@@ -1512,6 +1512,51 @@ group by d.lang
 """
 
 
+# events table indexed for "latest N" serving: props as the analyzed
+# text, event_type as a StringField keyword, ts as a DV column WITH the
+# timestamp point sidecar — the pages-corpus shape (warc_ts) over the
+# driver's events fixture
+EVENTS_TS_CONFIG = IndexConfig(
+    text_col="props",
+    key_col="event_id",
+    rows_per_segment=2048,
+    num_buckets=2,
+    keyword_cols=("event_type",),
+    dv_cols=("ts",),
+    point_cols=("ts",),
+)
+
+
+def sort_by_ts(sf_dir: str, k: int = 25):
+    """'Latest N' — field sort over a TIMESTAMP point column (the
+    pages-corpus warc_ts shape): newest ``click`` events first via the
+    point-walk competitive iterator."""
+    idx = get_or_build_index(sf_dir, EVENTS_TS_CONFIG, table="events")
+    s = IndexSearcher(idx)
+    r = s.search_sorted(
+        "#event_type:click", "ts", k=k, descending=True, point_walk_min=0
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "event_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "ts": pa.array(list(r["sort_values"]), pa.timestamp("us")),
+        }
+    )
+
+
+def sql_sort_by_ts(k: int = 25) -> str:
+    return f"""
+with ranked as (
+  select event_id, ts,
+         row_number() over (order by ts desc, event_id asc) as rn
+  from events where event_type = 'click'
+)
+select cast(rn - 1 as int) as rank, event_id, ts
+from ranked where rn <= {k}
+"""
+
+
 # (qid, first term, second term, maxgaps)
 INTERVAL_QUERIES = [
     (0, "scan", "column", 4),
