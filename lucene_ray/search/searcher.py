@@ -1913,6 +1913,16 @@ class IndexSearcher:
             col = seg.dv(sort_field)
             ids_m = r.docids
             vals = np.asarray(col.take(pa.array(ids_m.astype(np.int64))))
+            if vals.dtype.kind == "M":
+                # docs with a null sort value carry no key: exclude them,
+                # matching the point walk (whose sidecar drops nulls) —
+                # NaT would otherwise view as INT64_MIN and rank FIRST
+                # under descending negation
+                ok_ = ~np.isnat(vals)
+                if not ok_.all():
+                    ids_m, vals = ids_m[ok_], vals[ok_]
+                    if len(ids_m) == 0:
+                        continue
             if after is not None:
                 ok = _after_mask(vals, ids_m, si, c_val)
                 ids_m, vals = ids_m[ok], vals[ok]
@@ -1980,6 +1990,16 @@ class IndexSearcher:
                 ids_m = cd
             ids64 = pa.array(ids_m.astype(np.int64))
             vals = [np.asarray(seg.dv(f).take(ids64)) for f, _ in specs]
+            ok_ = None
+            for v in vals:
+                if v.dtype.kind == "M":
+                    m_ = ~np.isnat(v)
+                    ok_ = m_ if ok_ is None else (ok_ & m_)
+            if ok_ is not None and not ok_.all():
+                ids_m = ids_m[ok_]
+                vals = [v[ok_] for v in vals]
+                if len(ids_m) == 0:
+                    continue
             skeys = [
                 (-_sort_key(v) if d else _sort_key(v))
                 for v, (_, d) in zip(vals, specs)
@@ -2055,7 +2075,7 @@ class IndexSearcher:
             vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
             if vals.shape == ():  # constant expression
                 vals = np.full(len(r.docids), float(vals))
-            skey = -_sort_key(vals) if descending else _sort_key(vals)
+            skey = -vals if descending else vals
             sel = np.lexsort((r.docids, skey))[:k]
             for i in sel:
                 rows.append(

@@ -213,6 +213,53 @@ class TestNullsAndTimestamps:
         diffs = np.diff(vals.view("i8"))
         assert (diffs <= 0).all() if desc else (diffs >= 0).all()
 
+    @pytest.mark.parametrize("desc", [True, False])
+    def test_nullable_int_sort_via_maybe(self, ts_idx, desc):
+        """Sort by the nullable INT column: both paths must agree (the
+        point sidecar drops nulls; ints with nulls come back as float64
+        with NaN from arrow→numpy, whose keys sort last)."""
+        pdir, sdir = ts_idx
+        a = IndexSearcher(pdir, query_cache=None).search_sorted(
+            "alpha", "maybe", k=8, descending=desc, point_walk_min=0
+        )
+        b = IndexSearcher(sdir, query_cache=None).search_sorted(
+            "alpha", "maybe", k=8, descending=desc
+        )
+        assert a["keys"] == b["keys"]
+
+    @pytest.mark.parametrize("desc", [True, False])
+    def test_nullable_timestamp_sort_excludes_nat(
+        self, ray_session, tmp_path, desc
+    ):
+        """Null timestamps carry no sort key: excluded on BOTH paths —
+        NaT views as INT64_MIN and would otherwise rank FIRST under
+        descending negation (round-2 review finding)."""
+        base = np.datetime64("2024-01-01", "us")
+        ts = [base + np.timedelta64(i, "h") if i % 4 else None for i in range(200)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array(["alpha beta"] * 200),
+                "when": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        src = str(tmp_path / "nt.parquet")
+        pq.write_table(tbl, src)
+        pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+        build_index(src, pdir, IndexConfig(
+            rows_per_segment=80, dv_cols=("when",), point_cols=("when",)))
+        build_index(src, sdir, IndexConfig(
+            rows_per_segment=80, dv_cols=("when",)))
+        a = IndexSearcher(pdir, query_cache=None).search_sorted(
+            "alpha", "when", k=10, descending=desc, point_walk_min=0
+        )
+        b = IndexSearcher(sdir, query_cache=None).search_sorted(
+            "alpha", "when", k=10, descending=desc
+        )
+        assert a["keys"] == b["keys"]
+        assert all(v is not None for v in b["sort_values"])
+        assert not any(int(k_) % 4 == 0 for k_ in b["keys"])  # nulls out
+
     def test_point_doc_sets_exclude_nulls(self, ts_idx):
         s = IndexSearcher(ts_idx[0])
         for seg in s.segments:
