@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
+        "facet_ranges": sq.facet_ranges,
+        "msm_search": sq.msm_search,
         "drill_sideways": sq.drill_sideways_facets,
         "hybrid_fusion": sq.hybrid_fusion,
         "synonym_search": sq.synonym_search,
@@ -108,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": fingerprint.doc_fingerprints,
         "lang_counts": co.lang_counts,
         "text_quality": co.text_quality,
+        "gopher_quality": co.gopher_quality,
+        "sample_hash": co.sample_hash,
         "knn_cosine": knn.knn_cosine,
         "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
@@ -163,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_indexsorted": sq.sql_sort_by_field(),
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),
+        "facet_ranges": sq.sql_facet_ranges(),
+        "msm_search": sq.sql_msm_search(),
         "drill_sideways": sq.sql_drill_sideways_facets(),
         "hybrid_fusion": sq.sql_hybrid_fusion(),
         "synonym_search": sq.sql_synonym_search(),
@@ -194,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": fingerprint.sql_doc_fingerprints(),
         "lang_counts": co.sql_lang_counts(),
         "text_quality": co.sql_text_quality(),
+        "gopher_quality": co.sql_gopher_quality(),
+        "sample_hash": co.sql_sample_hash(),
         "knn_cosine": knn.sql_knn_cosine(),
         "knn_filtered": knn.sql_knn_filtered(),
         # IVF with nprobe == n_lists scans every list exactly once →

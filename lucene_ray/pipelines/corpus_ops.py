@@ -240,3 +240,147 @@ select d.doc_id, coalesce(a.n_tokens, 0) as n_tokens,
        coalesce(a.max_token_len, 0) as max_token_len
 from documents d left join agg a using (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-rule quality filtering (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
+# the canonical web-corpus quality gate a 100 TB training-data pipeline
+# applies before anything else. Whitespace-word stats per doc, with every
+# rule written in INTEGER algebra (3·n ≤ chars ≤ 10·n instead of a float
+# mean) so the DuckDB oracle hash-matches exactly.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(sf_dir: str):
+    """Per-doc Gopher quality stats + keep flag, fully vectorized:
+
+    - ``n_words``      whitespace words (empty splits dropped)
+    - ``n_word_chars`` total characters across words
+    - ``n_stop``       words in the 8-word Gopher stop list
+    - ``n_alpha``      words containing at least one [A-Za-z]
+    - ``keep``         50 ≤ n_words ≤ 100000 AND 3·n_words ≤ n_word_chars
+                       ≤ 10·n_words (mean word length in [3, 10]) AND
+                       n_stop ≥ 2 AND 5·n_alpha ≥ 4·n_words (≥80% alphabetic)
+
+    Per-batch Arrow kernels only: list offsets + prefix-sum segment
+    reduction, no per-row Python."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ").combine_chunks()
+        # raw offsets index into .values (not .flatten(), which re-bases
+        # sliced arrays) — keep the two consistent
+        offsets = np.asarray(words.offsets)
+        flat = words.values
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.is_in(flat, value_set=pa.array(_GOPHER_STOPS)).to_numpy(
+            zero_copy_only=False
+        )
+
+        def seg_sum(x: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+            return c[offsets[1:]] - c[offsets[:-1]]
+
+        n_words = seg_sum(ok)
+        n_chars = seg_sum(wl * ok)
+        n_stop = seg_sum(stop & ok)
+        n_alpha = seg_sum(alpha & ok)
+        keep = (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (3 * n_words <= n_chars)
+            & (n_chars <= 10 * n_words)
+            & (n_stop >= 2)
+            & (5 * n_alpha >= 4 * n_words)
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_word_chars": pa.array(n_chars, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", concurrency=2)
+
+
+def sql_gopher_quality() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+agg as (
+  select doc_id,
+         count(*)::bigint as n_words,
+         sum(length(term))::bigint as n_word_chars,
+         sum(case when term in ({stops}) then 1 else 0 end)::bigint as n_stop,
+         sum(case when regexp_matches(term, '[A-Za-z]') then 1 else 0 end)::bigint as n_alpha
+  from tok group by doc_id
+)
+select d.doc_id,
+       coalesce(a.n_words, 0) as n_words,
+       coalesce(a.n_word_chars, 0) as n_word_chars,
+       coalesce(a.n_stop, 0) as n_stop,
+       coalesce(a.n_alpha, 0) as n_alpha,
+       (coalesce(a.n_words, 0) between 50 and 100000
+        and 3 * coalesce(a.n_words, 0) <= coalesce(a.n_word_chars, 0)
+        and coalesce(a.n_word_chars, 0) <= 10 * coalesce(a.n_words, 0)
+        and coalesce(a.n_stop, 0) >= 2
+        and 5 * coalesce(a.n_alpha, 0) >= 4 * coalesce(a.n_words, 0)) as keep
+from documents d left join agg a using (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling — the coordination-free sampling primitive a
+# 100 TB pipeline uses to carve out eval/dev slices: the SAME rows survive
+# every rerun on every node, no RNG state, no shuffle. md5 (not Python
+# hash) so the DuckDB oracle computes the identical selector.
+# --------------------------------------------------------------------------
+
+
+def sample_hash(sf_dir: str, pct: int = 10):
+    """Keep a doc iff ``md5(doc_id) mod 100 < pct`` — an order-free,
+    restart-stable ~pct% sample. One md5 per ROW (C-speed hashlib), a
+    filter inside map_batches; no shuffle, no driver state."""
+    import hashlib
+
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        keep = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big"
+                )
+                % 100
+                < pct
+                for i in ids
+            ]
+        )
+        return b.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow", concurrency=2)
+
+
+def sql_sample_hash(pct: int = 10) -> str:
+    return f"""
+select doc_id, lang from documents
+where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 16))::UBIGINT % 100 < {pct}
+"""

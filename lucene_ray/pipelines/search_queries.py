@@ -26,6 +26,7 @@ from lucene_ray.search.query import (
     FeatureQuery,
     SynonymQuery,
     TermQuery,
+    parse_query,
 )
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
 
@@ -1509,6 +1510,117 @@ m as (select distinct doc_id from tok where term = 'data')
 select d.lang, count(*)::bigint as n
 from documents d join m using (doc_id)
 group by d.lang
+"""
+
+
+# LongRangeFacetCounts ranges over the n_chars DV column: (label, lo, hi)
+# with both bounds inclusive; deliberately overlapping last two ranges to
+# exercise the one-count-per-containing-range semantics
+N_CHARS_RANGES: Tuple[Tuple[str, int, int], ...] = (
+    ("short", 0, 249),
+    ("medium", 250, 449),
+    ("long", 400, 1 << 40),
+)
+
+
+def facet_ranges(sf_dir: str):
+    """Numeric range facets over the 'data' match set — the
+    ``lucene/facet`` ``LongRangeFacetCounts`` role over the n_chars DV
+    column (overlapping ranges count a doc once per containing range)."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    return s.facet_ranges("data", "n_chars", N_CHARS_RANGES)
+
+
+def sql_facet_ranges() -> str:
+    values = ", ".join(f"('{lab}', {lo}, {hi})" for lab, lo, hi in N_CHARS_RANGES)
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (select distinct doc_id from tok where term = 'data'),
+j as (select d.n_chars from documents d join m using (doc_id)),
+r(range, lo, hi) as (values {values})
+select r.range,
+       (select count(*) from j where j.n_chars between r.lo and r.hi)::bigint as n
+from r
+"""
+
+
+# minimumNumberShouldMatch workload: 3 SHOULD terms, msm=2 — docs must
+# match at least two (query 2 carries an absent term, so it degrades to
+# a hidden conjunction of the two real terms)
+MSM_QUERIES: List[Tuple[int, str]] = [
+    (0, "spark merge window"),
+    (1, "data vector query"),
+    (2, "the customer zzzabsent"),
+]
+
+
+class _MsmFactory:
+    """Picklable str → Query factory for the searcher actor pool: parse
+    the disjunction, then pin ``minimumNumberShouldMatch``
+    (``BooleanQuery.java`` msm — no classic-parser syntax exists for it,
+    callers set it on the builder)."""
+
+    def __init__(self, msm: int):
+        self.msm = msm
+        self._analyzer = None
+
+    def __call__(self, text: str):
+        if self._analyzer is None:
+            self._analyzer = Analyzer()
+        q = parse_query(text, self._analyzer)
+        if isinstance(q, TermQuery):
+            return BooleanQuery([(SHOULD, q)], self.msm)
+        return BooleanQuery(q.clauses, self.msm)
+
+
+def msm_search(sf_dir: str):
+    """BooleanQuery.minimumNumberShouldMatch: SHOULD disjunctions that
+    only match docs containing ≥2 of the 3 terms; scores still sum all
+    matching clauses in clause order (float32)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items([{"qid": q, "query": t} for q, t in MSM_QUERIES])
+    res = search_dataset(
+        idx, qds, k=K, concurrency=2, query_factory=_MsmFactory(2)
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_msm_search() -> str:
+    return f"""{_PRELUDE},
+{_score_cte(MSM_QUERIES)}
+, summed as (
+  select qid, doc_id,
+         ((coalesce(max(s) filter (where ti = 0), cast(0 as float))
+           + coalesce(max(s) filter (where ti = 1), cast(0 as float)))
+           + coalesce(max(s) filter (where ti = 2), cast(0 as float))) as score,
+         count(distinct ti) as n_hit
+  from tscore group by qid, doc_id
+),
+ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) as rn
+  from summed where n_hit >= 2
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
 """
 
 

@@ -2131,6 +2131,45 @@ class IndexSearcher:
             }
         )
 
+    def facet_ranges(
+        self,
+        query,
+        field: str,
+        ranges: Sequence[Tuple[str, int, int]],
+    ) -> pa.Table:
+        """Numeric range faceting over the match set — the
+        ``LongRangeFacetCounts`` role
+        (``lucene/facet/src/java/org/apache/lucene/facet/range/LongRangeFacetCounts.java``):
+        per segment, gather the match set's numeric DV values and count
+        how many fall inside each ``(label, lo, hi)`` range (both bounds
+        inclusive, ``LongRange(label, min, true, max, true)``). Ranges
+        may overlap — each doc counts once per containing range. Docs
+        with a null DV value are skipped, as in Lucene.
+
+        → table (range, n) preserving the caller's range order."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        totals = np.zeros(len(ranges), np.int64)
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(field).take(pa.array(r.docids.astype(np.int64)))
+            vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            v = vals.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            for i, (_, lo, hi) in enumerate(ranges):
+                totals[i] += int(np.count_nonzero((v >= lo) & (v <= hi)))
+        return pa.table(
+            {
+                "range": pa.array([lab for lab, _, _ in ranges], pa.string()),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+
     def drill_sideways(
         self,
         base_query,

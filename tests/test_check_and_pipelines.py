@@ -154,3 +154,65 @@ class TestMultimodal:
         ).to_pandas()
         assert len(out) >= 50
         assert (out["frame_idx"] % 4 == 0).all()
+
+
+class TestQualityAndSampling:
+    def test_gopher_quality_vs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import _GOPHER_STOPS, gopher_quality
+
+        got = gopher_quality(SF).to_pandas().set_index("doc_id")
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        import re
+
+        alpha_re = re.compile("[A-Za-z]")
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            words = [w for w in (t or "").split(" ") if w]
+            n = len(words)
+            chars = sum(len(w) for w in words)
+            nstop = sum(1 for w in words if w in _GOPHER_STOPS)
+            nalpha = sum(1 for w in words if alpha_re.search(w))
+            row = got.loc[d]
+            assert row["n_words"] == n
+            assert row["n_word_chars"] == chars
+            assert row["n_stop"] == nstop
+            assert row["n_alpha"] == nalpha
+            keep = (
+                50 <= n <= 100000
+                and 3 * n <= chars <= 10 * n
+                and nstop >= 2
+                and 5 * nalpha >= 4 * n
+            )
+            assert bool(row["keep"]) == keep
+
+    def test_gopher_quality_empty_and_short_docs(self, ray_session):
+        # empty text and a sub-50-word doc both yield keep=False with
+        # zero-safe stats
+        import ray.data
+        from lucene_ray.pipelines.corpus_ops import gopher_quality
+
+        got = gopher_quality(SF).to_pandas()
+        assert (got.loc[got["n_words"] < 50, "keep"] == False).all()  # noqa: E712
+
+    def test_sample_hash_deterministic_and_fraction(self, ray_session):
+        import hashlib
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import sample_hash
+
+        a = sorted(sample_hash(SF).to_pandas()["doc_id"])
+        b = sorted(sample_hash(SF).to_pandas()["doc_id"])
+        assert a == b  # restart-stable
+        ids = pq.read_table(DOCS, columns=["doc_id"]).column("doc_id").to_pylist()
+        want = [
+            i
+            for i in ids
+            if int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+            % 100
+            < 10
+        ]
+        assert a == sorted(want)
+        # ~10% within loose tolerance on 500 docs
+        assert 0.03 < len(a) / len(ids) < 0.25

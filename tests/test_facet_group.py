@@ -153,3 +153,32 @@ class TestDrillSideways:
                 want[l] = want.get(l, 0) + 1
         assert r["facets"]["lang"] == want
         assert r["hits"] == sum(want.values())
+
+
+class TestFacetRanges:
+    def test_ranges_match_bruteforce(self, searcher, corpus):
+        ids = corpus.column("doc_id").to_pylist()
+        ncs = corpus.column("n_chars").to_pylist()
+        texts = corpus.column("text").to_pylist()
+        match_nc = [
+            n for d, t, n in zip(ids, texts, ncs)
+            if "data" in (t or "").split()
+        ]
+        ranges = (("a", 0, 249), ("b", 250, 449), ("c", 400, 10**12))
+        t = searcher.facet_ranges("data", "n_chars", ranges)
+        got = dict(zip(t.column("range").to_pylist(), t.column("n").to_pylist()))
+        for lab, lo, hi in ranges:
+            assert got[lab] == sum(1 for n in match_nc if lo <= n <= hi)
+        # output preserves caller's range order
+        assert t.column("range").to_pylist() == ["a", "b", "c"]
+
+    def test_overlapping_ranges_double_count(self, searcher, corpus):
+        # one doc inside both overlapping ranges counts once per range
+        full = (("all1", 0, 10**12), ("all2", 0, 10**12))
+        t = searcher.facet_ranges("data", "n_chars", full)
+        ns = t.column("n").to_pylist()
+        assert ns[0] == ns[1] > 0
+
+    def test_empty_match_set_ranges(self, searcher):
+        t = searcher.facet_ranges("zzzabsent", "n_chars", (("a", 0, 10**12),))
+        assert t.column("n").to_pylist() == [0]

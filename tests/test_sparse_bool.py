@@ -144,3 +144,56 @@ class TestLookupDocs:
         pos = np.searchsorted(ids.astype(np.int64), targets[mask])
         assert np.array_equal(fr[mask], freqs[pos])
         assert (fr[~mask] == 0).all()
+
+
+class TestMinimumShouldMatch:
+    """BooleanQuery.minimumNumberShouldMatch over the engine's sparse
+    evaluator, checked against a brute-force term-set reference."""
+
+    def _brute(self, searcher, terms, msm):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        out = set()
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            toks = set((t or "").lower().split())
+            if sum(1 for x in terms if x in toks) >= msm:
+                out.add(int(d))
+        return out
+
+    @pytest.mark.parametrize("msm", [1, 2, 3])
+    def test_match_set_vs_bruteforce(self, searcher, msm):
+        terms = ["spark", "merge", "window"]
+        q = BooleanQuery([(SHOULD, TermQuery(t)) for t in terms], msm)
+        r = searcher.search(q, k=10**6)
+        got = {int(k) for k in r["keys"]}
+        assert got == self._brute(searcher, terms, msm)
+
+    def test_msm_with_absent_term_degrades_to_conjunction(self, searcher):
+        q = BooleanQuery(
+            [
+                (SHOULD, TermQuery("the")),
+                (SHOULD, TermQuery("customer")),
+                (SHOULD, TermQuery("zzzabsent")),
+            ],
+            2,
+        )
+        r = searcher.search(q, k=10**6)
+        got = {int(k) for k in r["keys"]}
+        assert got == self._brute(searcher, ["the", "customer"], 2)
+
+    def test_msm_scores_sum_all_matching_clauses(self, searcher):
+        # a doc matching all 3 terms scores identically with and
+        # without msm (msm filters, never re-weights)
+        terms = ["spark", "merge", "window"]
+        q1 = BooleanQuery([(SHOULD, TermQuery(t)) for t in terms], 0)
+        q2 = BooleanQuery([(SHOULD, TermQuery(t)) for t in terms], 2)
+        r1 = searcher.search(q1, k=10**6)
+        r2 = searcher.search(q2, k=10**6)
+        s1 = dict(zip([int(k) for k in r1["keys"]], r1["scores"]))
+        s2 = dict(zip([int(k) for k in r2["keys"]], r2["scores"]))
+        assert s2  # non-empty
+        for d, s in s2.items():
+            assert s1[d] == s
