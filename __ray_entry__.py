@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import join as joins
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
-    from lucene_ray.pipelines import classify, percolate
+    from lucene_ray.pipelines import classify, lm_score, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
 
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": co.text_quality,
         "gopher_quality": co.gopher_quality,
         "sample_hash": co.sample_hash,
+        "lm_perplexity": lm_score.lm_perplexity,
         "knn_cosine": knn.knn_cosine,
         "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
@@ -141,7 +142,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import knn, lsh_knn
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import multimodal as mm
-    from lucene_ray.pipelines import classify, percolate
+    from lucene_ray.pipelines import classify, lm_score, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
 
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": co.sql_text_quality(),
         "gopher_quality": co.sql_gopher_quality(),
         "sample_hash": co.sql_sample_hash(),
+        "lm_perplexity": lm_score.sql_lm_perplexity(),
         "knn_cosine": knn.sql_knn_cosine(),
         "knn_filtered": knn.sql_knn_filtered(),
         # IVF with nprobe == n_lists scans every list exactly once →
