@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": co.gopher_quality,
         "sample_hash": co.sample_hash,
         "lm_perplexity": lm_score.lm_perplexity,
+        "repetition_stats": co.repetition_stats,
         "knn_cosine": knn.knn_cosine,
         "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": co.sql_gopher_quality(),
         "sample_hash": co.sql_sample_hash(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
+        "repetition_stats": co.sql_repetition_stats(),
         "knn_cosine": knn.sql_knn_cosine(),
         "knn_filtered": knn.sql_knn_filtered(),
         # IVF with nprobe == n_lists scans every list exactly once →

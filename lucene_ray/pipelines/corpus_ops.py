@@ -384,3 +384,100 @@ def sql_sample_hash(pct: int = 10) -> str:
 select doc_id, lang from documents
 where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 16))::UBIGINT % 100 < {pct}
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition stats (Rae et al. 2021 §A1.1 "repetition removal"):
+# word-trigram duplication per document — the signal behind the
+# duplicate-n-gram and top-n-gram-fraction filter rules. Stats only (the
+# synthetic corpus is too clean for a discriminating keep flag); a real
+# pipeline thresholds n_tri−n_uniq / n_tri and max_rep downstream.
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str):
+    """→ (doc_id, n_trigrams, n_unique, max_repeat): word-trigram counts
+    over the RAW whitespace split (a trigram touching an empty split is
+    skipped, adjacency is positional — matching the SQL oracle exactly).
+    Fully vectorized: per-batch token factorize → packed int64 trigram
+    keys → one lexsort → run-length reduction. No per-row Python."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ").combine_chunks()
+        offsets = np.asarray(words.offsets)
+        flat = words.values
+        n_rows = len(b)
+        n_tok = len(flat)
+        n_tri_out = np.zeros(n_rows, np.int64)
+        n_uniq_out = np.zeros(n_rows, np.int64)
+        max_rep_out = np.zeros(n_rows, np.int64)
+        if n_tok >= 3:
+            toks = flat.to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(toks)
+            codes = codes.astype(np.int64)
+            V = len(uniq)
+            # packed key (c0·V + c1)·V + c2 must fit int64
+            assert V < 2_000_000, "batch vocabulary too large to pack"
+            ok = toks != ""
+            row = np.repeat(
+                np.arange(n_rows, dtype=np.int64), np.diff(offsets)
+            )
+            j = np.arange(n_tok - 2)
+            valid = (
+                (row[j] == row[j + 2]) & ok[j] & ok[j + 1] & ok[j + 2]
+            )
+            j = j[valid]
+            if len(j):
+                key = (codes[j] * V + codes[j + 1]) * V + codes[j + 2]
+                trow = row[j]
+                order = np.lexsort((key, trow))
+                sk, sr = key[order], trow[order]
+                new_run = np.empty(len(sk), bool)
+                new_run[0] = True
+                new_run[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+                starts = np.flatnonzero(new_run)
+                run_len = np.diff(np.append(starts, len(sk)))
+                run_row = sr[starts]
+                np.add.at(n_tri_out, sr, 1)
+                np.add.at(n_uniq_out, run_row, 1)
+                np.maximum.at(max_rep_out, run_row, run_len)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_trigrams": pa.array(n_tri_out, pa.int64()),
+                "n_unique": pa.array(n_uniq_out, pa.int64()),
+                "max_repeat": pa.array(max_rep_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", concurrency=2)
+
+
+def sql_repetition_stats() -> str:
+    return """
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+tri as (
+  select doc_id, ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] as g
+  from w cross join lateral (
+    select unnest(generate_series(1, greatest(len(ws) - 2, 0))) as i
+  ) s
+  where ws[i] <> '' and ws[i+1] <> '' and ws[i+2] <> ''
+),
+cnt as (select doc_id, g, count(*)::bigint as c from tri group by 1, 2),
+agg as (
+  select doc_id, sum(c)::bigint as n_trigrams,
+         count(*)::bigint as n_unique, max(c)::bigint as max_repeat
+  from cnt group by doc_id
+)
+select d.doc_id,
+       coalesce(a.n_trigrams, 0) as n_trigrams,
+       coalesce(a.n_unique, 0) as n_unique,
+       coalesce(a.max_repeat, 0) as max_repeat
+from documents d left join agg a using (doc_id)
+"""

@@ -216,3 +216,54 @@ class TestQualityAndSampling:
         assert a == sorted(want)
         # ~10% within loose tolerance on 500 docs
         assert 0.03 < len(a) / len(ids) < 0.25
+
+
+class TestRepetitionStats:
+    def test_vs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from collections import Counter
+        from lucene_ray.pipelines.corpus_ops import repetition_stats
+
+        got = repetition_stats(SF).to_pandas().set_index("doc_id")
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            ws = (t or "").split(" ")
+            tris = [
+                (ws[i], ws[i + 1], ws[i + 2])
+                for i in range(max(len(ws) - 2, 0))
+                if ws[i] and ws[i + 1] and ws[i + 2]
+            ]
+            c = Counter(tris)
+            row = got.loc[d]
+            assert row["n_trigrams"] == len(tris)
+            assert row["n_unique"] == len(c)
+            assert row["max_repeat"] == (max(c.values()) if c else 0)
+
+    def test_repeated_text_detected(self, ray_session, tmp_path):
+        # a pathological doc ("spam spam spam ...") must show max_repeat
+        # >> 1 and n_unique == 1
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+        from lucene_ray.pipelines.corpus_ops import repetition_stats
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["spam spam spam spam spam", "a b c d e"], pa.string()
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = repetition_stats(str(d)).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_trigrams"] == 3
+        assert got.loc[1, "n_unique"] == 1
+        assert got.loc[1, "max_repeat"] == 3
+        assert got.loc[2, "max_repeat"] == 1
