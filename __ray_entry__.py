@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "facet_ranges": sq.facet_ranges,
+        "facet_taxonomy": sq.facet_taxonomy,
         "msm_search": sq.msm_search,
         "drill_sideways": sq.drill_sideways_facets,
         "hybrid_fusion": sq.hybrid_fusion,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "expression_sort": sq.sql_expression_sort(),
         "facet_lang": sq.sql_facet_lang(),
         "facet_ranges": sq.sql_facet_ranges(),
+        "facet_taxonomy": sq.sql_facet_taxonomy(),
         "msm_search": sq.sql_msm_search(),
         "drill_sideways": sq.sql_drill_sideways_facets(),
         "hybrid_fusion": sq.sql_hybrid_fusion(),

@@ -1548,6 +1548,30 @@ from r
 """
 
 
+def facet_taxonomy(sf_dir: str):
+    """Hierarchical taxonomy facets over the 'data' match set: counts at
+    every path prefix of the source→lang dim hierarchy
+    (``TaxonomyFacetCounts.getTopChildren`` at each level)."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    return s.facet_taxonomy("data", ("source", "lang"))
+
+
+def sql_facet_taxonomy() -> str:
+    return """
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (select distinct doc_id from tok where term = 'data'),
+j as (select d.source, d.lang from documents d join m using (doc_id))
+select source as path, count(*)::bigint as n from j group by source
+union all
+select source || '/' || lang as path, count(*)::bigint as n
+from j group by source, lang
+"""
+
+
 # minimumNumberShouldMatch workload: 3 SHOULD terms, msm=2 — docs must
 # match at least two (query 2 carries an absent term, so it degrades to
 # a hidden conjunction of the two real terms)

@@ -2170,6 +2170,59 @@ class IndexSearcher:
             }
         )
 
+    def facet_taxonomy(
+        self, query, path_fields: Sequence[str]
+    ) -> pa.Table:
+        """Hierarchical (taxonomy) facet counts — the
+        ``FacetsConfig``/``TaxonomyFacetCounts`` role
+        (``lucene/facet/src/java/org/apache/lucene/facet/taxonomy/``):
+        ``path_fields`` is an ordered dim hierarchy (e.g. ``("source",
+        "lang")``); every match-set doc counts once per PATH PREFIX —
+        the root children (``src1``) and each deeper path
+        (``src1/en``), i.e. ``getTopChildren`` at every level.
+
+        → table (path, n) sorted by (n desc, path asc)."""
+        import pyarrow.compute as pc
+
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        counts: Dict[str, int] = {}
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            ids = pa.array(r.docids.astype(np.int64))
+            prefix = None
+            for f in path_fields:
+                vals = seg.dv(f).take(ids)
+                vals = (
+                    vals.combine_chunks()
+                    if isinstance(vals, pa.ChunkedArray)
+                    else vals
+                )
+                vals = vals.cast(pa.string())
+                prefix = (
+                    vals
+                    if prefix is None
+                    else pc.binary_join_element_wise(prefix, vals, "/")
+                )
+                for item in pc.value_counts(prefix):
+                    v = item["values"].as_py()
+                    if v is None:
+                        continue  # null path component: doc has no dim value
+                    counts[v] = counts.get(v, 0) + int(item["counts"].as_py())
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "path": pa.array([p for p, _ in rows], pa.string()),
+                "n": pa.array([n for _, n in rows], pa.int64()),
+            }
+        )
+
     def drill_sideways(
         self,
         base_query,

@@ -182,3 +182,40 @@ class TestFacetRanges:
     def test_empty_match_set_ranges(self, searcher):
         t = searcher.facet_ranges("zzzabsent", "n_chars", (("a", 0, 10**12),))
         assert t.column("n").to_pylist() == [0]
+
+
+class TestFacetTaxonomy:
+    def test_hierarchy_vs_bruteforce(self, ray_session, tmp_path_factory, corpus):
+        from lucene_ray.index.build import build_index
+        from lucene_ray.index.config import IndexConfig
+        from lucene_ray.search.searcher import IndexSearcher
+
+        d = str(tmp_path_factory.mktemp("taxidx"))
+        build_index(
+            DOCS,
+            d,
+            IndexConfig(
+                rows_per_segment=150, dv_cols=("source", "lang")
+            ),
+        )
+        s = IndexSearcher(d)
+        t = s.facet_taxonomy("data", ("source", "lang"))
+        got = dict(zip(t.column("path").to_pylist(), t.column("n").to_pylist()))
+
+        ids = corpus.column("doc_id").to_pylist()
+        texts = corpus.column("text").to_pylist()
+        srcs = corpus.column("source").to_pylist()
+        langs = corpus.column("lang").to_pylist()
+        want = {}
+        for i, tx in zip(range(len(ids)), texts):
+            if "data" in (tx or "").split():
+                want[srcs[i]] = want.get(srcs[i], 0) + 1
+                p = f"{srcs[i]}/{langs[i]}"
+                want[p] = want.get(p, 0) + 1
+        assert got == want
+        # parent count == sum of its children
+        for p, n in got.items():
+            if "/" not in p:
+                assert n == sum(
+                    v for q, v in got.items() if q.startswith(p + "/")
+                )
