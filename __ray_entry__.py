@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_ranges": sq.facet_ranges,
         "facet_taxonomy": sq.facet_taxonomy,
         "msm_search": sq.msm_search,
+        "covering_search": sq.covering_search,
         "drill_sideways": sq.drill_sideways_facets,
         "hybrid_fusion": sq.hybrid_fusion,
         "synonym_search": sq.synonym_search,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_ranges": sq.sql_facet_ranges(),
         "facet_taxonomy": sq.sql_facet_taxonomy(),
         "msm_search": sq.sql_msm_search(),
+        "covering_search": sq.sql_covering_search(),
         "drill_sideways": sq.sql_drill_sideways_facets(),
         "hybrid_fusion": sq.sql_hybrid_fusion(),
         "synonym_search": sq.sql_synonym_search(),

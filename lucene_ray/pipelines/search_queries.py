@@ -1548,6 +1548,86 @@ from r
 """
 
 
+# CoveringQuery workload: 4 term clauses, per-doc minimum from an
+# expression over the n_chars DV column — longer docs must match more
+# clauses (floor(1 + n_chars/300), clamped ≥ 1)
+COVERING_TERMS = ("spark", "merge", "data", "the")
+COVERING_EXPR = "1 + n_chars / 300"
+
+
+def covering_search(sf_dir: str, k: int = 15):
+    """CoveringQuery: per-document minimum-should-match read from a
+    doc-values expression (``lucene/sandbox CoveringQuery.java``) —
+    score sums the matching clauses in clause order."""
+    from lucene_ray.search.query import CoveringQuery
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    q = CoveringQuery(
+        tuple(TermQuery(t) for t in COVERING_TERMS), COVERING_EXPR
+    )
+    r = s.search(q, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "score": pa.array(r["scores"], pa.float32()),
+        }
+    )
+
+
+def sql_covering_search(k: int = 15) -> str:
+    values = ", ".join(
+        f"({ti}, '{t}')" for ti, t in enumerate(COVERING_TERMS)
+    )
+    return f"""{_PRELUDE},
+qterms(ti, term) as (values {values}),
+tf as (
+  select q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.ti, tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join qterms q on q.ti = tf.ti
+  join (
+    select d.term,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from df d
+  ) w on w.term = q.term
+  join fnorm f on f.doc_id = tf.doc_id
+),
+summed as (
+  select doc_id,
+         (((coalesce(max(s) filter (where ti = 0), cast(0 as float))
+            + coalesce(max(s) filter (where ti = 1), cast(0 as float)))
+            + coalesce(max(s) filter (where ti = 2), cast(0 as float)))
+            + coalesce(max(s) filter (where ti = 3), cast(0 as float))) as score,
+         count(distinct ti) as n_hit
+  from tscore group by doc_id
+),
+need as (
+  select doc_id,
+         greatest(floor(1 + n_chars / cast(300 as double)), 1)::bigint as mm
+  from documents
+),
+ranked as (
+  select s.doc_id, s.score,
+         row_number() over (order by s.score desc, s.doc_id asc) as rn
+  from summed s join need n using (doc_id)
+  where s.n_hit >= n.mm
+)
+select cast(rn - 1 as int) as rank, doc_id, cast(score as float) as score
+from ranked where rn <= {k}
+"""
+
+
 def facet_taxonomy(sf_dir: str):
     """Hierarchical taxonomy facets over the 'data' match set: counts at
     every path prefix of the source→lang dim hierarchy

@@ -294,6 +294,21 @@ class IntervalQuery:
 
 
 @dataclass(frozen=True)
+class CoveringQuery:
+    """Per-document minimum-should-match — ``CoveringQuery``
+    (``lucene/sandbox/src/java/org/apache/lucene/search/CoveringQuery
+    .java``): a doc matches when the number of matching sub-queries is
+    ≥ a per-doc minimum read from a values source, and scores the SUM
+    of its matching sub-queries' scores. ``min_match_expr`` is an
+    expressions-module arithmetic over doc-values fields (the
+    ``LongValuesSource.fromDoubleValuesSource`` shape): evaluated in
+    float64, floored to long, clamped to ≥ 1 like the reference."""
+
+    queries: Tuple["Query", ...]
+    min_match_expr: str
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     clauses: Tuple[Tuple[str, "Query"], ...]  # (occur, sub)
     minimum_should_match: int = 0
@@ -578,6 +593,11 @@ def query_terms(q: Query) -> List[str]:
         for sub in q.disjuncts:
             out.extend(query_terms(sub))
         return out
+    if isinstance(q, CoveringQuery):
+        out = []
+        for sub in q.queries:
+            out.extend(query_terms(sub))
+        return out
     if isinstance(q, CombinedFieldQuery):
         return [term_key(f, q.term) for f, _ in q.fields]
     if isinstance(q, BooleanQuery):
@@ -611,6 +631,7 @@ _QUERY_TYPES = {
         DisjunctionMaxQuery,
         SpanNearQuery,
         IntervalQuery,
+        CoveringQuery,
     )
 }
 
@@ -639,4 +660,8 @@ def localize_query(q):
         )
     if cls is ConstantScoreQuery:
         return ConstantScoreQuery(localize_query(q.query), q.boost)
+    if cls is CoveringQuery:
+        return CoveringQuery(
+            tuple(localize_query(s) for s in q.queries), q.min_match_expr
+        )
     return cls(**{f.name: getattr(q, f.name) for f in dataclasses.fields(cls)})

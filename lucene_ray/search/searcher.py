@@ -60,6 +60,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     CombinedFieldQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
     FuzzyQuery,
@@ -442,9 +443,51 @@ class IndexSearcher:
             return self._eval_dismax(q, seg_idx, states)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q, seg_idx, states)
+        if isinstance(q, CoveringQuery):
+            return self._eval_covering(q, seg_idx, states)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, seg_idx, states)
         raise TypeError(f"unknown query node {type(q)}")
+
+    def _eval_covering(
+        self, q: CoveringQuery, seg_idx: int, states
+    ) -> SegmentResult:
+        """Per-doc minimum-should-match (``CoveringQuery.java``): count
+        matching sub-queries per candidate, keep docs where the count ≥
+        ``max(1, floor(min_match_expr(doc)))``, score = float32 sum of
+        matching sub-scores in clause order (the ``WANDScorer``-backed
+        sum of the reference, evaluated exhaustively here)."""
+        from lucene_ray.search.expressions import Expression
+
+        seg = self.segments[seg_idx]
+        empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))
+        results = [self._eval(sub, seg_idx, states) for sub in q.queries]
+        nonempty = [r for r in results if len(r.docids)]
+        if not nonempty:
+            return empty
+        cand = np.unique(
+            np.concatenate([r.docids for r in nonempty])
+        ).astype(np.int64)
+        count = np.zeros(len(cand), dtype=np.int64)
+        acc = np.zeros(len(cand), dtype=F32)
+        for r in nonempty:
+            rid = r.docids.astype(np.int64)
+            count += self._member(rid, cand)
+            m = self._member(cand, rid)
+            idx = np.searchsorted(cand, rid[m])
+            acc[idx] += r.scores[m]
+        expr = Expression(q.min_match_expr)
+        take = pa.array(cand)
+        bindings = {
+            var: np.asarray(seg.dv(var).take(take), dtype=np.float64)
+            for var in expr.variables
+        }
+        need = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+        if need.shape == ():  # constant expression
+            need = np.full(len(cand), float(need))
+        need = np.maximum(np.floor(need), 1.0).astype(np.int64)
+        keep = count >= need
+        return SegmentResult(cand[keep].astype(np.uint32), acc[keep])
 
     def _eval_term_in_set(
         self, q: TermInSetQuery, seg_idx: int, states

@@ -197,3 +197,54 @@ class TestMinimumShouldMatch:
         assert s2  # non-empty
         for d, s in s2.items():
             assert s1[d] == s
+
+
+class TestCoveringQuery:
+    """Per-doc minimum-should-match from a DV expression
+    (CoveringQuery.java semantics) vs a brute-force reference."""
+
+    @pytest.fixture(scope="class")
+    def cov_searcher(self, ray_session, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("covidx"))
+        build_index(
+            DOCS, d, IndexConfig(rows_per_segment=120, dv_cols=("n_chars",))
+        )
+        return IndexSearcher(d)
+
+    def test_match_set_and_scores(self, cov_searcher):
+        import math
+
+        import pyarrow.parquet as pq
+        from lucene_ray.search.query import CoveringQuery
+
+        terms = ["spark", "merge", "data", "the"]
+        q = CoveringQuery(tuple(TermQuery(t) for t in terms), "1 + n_chars / 300")
+        r = cov_searcher.search(q, k=10**6)
+        got = {int(k) for k in r["keys"]}
+
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text", "n_chars"])
+        want = set()
+        for d, t, nc in zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("n_chars").to_pylist(),
+        ):
+            hits = sum(1 for x in terms if x in set((t or "").lower().split()))
+            need = max(1, math.floor(1 + nc / 300))
+            if hits >= need:
+                want.add(int(d))
+        assert got == want
+
+    def test_constant_expression_equals_msm(self, cov_searcher):
+        # CoveringQuery with a constant min == BooleanQuery msm
+        from lucene_ray.search.query import CoveringQuery
+
+        terms = ["spark", "merge", "window"]
+        qc = CoveringQuery(tuple(TermQuery(t) for t in terms), "2")
+        qb = BooleanQuery([(SHOULD, TermQuery(t)) for t in terms], 2)
+        rc = cov_searcher.search(qc, k=10**6)
+        rb = cov_searcher.search(qb, k=10**6)
+        assert {int(k) for k in rc["keys"]} == {int(k) for k in rb["keys"]}
+        sc = dict(zip([int(k) for k in rc["keys"]], rc["scores"]))
+        sb = dict(zip([int(k) for k in rb["keys"]], rb["scores"]))
+        assert sc == sb
