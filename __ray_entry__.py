@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": co.sample_hash,
         "lm_perplexity": lm_score.lm_perplexity,
         "repetition_stats": co.repetition_stats,
+        "token_counts": co.token_counts,
         "knn_cosine": knn.knn_cosine,
         "knn_filtered": knn.knn_filtered,
         "knn_ivf": ivf_knn.knn_ivf,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": co.sql_sample_hash(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
         "repetition_stats": co.sql_repetition_stats(),
+        "token_counts": co.sql_token_counts(),
         "knn_cosine": knn.sql_knn_cosine(),
         "knn_filtered": knn.sql_knn_filtered(),
         # IVF with nprobe == n_lists scans every list exactly once →

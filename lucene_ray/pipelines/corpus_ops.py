@@ -481,3 +481,55 @@ select d.doc_id,
        coalesce(a.max_repeat, 0) as max_repeat
 from documents d left join agg a using (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting — the training-data budgeting op (how many
+# tokens will this corpus cost?): a GPT-2-style pre-tokenizer pattern
+# (letter runs | digit runs | single non-alnum) counted per doc. Both
+# sides run RE2 — pyarrow's count_substring_regex and DuckDB's
+# regexp_extract_all share the engine, so counts match exactly.
+# --------------------------------------------------------------------------
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(sf_dir: str):
+    """→ (doc_id, ws_tokens, bpe_tokens): whitespace word count + the
+    BPE-ish regex pre-token count per document, one vectorized RE2 pass
+    per batch."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        words = pc.split_pattern(text, " ").combine_chunks()
+        offsets = np.asarray(words.offsets)
+        ok = pc.not_equal(words.values, "").to_numpy(zero_copy_only=False)
+        c = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        ws = c[offsets[1:]] - c[offsets[:-1]]
+        bpe = pc.count_substring_regex(text, BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ws_tokens": pa.array(ws, pa.int64()),
+                "bpe_tokens": bpe.combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow", concurrency=2)
+
+
+def sql_token_counts() -> str:
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+ws as (select doc_id, count(*)::bigint as ws_tokens from tok group by doc_id)
+select d.doc_id,
+       coalesce(w.ws_tokens, 0) as ws_tokens,
+       length(regexp_extract_all(d.text, '{BPE_PATTERN}'))::bigint as bpe_tokens
+from documents d left join ws w using (doc_id)
+"""

@@ -267,3 +267,21 @@ class TestRepetitionStats:
         assert got.loc[1, "n_unique"] == 1
         assert got.loc[1, "max_repeat"] == 3
         assert got.loc[2, "max_repeat"] == 1
+
+
+class TestTokenCounts:
+    def test_vs_bruteforce(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import BPE_PATTERN, token_counts
+
+        got = token_counts(SF).to_pandas().set_index("doc_id")
+        pat = re.compile(BPE_PATTERN)
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            row = got.loc[d]
+            assert row["ws_tokens"] == len([w for w in (t or "").split(" ") if w])
+            assert row["bpe_tokens"] == len(pat.findall(t or ""))
