@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
+        "bm25_topk_multireader": sq.bm25_topk_multireader,
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
         "html_bm25_topk": sq.html_bm25_topk,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": sq.sql_bm25_topk(),
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
+        "bm25_topk_multireader": sq.sql_bm25_topk(),
         "pretokenized_topk": sq.sql_pretokenized_topk(),
         "bm25_topk_plain": sq.sql_bm25_topk_plain(),
         "html_bm25_topk": sq.sql_html_bm25_topk(),

@@ -1548,6 +1548,49 @@ from r
 """
 
 
+def bm25_topk_multireader(sf_dir: str):
+    """MultiReader parity (``core/index/MultiReader.java``): the corpus
+    split into TWO separately committed indexes, searched through one
+    composite ``IndexSearcher([idx_a, idx_b])`` — collection stats sum
+    across indexes, so scores are bit-identical to the single-index
+    build and this entry reuses ``sql_bm25_topk``'s oracle unchanged.
+    (The split itself is gate scaffolding: at scale MultiReader
+    federates indexes that already exist separately.)"""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    from lucene_ray.pipelines.index_cache import CACHE_ROOT
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"split:{os.path.abspath(docs)}:{os.path.getmtime(docs)}".encode()
+    ).hexdigest()[:16]
+    halves = []
+    for part in (0, 1):
+        d = os.path.join(CACHE_ROOT, f"half{part}_{tag}")
+        p = os.path.join(d, "documents.parquet")
+        if not os.path.exists(p):
+            os.makedirs(d, exist_ok=True)
+            tbl = pq_.read_table(docs)
+            mid = len(tbl) // 2
+            piece = tbl.slice(0, mid) if part == 0 else tbl.slice(mid)
+            tmp = p + f".tmp{os.getpid()}"
+            pq_.write_table(piece, tmp)
+            os.replace(tmp, p)
+        halves.append(get_or_build_index(d))
+    s = IndexSearcher(halves)
+    t = s.search_batch([q for q, _ in TERM_QUERIES], [x for _, x in TERM_QUERIES], K)
+    return pa.table(
+        {
+            "qid": t.column("qid").cast(pa.int32()),
+            "rank": t.column("rank"),
+            "doc_id": t.column("key").cast(pa.int64()),
+            "score": t.column("score"),
+        }
+    )
+
+
 # CoveringQuery workload: 4 term clauses, per-doc minimum from an
 # expression over the n_chars DV column — longer docs must match more
 # clauses (floor(1 + n_chars/300), clamped ≥ 1)

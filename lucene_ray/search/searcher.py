@@ -186,11 +186,36 @@ class SegmentResult:
     scores: np.ndarray  # float32 aligned
 
 
+def _sum_field_stats(all_fs: List[dict]) -> dict:
+    """Sum collection statistics across indexes — the
+    ``IndexSearcher.collectionStatistics`` over-MultiReader-leaves role:
+    doc_count/sum_ttf/sum_df add, per-field sub-dicts add key-wise."""
+    out = {"doc_count": 0, "sum_ttf": 0, "sum_df": 0, "per_field": {}}
+    for fs in all_fs:
+        out["doc_count"] += int(fs.get("doc_count", 0))
+        out["sum_ttf"] += int(fs.get("sum_ttf", 0))
+        out["sum_df"] += int(fs.get("sum_df", 0))
+        for f, sub in dict(fs.get("per_field", {})).items():
+            dst = out["per_field"].setdefault(f, {})
+            for k, v in sub.items():
+                dst[k] = dst.get(k, 0) + int(v)
+    return out
+
+
 class IndexSearcher:
     """Open once (per process / per Ray actor), search many times."""
 
-    def __init__(self, index_dir: str, similarity=None, query_cache=_DEFAULT_CACHE):
-        """``similarity``: a ``BM25Similarity`` (default; full pruned +
+    def __init__(self, index_dir, similarity=None, query_cache=_DEFAULT_CACHE):
+        """``index_dir``: one committed index directory, or a SEQUENCE of
+        them — the ``MultiReader`` role (``core/index/MultiReader.java`` +
+        ``IndexSearcher`` over its leaves): leaves concatenate in the
+        given index order (each index's segments in docid-base order) and
+        collection statistics (doc_count, sum_ttf, per-term df/ttf,
+        per-field stats) SUM across indexes, so BM25 scores equal a
+        single combined index's bit-for-bit. The first index's config
+        drives analysis; indexes must share the analysis chain.
+
+        ``similarity``: a ``BM25Similarity`` (default; full pruned +
         phrase/multiterm support) or any ``search.similarities.Similarity``
         (classic TF-IDF, LMDirichlet, boolean — term/boolean/range/match-all
         queries, exhaustive path). A registry name string also works
@@ -198,26 +223,40 @@ class IndexSearcher:
 
         ``query_cache``: an ``LRUQueryCache`` (default: fresh instance),
         or None to disable constant-score match-set caching."""
-        man = load_manifest(index_dir)
-        if man is None:
-            raise FileNotFoundError(f"no manifest in {index_dir}")
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        mans: List[Manifest] = []
+        for d in dirs:
+            m = load_manifest(d)
+            if m is None:
+                raise FileNotFoundError(f"no manifest in {d}")
+            mans.append(m)
+        man = mans[0]
         self.manifest: Manifest = man
         self.config: IndexConfig = man.config
         if isinstance(similarity, str):
             similarity = similarity_for_name(similarity)
         self.sim = similarity or BM25Similarity()
         self.is_bm25 = isinstance(self.sim, BM25Similarity)
-        self.segments: List[SegmentReader] = [
-            SegmentReader(os.path.join(index_dir, "segments", f"seg_{s['seg_id']:06d}"))
-            if "dir" not in s
-            else SegmentReader(s["dir"])
-            for s in man.segments
-        ]
-        # leaf order = docid-base order, so the TopDocs.merge tie-break
-        # (score, seg_idx, docid) equals (score, global docid) and survives
-        # merges unchanged (merged segments get new seg_ids but keep bases)
-        self.segments.sort(key=lambda r: r.base_docid)
-        fs = man.field_stats
+        self.segments: List[SegmentReader] = []
+        for d, m in zip(dirs, mans):
+            segs = [
+                SegmentReader(os.path.join(d, "segments", f"seg_{s['seg_id']:06d}"))
+                if "dir" not in s
+                else SegmentReader(s["dir"])
+                for s in m.segments
+            ]
+            # leaf order = docid-base order WITHIN each index, so the
+            # TopDocs.merge tie-break (score, seg_idx, docid) equals
+            # (score, global docid) and survives merges unchanged (merged
+            # segments get new seg_ids but keep bases); across indexes,
+            # leaves keep the caller's index order (MultiReader docBase
+            # accumulation)
+            segs.sort(key=lambda r: r.base_docid)
+            self.segments.extend(segs)
+        if len(mans) == 1:
+            fs = man.field_stats
+        else:
+            fs = _sum_field_stats([m.field_stats for m in mans])
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
         avgdl = F32(self.sum_ttf / float(self.doc_count)) if self.doc_count else F32(1)
