@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_search": sq.regexp_search,
         "stemmed_search": sq.stemmed_search,
         "spell_suggest": sugg.spell_suggest,
+        "suggest_complete": sugg.suggest_complete,
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
         "phrase_search": sq.phrase_search,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_search": sq.sql_regexp_search(),
         "stemmed_search": sq.sql_stemmed_search(),
         "spell_suggest": sugg.sql_spell_suggest(),
+        "suggest_complete": sugg.sql_suggest_complete(),
         "highlight_search": hl.sql_highlight_search(),
         "more_like_this": mlt.sql_more_like_this(),
         "phrase_search": sq.sql_phrase_search(),

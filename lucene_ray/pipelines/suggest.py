@@ -106,3 +106,83 @@ select cast(qid as int) as qid, cast(rn - 1 as int) as rank, term,
        cast(dist as int) as dist, df
 from ranked where rn <= {SUGGEST_K}
 """
+
+
+# (qid, prefix) — completion lookups
+COMPLETE_QUERIES: List[Tuple[int, str]] = [
+    (0, "s"),
+    (1, "c"),
+    (2, "d"),
+    (3, "w"),
+    (4, "b"),
+]
+COMPLETE_K = 5
+
+
+class _CompleteActor:
+    """Stateful map_batches actor: open the index once, complete per row."""
+
+    def __init__(self, index_dir: str):
+        self.searcher = IndexSearcher(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_t, out_f = [], [], [], []
+        for qid, p in zip(
+            batch.column("qid").to_pylist(), batch.column("prefix").to_pylist()
+        ):
+            t = self.searcher.suggest_complete(p, k=COMPLETE_K)
+            for r in range(t.num_rows):
+                out_q.append(qid)
+                out_r.append(r)
+                out_t.append(t.column("term")[r].as_py())
+                out_f.append(t.column("df")[r].as_py())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int32()),
+                "rank": pa.array(out_r, pa.int32()),
+                "term": pa.array(out_t),
+                "df": pa.array(out_f, pa.int64()),
+            }
+        )
+
+
+def suggest_complete(sf_dir: str):
+    """→ (qid, rank, term, df): df-weighted prefix completions — the
+    ``lucene/suggest`` ``Lookup``/``AnalyzingSuggester`` surface over the
+    committed term dictionaries."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "prefix": p} for q, p in COMPLETE_QUERIES]
+    )
+    return qds.map_batches(
+        _CompleteActor,
+        fn_constructor_kwargs={"index_dir": idx},
+        concurrency=2,
+        batch_format="pyarrow",
+        batch_size=16,
+    )
+
+
+def sql_suggest_complete() -> str:
+    values = ", ".join(f"({q}, '{p}')" for q, p in COMPLETE_QUERIES)
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+qs(qid, prefix) as (values {values}),
+df as (
+  select q.qid, tok.term, count(distinct tok.doc_id)::bigint as df
+  from qs q join tok on starts_with(tok.term, q.prefix)
+  group by 1, 2
+),
+ranked as (
+  select qid, term, df,
+         row_number() over (partition by qid order by df desc, term asc) as rn
+  from df
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, term, df
+from ranked where rn <= {COMPLETE_K}
+"""

@@ -1886,6 +1886,36 @@ class IndexSearcher:
             }
         )
 
+    def suggest_complete(
+        self, prefix: str, k: int = 5, field: str = DEFAULT_FIELD
+    ) -> pa.Table:
+        """Prefix completion — the ``lucene/suggest`` lookup role
+        (``suggest/src/java/org/apache/lucene/search/suggest/Lookup.java``
+        via the dictionary-backed ``analyzing/AnalyzingSuggester`` shape,
+        weight = document frequency): scan the term dictionary for terms
+        starting with ``prefix`` (bucket-range pruned like PrefixQuery),
+        sum df across segments, rank by (df desc, term asc).
+
+        → table (term, df), top-k."""
+        key_prefix = term_key(field, prefix)
+        fprefix = term_key(field, "")
+        dfs: Dict[str, int] = {}
+        for seg in self.segments:
+            for key, info in seg.expand_terms(
+                key_prefix,
+                lambda _k: True,
+                exclude_field_sep=(field == DEFAULT_FIELD),
+            ):
+                t = key[len(fprefix):]
+                dfs[t] = dfs.get(t, 0) + int(info.df)
+        ranked = sorted(((-df, t) for t, df in dfs.items()))[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for _, t in ranked]),
+                "df": pa.array([-ndf for ndf, _ in ranked], pa.int64()),
+            }
+        )
+
     def search_sorted(
         self,
         query,

@@ -65,3 +65,30 @@ def test_mlt_terms_ranking(searcher):
     sel = mlt_terms(searcher, "dup dup dup the the data", terms_k=2)
     # 'dup' is rare (high tf/(df+1)); 'the' is everywhere
     assert sel[0][0] == "dup" and sel[0][1] == 3
+
+
+class TestSuggestComplete:
+    def test_vs_bruteforce(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.build import build_index
+        from lucene_ray.index.config import IndexConfig
+        from lucene_ray.search.searcher import IndexSearcher
+
+        docs = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path_factory.mktemp("cmpl"))
+        build_index(docs, d, IndexConfig(rows_per_segment=150, num_buckets=2))
+        s = IndexSearcher(d)
+
+        tbl = pq.read_table(docs, columns=["doc_id", "text"])
+        df = {}
+        for t in tbl.column("text").to_pylist():
+            for w in set((t or "").lower().split()):
+                df[w] = df.get(w, 0) + 1
+        for prefix in ("s", "c", "data", "zzz"):
+            got = s.suggest_complete(prefix, k=5)
+            want = sorted(
+                ((-n, t) for t, n in df.items() if t.startswith(prefix))
+            )[:5]
+            assert got.column("term").to_pylist() == [t for _, t in want]
+            assert got.column("df").to_pylist() == [-n for n, _ in want]
