@@ -19,6 +19,7 @@ from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.index.manifest import load_manifest
 from lucene_ray.index.segment import SegmentReader
 from lucene_ray.pipelines.index_cache import get_or_build_index
+from lucene_ray.pipelines.text_kernels import flat_words, seg_sum
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -271,11 +272,7 @@ def gopher_quality(sf_dir: str):
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def stats(b: pa.Table) -> pa.Table:
-        words = pc.split_pattern(b.column("text"), " ").combine_chunks()
-        # raw offsets index into .values (not .flatten(), which re-bases
-        # sliced arrays) — keep the two consistent
-        offsets = np.asarray(words.offsets)
-        flat = words.values
+        flat, offsets = flat_words(b.column("text"))
         ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
@@ -284,15 +281,10 @@ def gopher_quality(sf_dir: str):
         stop = pc.is_in(flat, value_set=pa.array(_GOPHER_STOPS)).to_numpy(
             zero_copy_only=False
         )
-
-        def seg_sum(x: np.ndarray) -> np.ndarray:
-            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
-            return c[offsets[1:]] - c[offsets[:-1]]
-
-        n_words = seg_sum(ok)
-        n_chars = seg_sum(wl * ok)
-        n_stop = seg_sum(stop & ok)
-        n_alpha = seg_sum(alpha & ok)
+        n_words = seg_sum(ok, offsets)
+        n_chars = seg_sum(wl * ok, offsets)
+        n_stop = seg_sum(stop & ok, offsets)
+        n_alpha = seg_sum(alpha & ok, offsets)
         keep = (
             (n_words >= 50)
             & (n_words <= 100000)
@@ -407,9 +399,7 @@ def repetition_stats(sf_dir: str):
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def stats(b: pa.Table) -> pa.Table:
-        words = pc.split_pattern(b.column("text"), " ").combine_chunks()
-        offsets = np.asarray(words.offsets)
-        flat = words.values
+        flat, offsets = flat_words(b.column("text"))
         n_rows = len(b)
         n_tok = len(flat)
         n_tri_out = np.zeros(n_rows, np.int64)
@@ -458,6 +448,11 @@ def repetition_stats(sf_dir: str):
 
 
 def sql_repetition_stats() -> str:
+    # NOTE: the oracle serializes trigrams as 'w0\x1fw1\x1fw2'; tokens
+    # containing the 0x1f byte would collide here while the engine's
+    # packed integer keys never collide — a documented oracle-side
+    # assumption (no control bytes inside whitespace tokens), not an
+    # engine limitation.
     return """
 with w as (
   select doc_id, string_split(text, ' ') as ws from documents
@@ -504,11 +499,9 @@ def token_counts(sf_dir: str):
 
     def counts(b: pa.Table) -> pa.Table:
         text = b.column("text")
-        words = pc.split_pattern(text, " ").combine_chunks()
-        offsets = np.asarray(words.offsets)
-        ok = pc.not_equal(words.values, "").to_numpy(zero_copy_only=False)
-        c = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
-        ws = c[offsets[1:]] - c[offsets[:-1]]
+        flat, offsets = flat_words(text)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ws = seg_sum(ok, offsets)
         bpe = pc.count_substring_regex(text, BPE_PATTERN)
         return pa.table(
             {

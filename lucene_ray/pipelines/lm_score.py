@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 from typing import Dict
 
+from lucene_ray.pipelines.text_kernels import flat_words, seg_sum
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -37,11 +39,6 @@ def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-def _flat_words(b: pa.Table):
-    """(values StringArray, offsets int64[n+1]) of whitespace words —
-    raw list offsets index .values, empties NOT yet removed."""
-    words = pc.split_pattern(b.column("text"), " ").combine_chunks()
-    return words.values, np.asarray(words.offsets)
 
 
 def lm_train(sf_dir: str):
@@ -52,7 +49,7 @@ def lm_train(sf_dir: str):
     import ray.data
 
     def partial(b: pa.Table) -> pa.Table:
-        flat, _ = _flat_words(b)
+        flat, _ = flat_words(b.column("text"))
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
         return pa.table(
@@ -102,7 +99,7 @@ def lm_perplexity(sf_dir: str):
         def __call__(self, b: pa.Table) -> pa.Table:
             import pandas as pd
 
-            flat, offsets = _flat_words(b)
+            flat, offsets = flat_words(b.column("text"))
             ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
             n = len(b)
             if len(flat):
@@ -113,12 +110,8 @@ def lm_perplexity(sf_dir: str):
                     .to_numpy(dtype=np.int64)
                 )
                 per_tok = self.nll[codes] * ok  # empty splits contribute 0
-                c = np.concatenate([[0], np.cumsum(per_tok, dtype=np.int64)])
-                nll = c[offsets[1:]] - c[offsets[:-1]]
-                cw = np.concatenate(
-                    [[0], np.cumsum(ok.astype(np.int64), dtype=np.int64)]
-                )
-                n_words = cw[offsets[1:]] - cw[offsets[:-1]]
+                nll = seg_sum(per_tok, offsets)
+                n_words = seg_sum(ok, offsets)
             else:
                 nll = np.zeros(n, dtype=np.int64)
                 n_words = np.zeros(n, dtype=np.int64)

@@ -1567,12 +1567,14 @@ def bm25_topk_multireader(sf_dir: str):
         f"split:{os.path.abspath(docs)}:{os.path.getmtime(docs)}".encode()
     ).hexdigest()[:16]
     halves = []
+    tbl = None  # read the source corpus at most once, cache-cold only
     for part in (0, 1):
         d = os.path.join(CACHE_ROOT, f"half{part}_{tag}")
         p = os.path.join(d, "documents.parquet")
         if not os.path.exists(p):
             os.makedirs(d, exist_ok=True)
-            tbl = pq_.read_table(docs)
+            if tbl is None:
+                tbl = pq_.read_table(docs)
             mid = len(tbl) // 2
             piece = tbl.slice(0, mid) if part == 0 else tbl.slice(mid)
             tmp = p + f".tmp{os.getpid()}"
@@ -1688,10 +1690,12 @@ with tok as (
 ),
 m as (select distinct doc_id from tok where term = 'data'),
 j as (select d.source, d.lang from documents d join m using (doc_id))
-select source as path, count(*)::bigint as n from j group by source
+select source as path, count(*)::bigint as n from j
+where source is not null group by source
 union all
 select source || '/' || lang as path, count(*)::bigint as n
-from j group by source, lang
+from j where source is not null and lang is not null
+group by source, lang
 """
 
 

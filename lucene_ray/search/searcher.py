@@ -223,7 +223,11 @@ class IndexSearcher:
 
         ``query_cache``: an ``LRUQueryCache`` (default: fresh instance),
         or None to disable constant-score match-set caching."""
-        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        dirs = (
+            [index_dir]
+            if isinstance(index_dir, (str, os.PathLike))
+            else list(index_dir)
+        )
         mans: List[Manifest] = []
         for d in dirs:
             m = load_manifest(d)
@@ -238,6 +242,7 @@ class IndexSearcher:
         self.sim = similarity or BM25Similarity()
         self.is_bm25 = isinstance(self.sim, BM25Similarity)
         self.segments: List[SegmentReader] = []
+        doc_base = 0  # MultiReader docBase accumulation across indexes
         for d, m in zip(dirs, mans):
             segs = [
                 SegmentReader(os.path.join(d, "segments", f"seg_{s['seg_id']:06d}"))
@@ -249,9 +254,18 @@ class IndexSearcher:
             # TopDocs.merge tie-break (score, seg_idx, docid) equals
             # (score, global docid) and survives merges unchanged (merged
             # segments get new seg_ids but keep bases); across indexes,
-            # leaves keep the caller's index order (MultiReader docBase
-            # accumulation)
+            # every leaf's base shifts by the preceding indexes' maxDoc
+            # (MultiReader docBase accumulation) so global docids stay
+            # unique — document()/explain()/searchAfter cursors resolve
+            # to the right leaf
             segs.sort(key=lambda r: r.base_docid)
+            for s in segs:
+                s.base_docid += doc_base
+            doc_base = (
+                max(s.base_docid + s.n_docs for s in segs)
+                if segs
+                else doc_base
+            )  # this index's maxDoc, not its stats doc_count
             self.segments.extend(segs)
         if len(mans) == 1:
             fs = man.field_stats
@@ -510,11 +524,10 @@ class IndexSearcher:
         count = np.zeros(len(cand), dtype=np.int64)
         acc = np.zeros(len(cand), dtype=F32)
         for r in nonempty:
-            rid = r.docids.astype(np.int64)
-            count += self._member(rid, cand)
-            m = self._member(cand, rid)
-            idx = np.searchsorted(cand, rid[m])
-            acc[idx] += r.scores[m]
+            # every rid is in cand (cand is their union): one searchsorted
+            idx = np.searchsorted(cand, r.docids.astype(np.int64))
+            count[idx] += 1
+            acc[idx] += r.scores
         expr = Expression(q.min_match_expr)
         take = pa.array(cand)
         bindings = {
@@ -524,8 +537,13 @@ class IndexSearcher:
         need = np.asarray(expr.evaluate(bindings), dtype=np.float64)
         if need.shape == ():  # constant expression
             need = np.full(len(cand), float(need))
-        need = np.maximum(np.floor(need), 1.0).astype(np.int64)
-        keep = count >= need
+        # a doc with no value for the source never matches — Lucene's
+        # advanceExact()==false path (null DV → NaN here; NaN comparisons
+        # are False, so `count >= need` drops it without special-casing,
+        # but make it explicit rather than lean on NaN semantics)
+        valid = ~np.isnan(need)
+        need = np.maximum(np.floor(need), 1.0)
+        keep = valid & (count >= need)
         return SegmentResult(cand[keep].astype(np.uint32), acc[keep])
 
     def _eval_term_in_set(

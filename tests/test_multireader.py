@@ -63,3 +63,29 @@ class TestMultiReader:
         rm = multi.search("data", k=10**6)
         rs = single.search("data", k=10**6)
         assert sorted(rm["keys"]) == sorted(rs["keys"])
+
+
+class TestMultiReaderDocBase:
+    """Global docids must be unique across indexes (MultiReader docBase
+    accumulation) and document() must resolve to the right leaf."""
+
+    def test_docids_unique_and_document_resolves(self, searchers):
+        multi, _ = searchers
+        r = multi.search("the", k=10**6)
+        docids = [int(d) for d in r["docids"]]
+        assert len(docids) == len(set(docids))
+        # every hit's stored document round-trips to its key
+        for d, key in list(zip(docids, r["keys"]))[:50]:
+            doc = multi.document(d)
+            assert int(doc["doc_id"]) == int(key)
+
+    def test_hits_span_both_halves(self, searchers):
+        multi, single = searchers
+        r = multi.search("the", k=10**6)
+        bases = sorted(s.base_docid for s in multi.segments)
+        # second index's leaves start past the first index's maxDoc
+        first_max = max(
+            s.base_docid + s.n_docs
+            for s in multi.segments[: len(multi.segments) // 2]
+        )
+        assert any(int(d) >= first_max for d in r["docids"])
