@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": mm.image_decode,
         "percolate_docs": percolate.percolate_docs,
         "nb_classify": classify.nb_classify,
+        "knn_classify": classify.knn_classify,
         "events_window": ev.tumbling_window_stats,
         "events_sessionize": ev.sessionize,
     }
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": mm.sql_image_decode(),
         "percolate_docs": percolate.sql_percolate_docs(),
         "nb_classify": classify.sql_nb_classify(),
+        "knn_classify": classify.sql_knn_classify(),
         "events_window": ev.sql_tumbling_window_stats(),
         "events_sessionize": ev.sql_sessionize(),
     }

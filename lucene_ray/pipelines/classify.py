@@ -239,3 +239,202 @@ select doc_id, lang as lang_pred, score as score_bp
 from ranked where rn = 1
 order by doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# k-nearest-neighbor classification — the ``lucene/classification``
+# ``KNearestNeighborClassifier.java`` role (classify by majority vote of
+# the k most similar neighbors). The reference's neighbors come from an
+# MLT query over the index; this engine's come from exact cosine over
+# the embedding column — the KnnVector-era form of the same classifier.
+# --------------------------------------------------------------------------
+
+KNN_CLS_K = 5
+
+
+def knn_classify(sf_dir: str, k: int = KNN_CLS_K, block_rows: int = 2048):
+    """→ (vec_id, label_pred, votes) sorted by vec_id: per vector, the
+    majority label of its k nearest OTHER vectors by cosine; neighbor
+    set pinned by (sim_bp desc, cand_id asc), vote ties by
+    (votes desc, label asc) — all integer, hash-exact vs the oracle.
+
+    Plan (nothing materializes the full matrix): normalize + pack
+    ``block_rows``-sized blocks to scratch (atomic, reusable), one Ray
+    task per ORDERED block pair emits ≤ block_rows·k partial-top-k rows
+    (composite ``(bp<<40) − cand`` keys make the per-row cut one
+    argpartition, no Python row loop), then a ``groupby(vec_id)``
+    reduce takes the global top-k and votes."""
+    import hashlib as _hl
+    import tempfile
+
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows  # footer only
+    n_blocks = max(1, -(-n_rows // block_rows))
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "lucene_ray_knncls",
+        _hl.blake2b(
+            f"{os.path.abspath(path)}:{n_rows}:{n_blocks}".encode(),
+            digest_size=8,
+        ).hexdigest(),
+    )
+    os.makedirs(scratch, exist_ok=True)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding").combine_chunks()
+        emb = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        emb = emb / n
+        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "blk": pa.array((vec_ids % n_blocks).astype(np.int64)),
+                "vec_id": pa.array(vec_ids),
+                "label": b.column("label").cast(pa.int32()),
+                "emb": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+
+    def pack_block(group: pa.Table):
+        blk = int(group.column("blk")[0].as_py())
+        out = os.path.join(scratch, f"blk_{blk:06d}.npz")
+        if not os.path.exists(out):
+            ids = np.asarray(group.column("vec_id"), dtype=np.int64)
+            order = np.argsort(ids)
+            arr = group.column("emb").combine_chunks()
+            mat = np.asarray(arr.values, dtype=np.float64).reshape(
+                len(arr), -1
+            )[order]
+            labels = np.asarray(group.column("label"), dtype=np.int32)[order]
+            tmp = out + f".tmp{os.getpid()}.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, ids=ids[order], mat=mat, labels=labels)
+            os.replace(tmp, out)
+        return pa.table(
+            {
+                "blk": group.column("blk").slice(0, 1),
+                "path": pa.array([out], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"]
+    )
+    block_meta = (
+        ds.map_batches(normalize, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(pack_block, batch_format="pyarrow")
+        .take_all()
+    )  # B metadata rows (paths) only
+    paths = {int(r["blk"]): r["path"] for r in block_meta}
+    pair_items = [
+        {"i": i, "j": j, "pi": paths[i], "pj": paths[j]}
+        for i in sorted(paths)
+        for j in sorted(paths)
+    ]
+
+    def _load(p):
+        with np.load(p) as z:
+            return z["ids"], z["mat"], z["labels"]
+
+    def score_pair(batch: pa.Table) -> pa.Table:
+        oq, oc, ol, ob = [], [], [], []
+        for i, j, pi, pj in zip(
+            batch.column("i").to_pylist(),
+            batch.column("j").to_pylist(),
+            batch.column("pi").to_pylist(),
+            batch.column("pj").to_pylist(),
+        ):
+            ids_i, mat_i, _ = _load(pi)
+            ids_j, mat_j, lab_j = _load(pj)
+            sims = mat_i @ mat_j.T
+            bp = np.floor(sims * 10000 + 0.5).astype(np.int64)
+            # composite key: (bp desc, cand_id asc) in ONE argpartition;
+            # |bp| ≤ ~10001 so bp<<40 never overflows and the - cand
+            # term (ids < 2^40) never crosses a bp level
+            key = (bp << 40) - ids_j[None, :]
+            # on the diagonal pair each row contains exactly one SELF
+            # column — take one extra slot, then drop self by id equality
+            # (cosines may legitimately be negative, so no bp sentinel)
+            kk = min(k + (1 if i == j else 0), key.shape[1])
+            sel = np.argpartition(-key, kth=kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(ids_i)), kk)
+            cols = sel.ravel()
+            keep = (
+                ids_i[rows] != ids_j[cols]
+                if i == j
+                else np.ones(len(rows), dtype=bool)
+            )
+            oq.append(np.repeat(ids_i, kk)[keep])
+            oc.append(ids_j[cols][keep])
+            ol.append(lab_j[cols][keep])
+            ob.append(bp[rows, cols][keep])
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(oq), pa.int64()),
+                "cand": pa.array(np.concatenate(oc), pa.int64()),
+                "label": pa.array(np.concatenate(ol), pa.int32()),
+                "bp": pa.array(np.concatenate(ob), pa.int64()),
+            }
+        )
+
+    def vote(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id")[0]
+        cand = np.asarray(group.column("cand"), dtype=np.int64)
+        lab = np.asarray(group.column("label"), dtype=np.int32)
+        bp = np.asarray(group.column("bp"), dtype=np.int64)
+        order = np.lexsort((cand, -bp))[:k]
+        labs, counts = np.unique(lab[order], return_counts=True)
+        win = np.lexsort((labs, -counts))[0]
+        return pa.table(
+            {
+                "vec_id": pa.array([vid.as_py()], pa.int64()),
+                "label_pred": pa.array([int(labs[win])], pa.int32()),
+                "votes": pa.array([int(counts[win])], pa.int64()),
+            }
+        )
+
+    pairs_ds = ray.data.from_items(pair_items)
+    if len(pair_items) > 1:
+        pairs_ds = pairs_ds.repartition(len(pair_items))
+    partials = pairs_ds.map_batches(score_pair, batch_format="pyarrow")
+    return (
+        partials.groupby("vec_id")
+        .map_groups(vote, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def sql_knn_classify(k: int = KNN_CLS_K) -> str:
+    """Same neighbor pinning and vote tie-breaks in DuckDB; cosine in
+    basis points via the proven floor(x·1e4 + 0.5) parity."""
+    return f"""
+with sims as (
+  select a.vec_id as q, b.vec_id as c, b.label,
+         cast(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5)
+              as bigint) as bp
+  from embeddings a join embeddings b on a.vec_id <> b.vec_id
+),
+ranked as (
+  select q, c, label, bp,
+         row_number() over (partition by q order by bp desc, c asc) as rn
+  from sims
+),
+votes as (
+  select q, label, count(*)::bigint as v
+  from ranked where rn <= {k} group by q, label
+),
+best as (
+  select q, label, v,
+         row_number() over (partition by q order by v desc, label asc) as rn
+  from votes
+)
+select q as vec_id, cast(label as int) as label_pred, v as votes
+from best where rn = 1
+order by vec_id
+"""

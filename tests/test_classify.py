@@ -61,3 +61,39 @@ def test_empty_doc_ties_break_ascending(model):
     classes, vocab, lp, prior = model
     if len(set(prior.tolist())) == 1:  # uniform priors in the testdata
         assert int(np.argmax(prior)) == 0
+
+
+class TestKnnClassify:
+    def test_multi_block_equals_single_block(self, ray_session):
+        from lucene_ray.pipelines.classify import knn_classify
+
+        sf = "/root/testdata/sf0.001"
+        single = knn_classify(sf, block_rows=10**6).to_pandas()
+        multi = knn_classify(sf, block_rows=64).to_pandas()
+        assert single.equals(multi)
+
+    def test_vs_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.classify import KNN_CLS_K, knn_classify
+
+        sf = "/root/testdata/sf0.001"
+        got = knn_classify(sf).to_pandas().set_index("vec_id")
+        tbl = pq.read_table(sf + "/embeddings.parquet")
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        labs = np.asarray(tbl.column("label"), dtype=np.int32)
+        arr = tbl.column("embedding").combine_chunks()
+        mat = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bp = np.floor(mat @ mat.T * 10000 + 0.5).astype(np.int64)
+        for qi in range(0, len(ids), 37):
+            others = np.arange(len(ids)) != qi
+            cand = ids[others]
+            cbp = bp[qi][others]
+            clab = labs[others]
+            order = np.lexsort((cand, -cbp))[:KNN_CLS_K]
+            vl, vc = np.unique(clab[order], return_counts=True)
+            win = np.lexsort((vl, -vc))[0]
+            row = got.loc[ids[qi]]
+            assert row["label_pred"] == vl[win]
+            assert row["votes"] == vc[win]
