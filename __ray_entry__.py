@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_page2": sq.sort_by_field_page2,
         "sort_multi": sq.sort_multi,
         "sort_by_ts": sq.sort_by_ts,
+        "sort_by_string": sq.sort_by_string,
         "interval_ordered": sq.interval_ordered,
         "interval_or": sq.interval_or,
         "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_multi": sq.sql_sort_multi(),
         "sort_by_ts": sq.sql_sort_by_ts(),
+        "sort_by_string": sq.sql_sort_by_string(),
         "interval_ordered": sq.sql_interval_ordered(),
         "interval_or": sq.sql_interval_or(),
         "sort_by_field_indexsorted": sq.sql_sort_by_field(),

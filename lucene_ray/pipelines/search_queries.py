@@ -1548,6 +1548,40 @@ from r
 """
 
 
+def sort_by_string(sf_dir: str, k: int = 20):
+    """SortField.STRING: the 'data' match set ordered by the ``lang``
+    string DV column ascending (per-segment ordinals, raw-value global
+    merge), ties by docid — `TermOrdValComparator` semantics."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    r = s.search_sorted("data", "lang", k=k, descending=False)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(r["keys"])), pa.int32()),
+            "doc_id": pa.array([int(d) for d in r["keys"]], pa.int64()),
+            "lang": pa.array(list(r["sort_values"]), pa.string()),
+        }
+    )
+
+
+def sql_sort_by_string(k: int = 20) -> str:
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+),
+m as (select distinct doc_id from tok where term = 'data'),
+ranked as (
+  select d.doc_id, d.lang,
+         row_number() over (order by d.lang asc, d.doc_id asc) as rn
+  from documents d join m using (doc_id)
+  where d.lang is not null
+)
+select cast(rn - 1 as int) as rank, doc_id, lang
+from ranked where rn <= {k}
+"""
+
+
 def bm25_topk_multireader(sf_dir: str):
     """MultiReader parity (``core/index/MultiReader.java``): the corpus
     split into TWO separately committed indexes, searched through one

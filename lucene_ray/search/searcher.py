@@ -1948,7 +1948,10 @@ class IndexSearcher:
         query's match set ordered by a numeric doc-values column, ties
         broken by (segment order, docid) exactly like ``TopDocs.merge``
         for fields (``core/search/TopDocs.java:203-228``). The sort field
-        must be a non-null numeric ``dv_cols`` column.
+        is a ``dv_cols`` column — numeric/timestamp (SortField.LONG
+        family) or string (SortField.STRING, per-segment ordinals +
+        raw-value global merge); null values are excluded on every
+        path.
 
         ``after=(sort_value, global_docid)`` — cursor pagination
         (``IndexSearcher.searchAfter(after, query, n, sort)``): only
@@ -1997,6 +2000,7 @@ class IndexSearcher:
 
         rows = []  # (sort_key, seg_idx, docid, raw_value)
         total = 0
+        str_sort = False  # set when the sort column is a string DV
         for si, seg in enumerate(self.segments):
             r = self._eval(query, si, states)
             total += len(r.docids)
@@ -2043,6 +2047,29 @@ class IndexSearcher:
             col = seg.dv(sort_field)
             ids_m = r.docids
             vals = np.asarray(col.take(pa.array(ids_m.astype(np.int64))))
+            if vals.dtype.kind in "OU":
+                # SortField.STRING: string DV columns sort by per-segment
+                # ORDINALS (the SortedDocValues ordinal role,
+                # ``core/search/comparators/TermOrdValComparator.java``) —
+                # the per-segment cut uses ordinals, the global merge
+                # compares raw values (stable two-pass sort below)
+                str_sort = True
+                ok_ = np.array([v is not None for v in vals], dtype=bool)
+                if not ok_.all():
+                    ids_m, vals = ids_m[ok_], vals[ok_]
+                    if len(ids_m) == 0:
+                        continue
+                if after is not None:
+                    ok = _after_mask(vals, ids_m, si, c_val)
+                    ids_m, vals = ids_m[ok], vals[ok]
+                    if len(ids_m) == 0:
+                        continue
+                _, inv = np.unique(vals, return_inverse=True)
+                skey = -inv if descending else inv
+                sel = np.lexsort((ids_m, skey))[:k]
+                for i in sel:
+                    rows.append((skey[i], si, int(ids_m[i]), vals[i]))
+                continue
             if vals.dtype.kind == "M":
                 # docs with a null sort value carry no key: exclude them,
                 # matching the point walk (whose sidecar drops nulls) —
@@ -2062,7 +2089,14 @@ class IndexSearcher:
             sel = np.lexsort((ids_m, skey))[:k]
             for i in sel:
                 rows.append((skey[i], si, int(ids_m[i]), vals[i]))
-        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        if str_sort:
+            # global merge on raw values: stable two-pass sort gives
+            # (value dir, seg asc, docid asc) without needing a global
+            # ordinal space
+            rows.sort(key=lambda t: (t[1], t[2]))
+            rows.sort(key=lambda t: t[3], reverse=descending)
+        else:
+            rows.sort(key=lambda t: (t[0], t[1], t[2]))
         rows = rows[:k]
         docids = np.array(
             [self.segments[si].base_docid + d for _, si, d, _ in rows],

@@ -171,3 +171,55 @@ class TestMergeSort:
             if v == "en"
         }
         assert set(int(k) for k in r["keys"]) <= en
+
+
+class TestStringFieldSort:
+    """SortField.STRING over a string DV column: per-segment ordinal
+    cut + raw-value global merge must equal a brute-force sort in both
+    directions, multi-segment."""
+
+    @pytest.fixture(scope="class")
+    def str_searcher(self, ray_session, tmp_path_factory):
+        from lucene_ray.index.build import build_index
+        from lucene_ray.search.searcher import IndexSearcher
+
+        d = str(tmp_path_factory.mktemp("stridx"))
+        build_index(
+            DOCS,
+            d,
+            IndexConfig(rows_per_segment=120, dv_cols=("lang", "n_chars")),
+        )
+        return IndexSearcher(d)
+
+    @pytest.mark.parametrize("descending", [False, True])
+    def test_vs_bruteforce(self, str_searcher, descending):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(DOCS, columns=["doc_id", "text", "lang"])
+        match = [
+            (l, int(d))
+            for d, t, l in zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("text").to_pylist(),
+                tbl.column("lang").to_pylist(),
+            )
+            if "data" in (t or "").split()
+        ]
+        match.sort(key=lambda x: x[1])
+        match.sort(key=lambda x: x[0], reverse=descending)
+        r = str_searcher.search_sorted(
+            "data", "lang", k=25, descending=descending
+        )
+        got = list(zip(r["sort_values"], [int(x) for x in r["keys"]]))
+        assert got == match[:25]
+
+    def test_after_cursor_strings(self, str_searcher):
+        r1 = str_searcher.search_sorted("data", "lang", k=10, descending=False)
+        after = (r1["sort_values"][-1], int(r1["docids"][-1]))
+        r2 = str_searcher.search_sorted(
+            "data", "lang", k=10, descending=False, after=after
+        )
+        full = str_searcher.search_sorted("data", "lang", k=20, descending=False)
+        assert [int(x) for x in r2["keys"]] == [
+            int(x) for x in full["keys"][10:20]
+        ]
