@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": classify.nb_classify,
         "knn_classify": classify.knn_classify,
         "events_window": ev.tumbling_window_stats,
+        "events_hopping": ev.hopping_window_stats,
         "events_sessionize": ev.sessionize,
     }
 
@@ -241,5 +242,6 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": classify.sql_nb_classify(),
         "knn_classify": classify.sql_knn_classify(),
         "events_window": ev.sql_tumbling_window_stats(),
+        "events_hopping": ev.sql_hopping_window_stats(),
         "events_sessionize": ev.sql_sessionize(),
     }

@@ -132,3 +132,88 @@ select user_id, cast(epoch_us(min(ts)) as bigint) as start_us,
        cast(floor(epoch(max(ts)) - epoch(min(ts))) as bigint) as dur_s
 from s group by user_id, sess
 """
+
+
+def hopping_window_stats(
+    sf_dir: str, window_s: int = 3600, step_s: int = 900
+):
+    """Hopping (sliding) windows: size ``window_s`` advancing by
+    ``step_s`` (must divide it) — every event lands in exactly
+    ``window_s // step_s`` overlapping windows. Per batch, rows
+    replicate vectorized into their windows (np.tile, no Python row
+    loop), then the SAME pre-aggregated groupby reduction as the
+    tumbling path — the replication factor, not raw rows, bounds the
+    shuffle.
+
+    → per (event_type, window start): count + sum basis points."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    assert window_s % step_s == 0, "step must divide the window"
+    n_hops = window_s // step_s
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        step_us = step_s * 1_000_000
+        base = us // step_us  # the LAST window start containing the event
+        hops = np.arange(n_hops, dtype=np.int64)
+        w_us = ((base[:, None] - hops[None, :]) * step_us).ravel()
+        n = len(b)
+        et = b.column("event_type").take(
+            pa.array(np.repeat(np.arange(n), n_hops))
+        )
+        val = b.column("value").take(
+            pa.array(np.repeat(np.arange(n), n_hops))
+        )
+        return pa.table(
+            {"event_type": et, "w_us": pa.array(w_us), "value": val}
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "w_us"])
+        .aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "w_us": b.column("w_us"),
+                "n": b.column("n").cast(pa.int64()),
+                "sum_bp": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(
+                                b.column("sum_value"), pa.scalar(100.0)
+                            ),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_hopping_window_stats(window_s: int = 3600, step_s: int = 900) -> str:
+    n_hops = window_s // step_s
+    step_us = step_s * 1_000_000
+    return f"""
+select event_type,
+       ((epoch_us(ts) // {step_us}) - h.i) * {step_us} as w_us,
+       count(*)::bigint as n,
+       cast(floor(sum(value) * 100 + 0.5) as bigint) as sum_bp
+from events
+cross join (select unnest(generate_series(0, {n_hops - 1})) as i) h
+group by 1, 2
+"""

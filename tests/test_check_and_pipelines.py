@@ -285,3 +285,39 @@ class TestTokenCounts:
             row = got.loc[d]
             assert row["ws_tokens"] == len([w for w in (t or "").split(" ") if w])
             assert row["bpe_tokens"] == len(pat.findall(t or ""))
+
+
+class TestHoppingWindows:
+    def test_each_event_in_exactly_n_hops_windows(self, ray_session):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.events import hopping_window_stats
+
+        sf = "/root/testdata/sf0.001"
+        got = hopping_window_stats(sf, window_s=3600, step_s=900).to_pandas()
+        n_events = pq.ParquetFile(sf + "/events.parquet").metadata.num_rows
+        assert got["n"].sum() == n_events * 4  # window/step replicas
+        # every window start is step-aligned
+        assert (got["w_us"] % (900 * 1_000_000) == 0).all()
+
+    def test_tumbling_is_degenerate_hop(self, ray_session):
+        from lucene_ray.pipelines.events import (
+            hopping_window_stats,
+            tumbling_window_stats,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        hop = (
+            hopping_window_stats(sf, window_s=3600, step_s=3600)
+            .to_pandas()
+            .sort_values(["event_type", "w_us"])
+            .reset_index(drop=True)
+        )
+        tum = (
+            tumbling_window_stats(sf, window_s=3600)
+            .to_pandas()
+            .sort_values(["event_type", "w_us"])
+            .reset_index(drop=True)
+        )
+        assert hop[["event_type", "w_us", "n", "sum_bp"]].equals(
+            tum[["event_type", "w_us", "n", "sum_bp"]]
+        )
