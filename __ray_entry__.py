@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": sq.grouped_topk,
         "join_search": joins.join_search,
         "block_join_topk": joins.block_join_topk,
+        "block_join_total": joins.block_join_total,
         "prefix_search": sq.prefix_search,
         "term_range_search": sq.term_range_search,
         "wildcard_search": sq.wildcard_search,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": sq.sql_grouped_topk(),
         "join_search": joins.sql_join_search(),
         "block_join_topk": joins.sql_block_join_topk(),
+        "block_join_total": joins.sql_block_join_total(),
         "prefix_search": sq.sql_prefix_search(),
         "term_range_search": sq.sql_term_range_search(),
         "wildcard_search": sq.sql_wildcard_search(),

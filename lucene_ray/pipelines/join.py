@@ -157,3 +157,57 @@ parents as (
 select cast(prn - 1 as int) as rank, source, doc_id, cast(s as float) as score
 from parents where prn <= {BJ_K}
 """
+
+
+def block_join_total(sf_dir: str):
+    """→ (rank, source, n_children, total_bp, avg_bp): parents ranked by
+    the SUM of their children's scores (ScoreMode.Total; avg_bp is the
+    ScoreMode.Avg view of the same aggregate) — child scores quantized
+    to integer basis points so the sums are order-free and hash-exact."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.parent_topk_agg(BJ_CHILD_QUERY, BJ_PARENT_FIELD, k=BJ_K)
+    return pa.table(
+        {
+            "rank": t.column("rank"),
+            "source": t.column("parent"),
+            "n_children": t.column("n_children"),
+            "total_bp": t.column("total_bp"),
+            "avg_bp": t.column("avg_bp"),
+        }
+    )
+
+
+def sql_block_join_total() -> str:
+    return f"""{_PRELUDE},
+tf1 as (
+  select tok.doc_id, count(*)::bigint as tf from tok
+  where tok.term = '{BJ_CHILD_QUERY}' group by 1
+),
+df1 as (select count(distinct doc_id) as df from tok where term = '{BJ_CHILD_QUERY}'),
+sc as (
+  select tf1.doc_id,
+         cast(floor(cast(w.w - w.w / (cast(1 as float) + cast(tf1.tf as float) * f.inv)
+                         as double) * 10000 + 0.5) as bigint) as bp
+  from tf1
+  cross join (
+    select cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5))
+                as float) as w
+    from df1
+  ) w
+  join fnorm f on f.doc_id = tf1.doc_id
+),
+agg as (
+  select d.source, count(*)::bigint as n_children, sum(t.bp)::bigint as total_bp
+  from sc t join documents d using (doc_id)
+  group by d.source
+),
+parents as (
+  select source, n_children, total_bp,
+         row_number() over (order by total_bp desc, source asc) as prn
+  from agg
+)
+select cast(prn - 1 as int) as rank, source, n_children, total_bp,
+       (total_bp // n_children)::bigint as avg_bp
+from parents where prn <= {BJ_K}
+"""

@@ -1589,6 +1589,72 @@ class IndexSearcher:
             }
         )
 
+    def parent_topk_agg(
+        self, query, parent_field: str, k: int = 10
+    ) -> pa.Table:
+        """Block-join parent ranking with ScoreMode.Total / ScoreMode.Avg
+        (``lucene/join/.../ScoreMode.java``): every parent is scored by
+        the SUM (and count → average) of its matching children's scores.
+        Child scores quantize to integer basis points FIRST
+        (``floor(s·1e4 + 0.5)``) so the per-parent sums are order-free —
+        a float32 sum's value would depend on accumulation order across
+        segments (documented divergence from the reference's sequential
+        float sum; ranks agree wherever the float sum is
+        order-insensitive). Avg is integer division ``total_bp // n``.
+
+        → table (rank, parent, n_children, total_bp, avg_bp), top-k
+        parents by (total_bp desc, parent asc)."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        totals: Dict[object, int] = {}
+        counts: Dict[object, int] = {}
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(parent_field).take(
+                pa.array(r.docids.astype(np.int64))
+            )
+            vals = (
+                vals.combine_chunks()
+                if isinstance(vals, pa.ChunkedArray)
+                else vals
+            )
+            bp = np.floor(
+                r.scores.astype(np.float64) * 10000 + 0.5
+            ).astype(np.int64)
+            # per-segment combiner: factorize parents, one add.at pass
+            enc = vals.dictionary_encode()
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            uniq = enc.dictionary.to_pylist()
+            part_tot = np.zeros(len(uniq), np.int64)
+            part_cnt = np.zeros(len(uniq), np.int64)
+            np.add.at(part_tot, codes, bp)
+            np.add.at(part_cnt, codes, 1)
+            for g, t, c in zip(uniq, part_tot, part_cnt):
+                totals[g] = totals.get(g, 0) + int(t)
+                counts[g] = counts.get(g, 0) + int(c)
+        ranked = sorted(
+            totals.items(), key=lambda kv: (-kv[1], kv[0] is None, kv[0])
+        )[:k]
+        return pa.table(
+            {
+                "rank": pa.array(range(len(ranked)), pa.int32()),
+                "parent": pa.array([g for g, _ in ranked]),
+                "n_children": pa.array(
+                    [counts[g] for g, _ in ranked], pa.int64()
+                ),
+                "total_bp": pa.array([t for _, t in ranked], pa.int64()),
+                "avg_bp": pa.array(
+                    [t // counts[g] for g, t in ranked], pa.int64()
+                ),
+            }
+        )
+
     # -- stored fields -----------------------------------------------------
 
     def document(self, docid: int, fields: Optional[Sequence[str]] = None) -> dict:

@@ -95,3 +95,47 @@ def test_parent_topk_k_cut(join_index):
     s = IndexSearcher(join_index)
     t = s.parent_topk("alpha", "source", k=1)
     assert t.num_rows == 1
+
+
+class TestBlockJoinTotal:
+    def test_total_and_avg_vs_bruteforce(self, ray_session, tmp_path_factory):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from lucene_ray.index.build import build_index
+        from lucene_ray.index.config import IndexConfig
+        from lucene_ray.search.searcher import IndexSearcher
+
+        docs = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path_factory.mktemp("bjt"))
+        build_index(
+            docs, d, IndexConfig(rows_per_segment=150, dv_cols=("source",))
+        )
+        s = IndexSearcher(d)
+        t = s.parent_topk_agg("data", "source", k=100)
+
+        r = s.search("data", k=10**6)
+        tot, cnt = {}, {}
+        for key_, sc in zip(r["keys"], r["scores"]):
+            pass  # need source per hit — resolve via stored doc
+        tbl = pq.read_table(docs, columns=["doc_id", "source"])
+        src = dict(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("source").to_pylist())
+        )
+        for key_, sc in zip(r["keys"], r["scores"]):
+            g = src[int(key_)]
+            bp = int(np.floor(np.float64(sc) * 10000 + 0.5))
+            tot[g] = tot.get(g, 0) + bp
+            cnt[g] = cnt.get(g, 0) + 1
+        want = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = list(
+            zip(t.column("parent").to_pylist(), t.column("total_bp").to_pylist())
+        )
+        assert got == want
+        for p_, n, tb, ab in zip(
+            t.column("parent").to_pylist(),
+            t.column("n_children").to_pylist(),
+            t.column("total_bp").to_pylist(),
+            t.column("avg_bp").to_pylist(),
+        ):
+            assert n == cnt[p_]
+            assert ab == tb // n
