@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_bm25_topk": sq.html_bm25_topk,
         "hit_count": sq.hit_count,
         "explain_score": sq.explain_score,
+        "term_vectors": sq.term_vectors,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
         "bm25_topk_filtered": sq.bm25_topk_filtered,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "html_bm25_topk": sq.sql_html_bm25_topk(),
         "hit_count": sq.sql_hit_count(),
         "explain_score": sq.sql_explain_score(),
+        "term_vectors": sq.sql_term_vectors(),
         "bm25_disjunction": sq.sql_bm25_disjunction(),
         "bm25_conjunction": sq.sql_bm25_conjunction(),
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),

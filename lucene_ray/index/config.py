@@ -117,6 +117,13 @@ class IndexConfig:
     # ``search_sorted`` when the query sort matches. The field must be in
     # ``dv_cols``.
     index_sort: Optional[Tuple[str, str]] = None
+    # store_term_vectors — per-doc (term, freq) row store for the default
+    # text field (the ``TermVectorsFormat`` role,
+    # ``core/codecs/lucene90/Lucene90TermVectorsFormat.java``): written
+    # at flush from the already-inverted batch (no re-analysis), carried
+    # through merges with docid rebase, read back via
+    # ``SegmentReader.term_vector`` / ``IndexSearcher.term_vector``.
+    store_term_vectors: bool = False
 
     def __post_init__(self):
         if self.pretokenized and (
@@ -184,6 +191,7 @@ class IndexConfig:
             "postings_format": self.postings_format,
             "per_field_formats": [list(p) for p in self.per_field_formats],
             "index_sort": list(self.index_sort) if self.index_sort else None,
+            "store_term_vectors": self.store_term_vectors,
         }
 
     @staticmethod
@@ -213,4 +221,5 @@ class IndexConfig:
             index_sort=(
                 tuple(d["index_sort"]) if d.get("index_sort") else None
             ),
+            store_term_vectors=d.get("store_term_vectors", False),
         )

@@ -501,6 +501,32 @@ def _finalize_merge(
         if old_of_new is not None:
             dv_all = dv_all.take(pa.array(old_of_new))
         pq.write_table(dv_all, os.path.join(tmp_dir, "dv.parquet"))
+    if readers[0].meta.get("term_vectors"):
+        # term-vector rows carry forward with docid rebase (the
+        # TermVectorsFormat merge role); under an index sort the local
+        # docids additionally remap via the inverse permutation
+        tvs = []
+        base = 0
+        for r in readers:
+            t = pq.read_table(os.path.join(r.seg_dir, "tv.parquet"))
+            d = np.asarray(t.column("docid"), dtype=np.int64) + base
+            tvs.append(t.set_column(0, "docid", pa.array(d)))
+            base += r.n_docs
+        tv_all = pa.concat_tables(tvs)
+        if old_of_new is not None:
+            new_of_old = np.empty(len(old_of_new), np.int64)
+            new_of_old[np.asarray(old_of_new)] = np.arange(len(old_of_new))
+            d = new_of_old[np.asarray(tv_all.column("docid"), dtype=np.int64)]
+            tv_all = tv_all.set_column(0, "docid", pa.array(d))
+            import pyarrow.compute as _pc
+
+            tv_all = tv_all.take(
+                _pc.sort_indices(
+                    tv_all,
+                    sort_keys=[("docid", "ascending"), ("term", "ascending")],
+                )
+            )
+        pq.write_table(tv_all, os.path.join(tmp_dir, "tv.parquet"))
     points_meta: Dict[str, dict] = {}
     point_crcs: Dict[str, int] = {}
     point_fields = sorted(readers[0].meta.get("points") or {})
@@ -555,6 +581,7 @@ def _finalize_merge(
         "kw_stats": kw_stats,
         "text_fields": text_fields,
         "dv_cols": dv_cols,
+        "term_vectors": bool(readers[0].meta.get("term_vectors")),
         "points": points_meta,
         "checksums": checksums,
         "lineage": lineage,

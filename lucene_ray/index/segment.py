@@ -767,6 +767,40 @@ def write_segment(
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
     fmt_map = config.format_names_map()
+    if config.store_term_vectors:
+        # term-vector row store (``Lucene90TermVectorsFormat`` role):
+        # transpose the already-inverted (term → docid, tf) pairs into a
+        # (docid, term, freq) table sorted by (docid, term) — no
+        # re-analysis, one lexsort. Default-field terms only (field-
+        # prefixed keyword/feature keys carry no per-doc vectors).
+        n_per_term = np.diff(inv.term_starts)
+        term_idx = np.repeat(np.arange(n_terms), n_per_term)
+        is_text = np.array(
+            [FIELD_SEP not in t for t in term_strs], dtype=bool
+        )
+        keep_tv = (
+            is_text[term_idx]
+            if n_terms
+            else np.zeros(0, dtype=bool)
+        )
+        tvd = inv.pair_docids[keep_tv].astype(np.int64)
+        tvf = inv.pair_tfs[keep_tv].astype(np.int32)
+        tvt = term_idx[keep_tv]
+        tvo = np.lexsort((tvt, tvd))
+        term_arr = np.array(term_strs, dtype=object)
+        pq.write_table(
+            pa.table(
+                {
+                    "docid": pa.array(tvd[tvo]),
+                    "term": pa.array(
+                        term_arr[tvt[tvo]].tolist(), pa.string()
+                    ),
+                    "freq": pa.array(tvf[tvo]),
+                }
+            ),
+            os.path.join(tmp_dir, "tv.parquet"),
+        )
+
     if n_terms == 0:
         all_blobs = []
     elif fmt_map is None:
@@ -868,6 +902,7 @@ def write_segment(
         "kw_stats": kw_stats or {},
         "text_fields": sorted(field_norms or {}),
         "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
+        "term_vectors": bool(config.store_term_vectors),
         "points": points_meta,
         "checksums": checksums,
         "metrics": {
@@ -1216,6 +1251,24 @@ class SegmentReader:
             hit = np.fromfile(path, dtype=np.uint8)
             self._field_norms[fieldname] = hit
         return hit
+
+    # -- term vectors --------------------------------------------------------
+
+    def term_vector(self, docid: int) -> pa.Table:
+        """Per-doc (term, freq) vector — the ``TermVectors.get(docID)``
+        role (``core/index/TermVectors.java``). Backed by the segment's
+        docid-sorted ``tv.parquet`` (loaded lazily, memoized); the point
+        lookup is two binary searches on the docid column."""
+        if not self.meta.get("term_vectors"):
+            raise KeyError("segment was built without store_term_vectors")
+        tv = getattr(self, "_tv_table", None)
+        if tv is None:
+            tv = pq.read_table(os.path.join(self.seg_dir, "tv.parquet"))
+            self._tv_table = tv
+            self._tv_docids = np.asarray(tv.column("docid"), dtype=np.int64)
+        lo = int(np.searchsorted(self._tv_docids, docid, "left"))
+        hi = int(np.searchsorted(self._tv_docids, docid, "right"))
+        return tv.slice(lo, hi - lo)
 
     # -- doc values --------------------------------------------------------
 

@@ -233,11 +233,12 @@ def build_index_shuffled(
         or config.dv_cols
         or config.point_cols
         or config.feature_cols
+        or config.store_term_vectors
     ):
         # documented limitation (module docstring): text field only
         raise ValueError(
             "shuffle build indexes the text field only; keyword/DV/point/"
-            "feature fields are a segmented-build feature"
+            "feature fields and term vectors are a segmented-build feature"
         )
     if isinstance(paths, str):
         if os.path.isdir(paths):

@@ -1548,6 +1548,58 @@ from r
 """
 
 
+# term-vector index: same corpus with the per-doc (term, freq) row store
+TV_CONFIG = IndexConfig(
+    rows_per_segment=2048, num_buckets=2, store_term_vectors=True
+)
+TV_DOC_IDS = (5, 17, 123)
+
+
+def term_vectors(sf_dir: str):
+    """Stored term vectors — ``TermVectors.get(docID)``
+    (``core/index/TermVectors.java``, ``Lucene90TermVectorsFormat``):
+    per-doc (term, freq) read back from the segment row store, NOT
+    re-analyzed at query time."""
+    import pyarrow.compute as pc
+
+    idx = get_or_build_index(sf_dir, TV_CONFIG)
+    s = IndexSearcher(idx)
+    wanted = pa.array(list(TV_DOC_IDS), pa.int64())
+    parts = []
+    for seg in s.segments:
+        hit = np.flatnonzero(
+            pc.is_in(seg.docmap.cast(pa.int64()), value_set=wanted)
+        )
+        for local in hit:
+            t = seg.term_vector(int(local))
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [seg.docmap[int(local)].as_py()] * t.num_rows,
+                            pa.int64(),
+                        ),
+                        "term": t.column("term"),
+                        "freq": t.column("freq").cast(pa.int64()),
+                    }
+                )
+            )
+    return pa.concat_tables(parts)
+
+
+def sql_term_vectors() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+with tok as (
+  select doc_id, t.term from documents, unnest(string_split(text, ' ')) as t(term)
+  where t.term <> ''
+)
+select doc_id, term, count(*)::bigint as freq
+from tok where doc_id in ({ids})
+group by doc_id, term
+"""
+
+
 def sort_by_string(sf_dir: str, k: int = 20):
     """SortField.STRING: the 'data' match set ordered by the ``lang``
     string DV column ascending (per-segment ordinals, raw-value global

@@ -1655,6 +1655,15 @@ class IndexSearcher:
             }
         )
 
+    def term_vector(self, docid: int) -> pa.Table:
+        """Per-doc (term, freq) vector by GLOBAL docid — the
+        ``IndexReader.termVectors().get(docID)`` surface; resolves the
+        owning leaf then does the segment-local lookup."""
+        for seg in self.segments:
+            if seg.base_docid <= docid < seg.base_docid + seg.n_docs:
+                return seg.term_vector(docid - seg.base_docid)
+        raise KeyError(f"docid {docid} not in index")
+
     # -- stored fields -----------------------------------------------------
 
     def document(self, docid: int, fields: Optional[Sequence[str]] = None) -> dict:
