@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": sugg.suggest_complete,
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
+        "more_like_this_tv": mlt.more_like_this_tv,
         "phrase_search": sq.phrase_search,
         "multi_phrase_search": sq.multi_phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_complete": sugg.sql_suggest_complete(),
         "highlight_search": hl.sql_highlight_search(),
         "more_like_this": mlt.sql_more_like_this(),
+        "more_like_this_tv": mlt.sql_more_like_this(),
         "phrase_search": sq.sql_phrase_search(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),

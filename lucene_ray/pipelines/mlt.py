@@ -151,3 +151,70 @@ select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
 """
+
+
+def more_like_this_tv(sf_dir: str):
+    """MLT from STORED TERM VECTORS — the reference's primary path
+    (``MoreLikeThis.java`` ``retrieveTerms(int docNum)`` reads
+    ``IndexReader.getTermVector``): seed term freqs come from the
+    index's ``tv.parquet`` row store instead of re-reading and
+    re-analyzing the document text. Selection, scoring, and exclusion
+    are identical to ``more_like_this``, so the same oracle applies —
+    the gate proves vector-sourced tf ≡ re-analysis tf end-to-end."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from lucene_ray.pipelines.search_queries import TV_CONFIG
+
+    idx = get_or_build_index(sf_dir, TV_CONFIG)
+    s = IndexSearcher(idx)
+
+    def seed_tf_from_tv(seed_key: int):
+        want = pa.array([seed_key], pa.int64())
+        for seg in s.segments:
+            hit = np.flatnonzero(
+                pc.is_in(seg.docmap.cast(pa.int64()), value_set=want)
+            )
+            if len(hit):
+                t = seg.term_vector(int(hit[0]))
+                return dict(
+                    zip(
+                        t.column("term").to_pylist(),
+                        t.column("freq").to_pylist(),
+                    )
+                )
+        return {}
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, seed in MLT_SEEDS:
+        tf = seed_tf_from_tv(seed)
+        states = s.term_states(sorted(tf))
+        scored = []
+        for term, f in tf.items():
+            df = s.global_df(states[term])
+            if df == 0:
+                continue
+            scored.append((-(f / (df + 1.0)), term, f))
+        scored.sort()
+        sel = [(t, f) for _, t, f in scored[:TERMS_K]]
+        q = BooleanQuery(tuple((SHOULD, TermQuery(t)) for t, _ in sel))
+        r = s.search(q, k=K + 1, mode="exhaustive")
+        rank = 0
+        for key, score in zip(r["keys"], r["scores"]):
+            if int(key) == seed:
+                continue
+            if rank >= K:
+                break
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(int(key))
+            out_s.append(float(score))
+            rank += 1
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )

@@ -70,3 +70,13 @@ class TestTermVectors:
         for d, key in zip(r["docids"], r["keys"]):
             t = s.term_vector(int(d))
             assert "data" in t.column("term").to_pylist()
+
+
+class TestMltFromTv:
+    def test_tv_mlt_equals_text_mlt(self, ray_session):
+        from lucene_ray.pipelines.mlt import more_like_this, more_like_this_tv
+
+        sf = "/root/testdata/sf0.001"
+        a = more_like_this(sf).to_pandas()
+        b = more_like_this_tv(sf).to_pandas()
+        assert a.equals(b)
