@@ -59,6 +59,9 @@ def main(argv=None):
     b.add_argument("--point-cols", default="",
                    help="comma-separated dv columns that also get the 1-D "
                         "point sidecar (LongPoint/BKD range filtering)")
+    b.add_argument("--term-vectors", action="store_true",
+                   help="store per-doc (term, freq) vectors "
+                        "(TermVectorsFormat role)")
     b.add_argument("--index-sort", default=None,
                    help="'field:asc|desc' index sort (IndexWriterConfig."
                         "setIndexSort role); field must be in --dv-cols")
@@ -107,6 +110,7 @@ def main(argv=None):
             dv_cols=_cols(args.dv_cols),
             point_cols=_cols(args.point_cols),
             index_sort=isort,
+            store_term_vectors=args.term_vectors,
         )
         t0 = time.time()
         if args.shuffle:

@@ -95,6 +95,31 @@ def check_segment(seg_dir: str) -> List[str]:
         except Exception as e:
             problems.append(f"{seg_dir}: points {pf!r} check failed: {e}")
 
+    if meta.get("term_vectors"):
+        # term-vector row store: file present, docids sorted + in range,
+        # freqs positive, terms sorted within each doc
+        try:
+            import pyarrow.parquet as _pq
+
+            tv = _pq.read_table(os.path.join(seg_dir, "tv.parquet"))
+            d = np.asarray(tv.column("docid"), dtype=np.int64)
+            if len(d) and (np.diff(d) < 0).any():
+                problems.append(f"{seg_dir}: tv docids not sorted")
+            if len(d) and (d.min() < 0 or d.max() >= meta["n_docs"]):
+                problems.append(f"{seg_dir}: tv docid out of range")
+            f = np.asarray(tv.column("freq"), dtype=np.int64)
+            if len(f) and (f <= 0).any():
+                problems.append(f"{seg_dir}: tv non-positive freq")
+            terms = tv.column("term").to_pylist()
+            for i in range(1, len(terms)):
+                if d[i] == d[i - 1] and not terms[i - 1] < terms[i]:
+                    problems.append(
+                        f"{seg_dir}: tv terms not sorted within doc {d[i]}"
+                    )
+                    break
+        except Exception as e:
+            problems.append(f"{seg_dir}: term-vector check failed: {e}")
+
     n_docs = meta["n_docs"]
     sum_df = 0
     sum_ttf = 0
