@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "bm25_topk_multireader": sq.bm25_topk_multireader,
+        "bm25_topk_deleted": sq.bm25_topk_deleted,
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
         "html_bm25_topk": sq.html_bm25_topk,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sq.sql_bm25_topk(),
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "bm25_topk_multireader": sq.sql_bm25_topk(),
+        "bm25_topk_deleted": sq.sql_bm25_topk_deleted(),
         "pretokenized_topk": sq.sql_pretokenized_topk(),
         "bm25_topk_plain": sq.sql_bm25_topk_plain(),
         "html_bm25_topk": sq.sql_html_bm25_topk(),

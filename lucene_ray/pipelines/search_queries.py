@@ -1548,6 +1548,63 @@ from r
 """
 
 
+def bm25_topk_deleted(sf_dir: str):
+    """Deletes end-to-end (``IndexWriter.deleteDocuments(Query)`` +
+    ``Lucene90LiveDocsFormat``): lang:de docs are tombstoned, then the
+    standard term workload runs — matches filter to LIVE docs while
+    collection statistics (df, norms, avgdl) keep their pre-delete
+    values until compaction, exactly the reference's semantics. The
+    oracle scores with FULL-corpus stats and filters lang<>'de'."""
+    import ray.data
+
+    from lucene_ray.index.deletes import delete_by_query
+
+    # a DEDICATED index (distinct cache key): tombstones must never
+    # leak into the MF_CONFIG index shared by the other gate entries
+    del_config = IndexConfig(
+        rows_per_segment=2048, num_buckets=2, keyword_cols=("lang",)
+    )
+    idx = get_or_build_index(sf_dir, del_config)
+    # apply the tombstones once per cache entry (generational bitmaps
+    # are idempotent, but skip the re-evaluation on warm runs)
+    marker = os.path.join(idx, ".deleted_lang_de")
+    if not os.path.exists(marker):
+        delete_by_query(idx, "#lang:de")
+        with open(marker, "w") as f:
+            f.write("lang:de")
+    qds = ray.data.from_items([{"qid": q, "query": t} for q, t in TERM_QUERIES])
+    res = search_dataset(idx, qds, k=K, concurrency=2)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid").cast(pa.int32()),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_bm25_topk_deleted() -> str:
+    # identical scoring algebra over the FULL corpus (deleted docs still
+    # count in df/norms/avgdl), matches filtered to live (lang<>'de')
+    return f"""{_PRELUDE},
+{_score_cte(TERM_QUERIES)}
+, ranked as (
+  select t.qid, t.doc_id, t.s as score,
+         row_number() over (partition by t.qid order by t.s desc, t.doc_id asc) as rn
+  from tscore t join documents d using (doc_id)
+  where d.lang <> 'de'
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
 # term-vector index: same corpus with the per-doc (term, freq) row store
 TV_CONFIG = IndexConfig(
     rows_per_segment=2048, num_buckets=2, store_term_vectors=True
