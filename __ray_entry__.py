@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combined_field_topk": sq.combined_field_topk,
         "feature_boosted_topk": sq.feature_boosted_topk,
         "grouped_topk": sq.grouped_topk,
+        "diversified_topk": sq.diversified_topk,
         "join_search": joins.join_search,
         "block_join_topk": joins.block_join_topk,
         "block_join_total": joins.block_join_total,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "combined_field_topk": sq.sql_combined_field_topk(),
         "feature_boosted_topk": sq.sql_feature_boosted_topk(),
         "grouped_topk": sq.sql_grouped_topk(),
+        "diversified_topk": sq.sql_diversified_topk(),
         "join_search": joins.sql_join_search(),
         "block_join_topk": joins.sql_block_join_topk(),
         "block_join_total": joins.sql_block_join_total(),

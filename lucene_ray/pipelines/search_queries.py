@@ -1548,6 +1548,56 @@ from r
 """
 
 
+def diversified_topk(sf_dir: str, k: int = 10, cap: int = 2):
+    """Diversified top-k (``DiversifiedTopDocsCollector``): BM25 hits for
+    'data' with at most ``cap`` results per lang."""
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.search_diversified("data", "lang", max_per_key=cap, k=k)
+    return pa.table(
+        {
+            "rank": t.column("rank"),
+            "lang": t.column("key_value"),
+            "doc_id": t.column("key").cast(pa.int64()),
+            "score": t.column("score"),
+        }
+    )
+
+
+def sql_diversified_topk(k: int = 10, cap: int = 2) -> str:
+    return f"""{_PRELUDE},
+tf1 as (
+  select tok.doc_id, count(*)::bigint as tf from tok
+  where tok.term = 'data' group by 1
+),
+df1 as (select count(distinct doc_id) as df from tok where term = 'data'),
+sc as (
+  select tf1.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf1.tf as float) * f.inv) as s
+  from tf1
+  cross join (
+    select cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5))
+                as float) as w
+    from df1
+  ) w
+  join fnorm f on f.doc_id = tf1.doc_id
+),
+capped as (
+  select t.doc_id, d.lang, t.s,
+         row_number() over (partition by d.lang order by t.s desc, t.doc_id asc) as kr
+  from sc t join documents d using (doc_id)
+  where d.lang is not null
+),
+ranked as (
+  select doc_id, lang, s,
+         row_number() over (order by s desc, doc_id asc) as rn
+  from capped where kr <= {cap}
+)
+select cast(rn - 1 as int) as rank, lang, doc_id, cast(s as float) as score
+from ranked where rn <= {k}
+"""
+
+
 def bm25_topk_deleted(sf_dir: str):
     """Deletes end-to-end (``IndexWriter.deleteDocuments(Query)`` +
     ``Lucene90LiveDocsFormat``): lang:de docs are tombstoned, then the

@@ -1655,6 +1655,65 @@ class IndexSearcher:
             }
         )
 
+    def search_diversified(
+        self, query, key_field: str, max_per_key: int, k: int = 10
+    ) -> pa.Table:
+        """Diversified top-k — the ``lucene/misc``
+        ``DiversifiedTopDocsCollector`` role (``misc/src/java/org/apache/
+        lucene/misc/search/DiversifiedTopDocsCollector.java``): at most
+        ``max_per_key`` hits per key value among the results. Selection
+        is the greedy order — scan hits by (score desc, seg, docid asc),
+        take a hit iff its key has fewer than ``max_per_key`` already-
+        taken hits, stop at ``k`` — which equals filtering per-key rank
+        ≤ cap then taking the global top-k (a higher-scored same-key hit
+        is skipped only when the cap is already exhausted). Hits with a
+        null key are skipped, like missing values in the reference's
+        key source.
+
+        → table (rank, key_value, key, docid, score)."""
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        else:
+            query = localize_query(query)
+        query = deduplicate_clauses(query, self.sim.compute_query_term_weight)
+        states = self.term_states(query_terms(query))
+        rows = []  # (-score, seg, docid, key_value)
+        for si, seg in enumerate(self.segments):
+            r = self._eval(query, si, states)
+            if len(r.docids) == 0:
+                continue
+            vals = seg.dv(key_field).take(
+                pa.array(r.docids.astype(np.int64))
+            ).to_pylist()
+            for d, s, g in zip(r.docids, r.scores, vals):
+                if g is None:
+                    continue
+                rows.append((-float(s), si, int(d), g))
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        taken: Dict[object, int] = {}
+        out = []
+        for ns, si, d, g in rows:
+            if taken.get(g, 0) >= max_per_key:
+                continue
+            taken[g] = taken.get(g, 0) + 1
+            out.append((-ns, si, d, g))
+            if len(out) >= k:
+                break
+        return pa.table(
+            {
+                "rank": pa.array(range(len(out)), pa.int32()),
+                "key_value": pa.array([g for *_, g in out]),
+                "key": pa.array(
+                    [self.segments[si].docmap[d].as_py() for _, si, d, _ in out]
+                ),
+                "docid": pa.array(
+                    [self.segments[si].base_docid + d for _, si, d, _ in out],
+                    pa.int64(),
+                ),
+                "score": pa.array([s for s, *_ in out], pa.float32()),
+            }
+        )
+
     def term_vector(self, docid: int) -> pa.Table:
         """Per-doc (term, freq) vector by GLOBAL docid — the
         ``IndexReader.termVectors().get(docID)`` surface; resolves the

@@ -219,3 +219,34 @@ class TestFacetTaxonomy:
                 assert n == sum(
                     v for q, v in got.items() if q.startswith(p + "/")
                 )
+
+
+class TestDiversifiedTopK:
+    def test_greedy_cap_vs_bruteforce(self, searcher, corpus):
+        t = searcher.search_diversified("data", "lang", max_per_key=2, k=15)
+        # brute-force greedy reference
+        ids = corpus.column("doc_id").to_pylist()
+        langs = dict(zip(ids, corpus.column("lang").to_pylist()))
+        r = searcher.search("data", k=10**6)
+        hits = sorted(
+            zip([-float(s) for s in r["scores"]], [int(k) for k in r["keys"]])
+        )
+        taken, want = {}, []
+        for ns, d in hits:
+            g = langs[d]
+            if taken.get(g, 0) >= 2:
+                continue
+            taken[g] = taken.get(g, 0) + 1
+            want.append(d)
+            if len(want) >= 15:
+                break
+        assert t.column("key").to_pylist() == want
+        # no key exceeds the cap
+        from collections import Counter
+
+        assert max(Counter(t.column("key_value").to_pylist()).values()) <= 2
+
+    def test_cap_one_gives_distinct_keys(self, searcher):
+        t = searcher.search_diversified("data", "lang", max_per_key=1, k=10)
+        vals = t.column("key_value").to_pylist()
+        assert len(vals) == len(set(vals))
