@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": co.text_quality,
         "gopher_quality": co.gopher_quality,
         "sample_hash": co.sample_hash,
+        "sample_stratified": co.sample_stratified,
         "lm_perplexity": lm_score.lm_perplexity,
         "repetition_stats": co.repetition_stats,
         "token_counts": co.token_counts,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": co.sql_text_quality(),
         "gopher_quality": co.sql_gopher_quality(),
         "sample_hash": co.sql_sample_hash(),
+        "sample_stratified": co.sql_sample_stratified(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
         "repetition_stats": co.sql_repetition_stats(),
         "token_counts": co.sql_token_counts(),

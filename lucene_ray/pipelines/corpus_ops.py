@@ -526,3 +526,50 @@ select d.doc_id,
        length(regexp_extract_all(d.text, '{BPE_PATTERN}'))::bigint as bpe_tokens
 from documents d left join ws w using (doc_id)
 """
+
+
+def sample_stratified(sf_dir: str, per_lang: int = 20):
+    """Balanced per-group downsample — the training-mix construction
+    primitive (equal docs per language regardless of skew): within each
+    lang keep the ``per_lang`` docs with the smallest md5(doc_id) rank.
+    Deterministic (reruns pick the same rows), shuffle bounded by the
+    group keys, selection inside ``groupby(lang).map_groups``."""
+    import hashlib
+
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+
+    def add_rank_key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return b.append_column("h", pa.array(h, pa.string()))
+
+    def pick(group: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                np.asarray(group.column("doc_id"), dtype=np.int64),
+                np.array(group.column("h").to_pylist(), dtype=object),
+            )
+        )[:per_lang]
+        out = group.take(pa.array(np.sort(order)))
+        return out.select(["doc_id", "lang"])
+
+    return (
+        ds.map_batches(add_rank_key, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+def sql_sample_stratified(per_lang: int = 20) -> str:
+    return f"""
+with ranked as (
+  select doc_id, lang,
+         row_number() over (partition by lang
+                            order by md5(cast(doc_id as varchar)) asc,
+                                     doc_id asc) as rn
+  from documents
+)
+select doc_id, lang from ranked where rn <= {per_lang}
+"""

@@ -321,3 +321,34 @@ class TestHoppingWindows:
         assert hop[["event_type", "w_us", "n", "sum_bp"]].equals(
             tum[["event_type", "w_us", "n", "sum_bp"]]
         )
+
+
+class TestStratifiedSample:
+    def test_balanced_and_deterministic(self, ray_session):
+        import hashlib
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import sample_stratified
+
+        a = sample_stratified(SF, per_lang=7).to_pandas()
+        b = sample_stratified(SF, per_lang=7).to_pandas()
+        ka = sorted(map(tuple, a[["doc_id", "lang"]].values.tolist()))
+        kb = sorted(map(tuple, b[["doc_id", "lang"]].values.tolist()))
+        assert ka == kb  # deterministic
+        counts = a.groupby("lang").size()
+        assert (counts <= 7).all()
+        # brute force: smallest md5-hex per lang
+        tbl = pq.read_table(DOCS, columns=["doc_id", "lang"])
+        by_lang = {}
+        for d, l in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("lang").to_pylist()
+        ):
+            by_lang.setdefault(l, []).append(
+                (hashlib.md5(str(d).encode()).hexdigest(), d)
+            )
+        want = sorted(
+            (d, l)
+            for l, rows in by_lang.items()
+            for _, d in sorted(rows)[:7]
+        )
+        assert ka == want
