@@ -87,6 +87,16 @@ def main(argv=None):
     c.add_argument("--index", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
 
+    e = sub.add_parser(
+        "export",
+        help="stream a query's FULL match set to partitioned Parquet "
+             "(one file per segment — resumable, never a driver list)",
+    )
+    e.add_argument("--index", required=True)
+    e.add_argument("--query", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
 
@@ -158,6 +168,11 @@ def main(argv=None):
             "total_hits": res["total_hits"],
             "relation": res["relation"],
         }))
+    elif args.cmd == "export":
+        from lucene_ray.pipelines.export import export_matches
+
+        n = export_matches(args.index, args.query, args.out)
+        print(json.dumps({"out": args.out, "rows": n}))
     elif args.cmd == "check":
         from lucene_ray.index.check import check_index
 
