@@ -244,11 +244,10 @@ def minhash_lsh_dedup(sf_dir: str):
     return out.sort(["a", "b"])
 
 
-def sql_minhash_lsh_dedup() -> str:
-    """Exact all-pairs trigram Jaccard ≥ τ — ground truth the LSH plan must
-    reproduce (detection probability leaves ~5e-8 miss chance)."""
-    return f"""
-with w as (
+# shared CTE block: exact all-pairs trigram Jaccard ≥ τ over `documents`
+# (ground truth the LSH plan must reproduce; also the edge set of the
+# connected-components oracle below)
+_PAIRS_CTES = f"""w as (
   select doc_id, string_split(text, ' ') as ws from documents
 ),
 sh as (
@@ -265,11 +264,21 @@ inter as (
   select x.doc_id as a, y.doc_id as b, count(*) as i
   from allsh x join allsh y on x.shingle = y.shingle and x.doc_id < y.doc_id
   group by 1, 2
-)
-select a, b,
-       cast(floor(i * 10000.0 / (sa.n + sb.n - i)) as bigint) as j_bp
-from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b
-where i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+),
+pairs_q as (
+  select a, b,
+         cast(floor(i * 10000.0 / (sa.n + sb.n - i)) as bigint) as j_bp
+  from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b
+  where i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+)"""
+
+
+def sql_minhash_lsh_dedup() -> str:
+    """Exact all-pairs trigram Jaccard ≥ τ — ground truth the LSH plan must
+    reproduce (detection probability leaves ~5e-8 miss chance)."""
+    return f"""
+with {_PAIRS_CTES}
+select a, b, j_bp from pairs_q
 order by a, b
 """
 
@@ -646,4 +655,193 @@ select a.vec_id as a, b.vec_id as b,
 from embeddings a join embeddings b on a.vec_id < b.vec_id
 where list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 order by a, b
+"""
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate connected components (pairs → clusters → keep-set)
+# --------------------------------------------------------------------------
+
+
+def dedup_components(sf_dir: str, max_rounds: int = 64):
+    """→ (doc_id, component, keep), one row per document: near-duplicate
+    CLUSTERS as connected components over the verified MinHash pair graph
+    — the final stage of a web-scale dedup pipeline (pairs alone don't
+    dedup anything; the keep-set does).
+
+    ``component`` = smallest doc_id reachable through duplicate pairs
+    (docs in no pair are singleton components of themselves);
+    ``keep`` = 1 on the canonical representative (doc_id == component).
+
+    Ray shape — iterative min-label propagation, every round distributed:
+
+    - edge list = verified pairs symmetrized, materialized ONCE: the
+      iterative state is O(|candidate pairs|), far smaller than the
+      corpus at any scale;
+    - init fuses round one: ``groupby(u).min(v)`` over edges ∪ self-loops
+      = min(self, direct neighbors);
+    - each round: ``Dataset.join`` labels onto edges (hash shuffle), then
+      ``groupby(node).min(label)`` over propagated ∪ current labels;
+    - convergence check: labels are monotone non-increasing, so the
+      global label SUM strictly decreases until fixpoint — one scalar
+      aggregate per round, no change-count join. Rounds ≤ cluster graph
+      diameter (near-dup clusters are shallow).
+    - finish: (doc_id, doc_id) rows for the whole corpus ∪ component
+      labels → ``groupby(doc_id).min`` — labels never exceed their node
+      id, so the union-min IS the left join with coalesce(self).
+    """
+    import ray
+    import ray.data
+
+    pairs = minhash_lsh_dedup(sf_dir)
+
+    def _cat(x, y) -> pa.ChunkedArray:
+        return pa.chunked_array(
+            [pa.array([], pa.int64())]
+            + [c for col in (x, y) for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col])]
+        )
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        b = batch.column("b")
+        return pa.table({"u": _cat(a, b), "v": _cat(b, a)})
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        uv = _cat(batch.column("a"), batch.column("b"))
+        return pa.table({"u": uv, "v": uv})
+
+    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+
+    def _as_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": batch.column("u"), "l": batch.column(batch.column_names[1])}
+        )
+
+    labels = (
+        edges.union(pairs.map_batches(self_loops, batch_format="pyarrow"))
+        .groupby("u")
+        .min("v")
+        .map_batches(_as_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # one propagation round = one groupby: rows (u, v, tag) where tag=0
+    # carries u's current label in v and tag=1 an edge target; the group
+    # task emits (target, label) for every edge out of u. (The hash-join
+    # expressed as union+groupby — same shape as the MinHash verify.)
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "v": batch.column("v"),
+                "tag": pa.array([1] * batch.num_rows, pa.int32()),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "v": batch.column("l"),
+                "tag": pa.array([0] * batch.num_rows, pa.int32()),
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        tags = np.asarray(group.column("tag"))
+        lab_rows = np.flatnonzero(tags == 0)
+        edge_rows = np.flatnonzero(tags == 1)
+        if len(lab_rows) == 0 or len(edge_rows) == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "l": pa.array([], pa.int64())}
+            )
+        lab = group.column("v")[int(lab_rows[0])].as_py()
+        return pa.table(
+            {
+                "u": group.column("v").take(edge_rows),
+                "l": pa.array([lab] * len(edge_rows), pa.int64()),
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    prev_sum = labels.sum("l") if labels.count() else 0
+    for _ in range(max_rounds):
+        if prev_sum == 0:
+            break  # no pairs at all
+        prop = (
+            tagged_edges.union(
+                labels.map_batches(tag_labels, batch_format="pyarrow")
+            )
+            .groupby("u")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            prop.union(labels)
+            .groupby("u")
+            .min("l")
+            .map_batches(_as_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = labels.sum("l")
+        if cur == prev_sum:
+            break  # fixpoint: min-labels are monotone non-increasing
+        prev_sum = cur
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds}")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def doc_self(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        return pa.table({"u": d, "l": d})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        comp = batch.column(batch.column_names[1])
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("u"),
+                "component": comp,
+                "keep": pc.cast(pc.equal(batch.column("u"), comp), pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(doc_self, batch_format="pyarrow")
+        .union(labels)
+        .groupby("u")
+        .min("l")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return out.sort("doc_id")
+
+
+def sql_dedup_components() -> str:
+    """Connected components by recursive reachability over the exact-pair
+    edge set: every node collects every label it can reach; min = the
+    component's smallest doc_id. Terminates — the recursive union
+    deduplicates (v, l) rows and the universe is finite."""
+    return f"""
+with recursive {_PAIRS_CTES},
+edges as (
+  select a as u, b as v from pairs_q
+  union
+  select b as u, a as v from pairs_q
+),
+reach(v, l) as (
+  select u, u from (select distinct u from edges) t(u)
+  union
+  select e.v, r.l from reach r join edges e on e.u = r.v
+),
+comp as (select v, min(l) as component from reach group by v)
+select d.doc_id,
+       coalesce(c.component, d.doc_id) as component,
+       cast(case when coalesce(c.component, d.doc_id) = d.doc_id
+            then 1 else 0 end as bigint) as keep
+from documents d left join comp c on c.v = d.doc_id
+order by doc_id
 """

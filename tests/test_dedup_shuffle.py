@@ -130,3 +130,77 @@ class TestLshKnn:
             for _, r in grp.iterrows():
                 sim = float(mat[pos[int(qid)]] @ mat[pos[int(r.vec_id)]])
                 assert int(np.floor(sim * 10000 + 0.5)) == int(r.sim_bp)
+
+
+class TestDedupComponents:
+    def test_matches_union_find_on_testdata(self, ray_session, tmp_path):
+        """Engine components == driver union-find over the verified pairs."""
+        from lucene_ray.pipelines.dedup import dedup_components, minhash_lsh_dedup
+
+        sf = "/root/testdata/sf0.001"
+        pairs = minhash_lsh_dedup(sf).to_pandas()
+        docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        parent = {int(d): int(d) for d in docs.column("doc_id").to_pylist()}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a"], pairs["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {d: find(d) for d in parent}
+
+        got = dedup_components(sf).to_pandas()
+        assert len(got) == len(want)
+        for d, c, k in zip(got["doc_id"], got["component"], got["keep"]):
+            assert want[int(d)] == int(c)
+            assert int(k) == (1 if int(c) == int(d) else 0)
+
+    def test_transitive_chain_needs_multiple_rounds(self, ray_session, tmp_path):
+        """A near-dup CHAIN (ends not pairwise similar) still collapses to
+        one component — exercises >1 propagation round."""
+        from lucene_ray.pipelines.dedup import dedup_components, shingles
+
+        words = [f"tok{i:03d}" for i in range(80)]
+        texts = [" ".join(words[s : s + 40]) for s in (0, 2, 4, 6, 8)]
+
+        def jac(x, y):
+            sx, sy = shingles(x), shingles(y)
+            return len(sx & sy) / len(sx | sy)
+
+        assert jac(texts[0], texts[1]) >= 0.8  # adjacent: near-dups
+        assert jac(texts[0], texts[-1]) < 0.8  # ends: not
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        d = tmp_path / "chain"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = dedup_components(str(d)).to_pandas().sort_values("doc_id")
+        assert list(got["component"]) == [0, 0, 0, 0, 0]
+        assert list(got["keep"]) == [1, 0, 0, 0, 0]
+
+    def test_no_pairs_all_singletons(self, ray_session, tmp_path):
+        from lucene_ray.pipelines.dedup import dedup_components
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7, 9, 11], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta", "one two three four", "x y z w"]
+                ),
+            }
+        )
+        d = tmp_path / "nodups"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = dedup_components(str(d)).to_pandas().sort_values("doc_id")
+        assert list(got["component"]) == [7, 9, 11]
+        assert list(got["keep"]) == [1, 1, 1]
