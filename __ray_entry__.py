@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": co.gopher_quality,
         "sample_hash": co.sample_hash,
         "sample_stratified": co.sample_stratified,
+        "length_quantiles": co.length_quantiles,
         "lm_perplexity": lm_score.lm_perplexity,
         "repetition_stats": co.repetition_stats,
         "token_counts": co.token_counts,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": co.sql_gopher_quality(),
         "sample_hash": co.sql_sample_hash(),
         "sample_stratified": co.sql_sample_stratified(),
+        "length_quantiles": co.sql_length_quantiles(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
         "repetition_stats": co.sql_repetition_stats(),
         "token_counts": co.sql_token_counts(),

@@ -573,3 +573,81 @@ with ranked as (
 )
 select doc_id, lang from ranked where rn <= {per_lang}
 """
+
+
+# --------------------------------------------------------------------------
+# Exact distributed quantiles (filter-threshold selection: "drop docs
+# below the p10 / above the p99 length" needs the percentiles first).
+# Scale shape: per-batch value-counts pre-aggregation → groupby(value)
+# histogram — the only thing that ever leaves the workers is one row per
+# DISTINCT length (bounded cardinality: thousands of rows even at 100 TB,
+# like collection_stats), never the data.
+# --------------------------------------------------------------------------
+
+
+def length_quantiles(
+    sf_dir: str,
+    q_bps: Tuple[int, ...] = (1000, 2500, 5000, 7500, 9000, 9900),
+):
+    """→ (q_bp, value): exact type-1 (lower discrete) quantiles of
+    ``n_chars`` — value = smallest v whose cumulative count ≥
+    ``ceil(q·N)``, with the ceiling in INTEGER arithmetic
+    (``(q_bp·N + 9999) // 10000``) so the SQL oracle floors identically.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("n_chars"))
+        return pa.table(
+            {
+                "v": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+        .sort("v")
+        .take_all()  # one row per DISTINCT length — the documented small side
+    )
+    vals = np.array([r["v"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.array([r["sum(c)"] for r in hist], dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in q_bps:
+        rank = (q * n + 9999) // 10000  # ceil(q·N) in basis points
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(q))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]) if n else None)
+    return pa.table(
+        {
+            "q_bp": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def sql_length_quantiles(
+    q_bps: Tuple[int, ...] = (1000, 2500, 5000, 7500, 9000, 9900),
+) -> str:
+    qs = ", ".join(f"({q})" for q in q_bps)
+    return f"""
+with qs(q_bp) as (values {qs}),
+h as (select n_chars as v, count(*) as c from documents group by 1),
+s as (
+  select v, sum(c) over (order by v) as cum,
+         (select count(*) from documents) as n
+  from h
+),
+sel as (
+  select q_bp, min(v) as value
+  from qs join s on s.cum >= (q_bp * s.n + 9999) // 10000
+  group by q_bp
+)
+select q_bp, value from sel order by q_bp
+"""

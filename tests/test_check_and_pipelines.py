@@ -352,3 +352,37 @@ class TestStratifiedSample:
             for _, d in sorted(rows)[:7]
         )
         assert ka == want
+
+
+class TestLengthQuantiles:
+    def test_matches_numpy_type1_rule(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import length_quantiles
+
+        got = length_quantiles(SF).to_pandas()
+        vals = np.sort(
+            pq.read_table(DOCS, columns=["n_chars"]).column("n_chars").to_numpy()
+        )
+        n = len(vals)
+        for q, v in zip(got["q_bp"], got["value"]):
+            rank = (int(q) * n + 9999) // 10000  # ceil(q*n), 1-indexed
+            assert int(v) == int(vals[max(rank, 1) - 1])
+
+    def test_extremes(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import length_quantiles
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(4)), pa.int64()),
+                "n_chars": pa.array([5, 1, 9, 9], pa.int64()),
+            }
+        )
+        d = tmp_path / "lq"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = length_quantiles(str(d), q_bps=(1, 2500, 5000, 10000)).to_pandas()
+        # ranks over sorted [1,5,9,9]: ceil(.0001*4)=1→1, ceil(.25*4)=1→1,
+        # ceil(.5*4)=2→5, ceil(1*4)=4→9
+        assert list(got["value"]) == [1, 1, 5, 9]
