@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": co.sample_hash,
         "sample_stratified": co.sample_stratified,
         "length_quantiles": co.length_quantiles,
+        "collocations": co.collocations,
         "lm_perplexity": lm_score.lm_perplexity,
         "repetition_stats": co.repetition_stats,
         "token_counts": co.token_counts,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": co.sql_sample_hash(),
         "sample_stratified": co.sql_sample_stratified(),
         "length_quantiles": co.sql_length_quantiles(),
+        "collocations": co.sql_collocations(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
         "repetition_stats": co.sql_repetition_stats(),
         "token_counts": co.sql_token_counts(),

@@ -651,3 +651,156 @@ sel as (
 )
 select q_bp, value from sel order by q_bp
 """
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (phrase-vocabulary mining — the classic first step of
+# tokenizer / phrase-table construction over a web corpus). Tokens are
+# the RAW single-space split, same convention as repetition_stats.
+# Scale shape: ONE groupby carries per-batch pre-aggregated unigram,
+# bigram and total counts (tagged rows); the unigram table is vocab-sized
+# and broadcast via ray.put (the nb_classify pattern); bigram scoring
+# stays distributed; only top-k leaves.
+# --------------------------------------------------------------------------
+
+
+def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """→ (w1, w2, c_ab, pmi_micro) top-``k`` adjacent-word bigrams by
+    pointwise mutual information, ``c_ab ≥ min_count``, ordered by
+    (pmi desc, w1, w2).
+
+    ``pmi_micro = floor(ln((c_ab·N_uni²) / (c_a·c_b·N_bi)) · 1e6 + 0.5)``
+    — integer products cast to float64 before one division, then one
+    ``ln``: the exact expression the DuckDB oracle evaluates, so the
+    quantized score matches bit-for-bit (same device as lm_perplexity).
+    The int64 products bound corpus size at ~2^26 tokens per the oracle's
+    own overflow limit — shard PMI by key range beyond that."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.text_kernels import flat_words
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        flat, offsets = flat_words(b.column("text"))
+        toks = flat.to_numpy(zero_copy_only=False)
+        ok = toks != ""
+        w1s: list = []
+        w2s: list = []
+        cs: list = []
+        kinds: list = []
+        uvals, ucnt = np.unique(toks[ok], return_counts=True)
+        w1s.append(uvals)
+        w2s.append(np.full(len(uvals), "", dtype=object))
+        cs.append(ucnt.astype(np.int64))
+        kinds.append(np.zeros(len(uvals), np.int32))
+        n_bi = 0
+        if len(toks) >= 2:
+            codes, vocab = pd.factorize(toks)
+            codes = codes.astype(np.int64)
+            row = np.repeat(
+                np.arange(len(b), dtype=np.int64), np.diff(offsets)
+            )
+            j = np.arange(len(toks) - 1)
+            valid = (row[j] == row[j + 1]) & ok[j] & ok[j + 1]
+            j = j[valid]
+            n_bi = len(j)
+            if n_bi:
+                key = codes[j] * len(vocab) + codes[j + 1]
+                ukey, kcnt = np.unique(key, return_counts=True)
+                v = np.asarray(vocab, dtype=object)
+                w1s.append(v[ukey // len(vocab)])
+                w2s.append(v[ukey % len(vocab)])
+                cs.append(kcnt.astype(np.int64))
+                kinds.append(np.ones(len(ukey), np.int32))
+        # totals: kind 2 = unigram tokens, kind 3 = bigram instances
+        w1s.append(np.array(["", ""], dtype=object))
+        w2s.append(np.array(["", ""], dtype=object))
+        cs.append(np.array([int(ok.sum()), n_bi], np.int64))
+        kinds.append(np.array([2, 3], np.int32))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "w1": pa.array(np.concatenate(w1s), pa.string()),
+                "w2": pa.array(np.concatenate(w2s), pa.string()),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .sum("c")
+        .materialize()
+    )
+
+    def _not_bigrams(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("kind"), 1))
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), 1))
+
+    small = agg.map_batches(_not_bigrams, batch_format="pyarrow").take_all()
+    uni = {r["w1"]: int(r["sum(c)"]) for r in small if r["kind"] == 0}
+    n_uni = sum(int(r["sum(c)"]) for r in small if r["kind"] == 2)
+    n_bi = sum(int(r["sum(c)"]) for r in small if r["kind"] == 3)
+    uni_ref = ray.put(uni)
+
+    def score(t: pa.Table) -> pa.Table:
+        u = ray.get(uni_ref)
+        c_ab = np.asarray(t.column("sum(c)"), dtype=np.int64)
+        keep = c_ab >= min_count
+        w1 = np.asarray(t.column("w1"))[keep]
+        w2 = np.asarray(t.column("w2"))[keep]
+        c_ab = c_ab[keep]
+        ca = np.array([u[x] for x in w1], np.int64)
+        cb = np.array([u[x] for x in w2], np.int64)
+        num = (c_ab * n_uni * n_uni).astype(np.float64)
+        den = (ca * cb * n_bi).astype(np.float64)
+        pmi = np.floor(np.log(num / den) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c_ab": pa.array(c_ab),
+                "pmi_micro": pa.array(pmi),
+            }
+        )
+
+    scored = agg.map_batches(_bigrams, batch_format="pyarrow").map_batches(
+        score, batch_format="pyarrow"
+    )
+    return scored.sort(
+        ["pmi_micro", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+
+
+def sql_collocations(min_count: int = 5, k: int = 20) -> str:
+    return f"""
+with w as (select string_split(text, ' ') as ws from documents),
+uni as (
+  select t, count(*) as c
+  from (select unnest(ws) as t from w) where t <> '' group by t
+),
+nu as (select sum(c) as n from uni),
+bi as (
+  select ws[i+1] as w1, ws[i+2] as w2, count(*) as c
+  from w, unnest(range(greatest(array_length(ws) - 1, 0))) as r(i)
+  where ws[i+1] <> '' and ws[i+2] <> ''
+  group by 1, 2
+),
+nb as (select sum(c) as n from bi)
+select w1, w2, bi.c as c_ab,
+       cast(floor(ln((bi.c * nu.n * nu.n)::DOUBLE
+                     / (u1.c * u2.c * nb.n)::DOUBLE) * 1000000 + 0.5)
+            as bigint) as pmi_micro
+from bi, nu, nb
+join uni u1 on u1.t = bi.w1
+join uni u2 on u2.t = bi.w2
+where bi.c >= {min_count}
+order by pmi_micro desc, w1, w2
+limit {k}
+"""

@@ -386,3 +386,62 @@ class TestLengthQuantiles:
         # ranks over sorted [1,5,9,9]: ceil(.0001*4)=1→1, ceil(.25*4)=1→1,
         # ceil(.5*4)=2→5, ceil(1*4)=4→9
         assert list(got["value"]) == [1, 1, 5, 9]
+
+
+class TestCollocations:
+    def test_matches_bruteforce_pmi(self, ray_session):
+        import math
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import collocations
+
+        got = collocations(SF, min_count=3, k=15).to_pandas()
+        texts = pq.read_table(DOCS, columns=["text"]).column("text").to_pylist()
+        from collections import Counter
+
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            ws = (t or "").split(" ")
+            uni.update(w for w in ws if w != "")
+            bi.update(
+                (a, b)
+                for a, b in zip(ws, ws[1:])
+                if a != "" and b != ""
+            )
+        n_uni, n_bi = sum(uni.values()), sum(bi.values())
+        scored = []
+        for (a, b), c in bi.items():
+            if c < 3:
+                continue
+            pmi = math.floor(
+                math.log((c * n_uni * n_uni) / (uni[a] * uni[b] * n_bi))
+                * 1_000_000
+                + 0.5
+            )
+            scored.append((-pmi, a, b, c))
+        scored.sort()
+        want = [(a, b, c, -np) for np, a, b, c in scored[:15]]
+        assert (
+            list(map(tuple, got[["w1", "w2", "c_ab", "pmi_micro"]].values)) == want
+        )
+
+    def test_empty_token_rows(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import collocations
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a  b a b", "", "a b a b a b"]),
+            }
+        )
+        d = tmp_path / "col"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = collocations(str(d), min_count=2, k=10).to_pandas()
+        # 'a  b' has an empty middle token: no (a,b) bigram from doc 0
+        pairs = dict(
+            ((r.w1, r.w2), r.c_ab) for r in got.itertuples(index=False)
+        )
+        assert pairs[("a", "b")] == 4  # doc0 'a b' once + doc2 three times
+        assert pairs[("b", "a")] == 3  # doc0 'b a' + doc2 twice
