@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": co.sample_stratified,
         "length_quantiles": co.length_quantiles,
         "collocations": co.collocations,
+        "decontaminate": co.decontaminate,
         "lm_perplexity": lm_score.lm_perplexity,
         "repetition_stats": co.repetition_stats,
         "token_counts": co.token_counts,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": co.sql_sample_stratified(),
         "length_quantiles": co.sql_length_quantiles(),
         "collocations": co.sql_collocations(),
+        "decontaminate": co.sql_decontaminate(),
         "lm_perplexity": lm_score.sql_lm_perplexity(),
         "repetition_stats": co.sql_repetition_stats(),
         "token_counts": co.sql_token_counts(),

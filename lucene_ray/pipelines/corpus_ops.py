@@ -804,3 +804,155 @@ where bi.c >= {min_count}
 order by pmi_micro desc, w1, w2
 limit {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination (the GPT-3 appendix-C / PaLM n-gram overlap
+# check): flag training documents sharing any word n-gram with a held-out
+# eval slice. The eval slice is carved with the same md5 selector as
+# sample_hash (coordination-free, restart-stable). Scale shape: eval
+# n-grams form their OWN distributed dataset — deduped with a groupby,
+# then hash-JOINED to the train n-gram dataset on the gram key. Nothing
+# corpus-sized is broadcast or driver-materialized; at 100 TB the eval
+# side is a fixed small table and the join degenerates to a broadcast-
+# style lookup, but the plan stays correct when the eval side is large.
+# --------------------------------------------------------------------------
+
+
+def _eval_mask(ids: list, pct: int) -> np.ndarray:
+    """md5(doc_id) mod 100 < pct — identical selector to sample_hash."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+            % 100
+            < pct
+            for i in ids
+        ],
+        dtype=bool,
+    )
+
+
+def _gram_table(b: pa.Table, n: int, keep_eval: bool, pct: int) -> pa.Table:
+    """Distinct word ``n``-grams of the eval (or train) rows of a batch.
+
+    Grams are the space-join of ``n`` consecutive RAW split tokens
+    (empties included — mirrors the oracle's ``ws[i+1:i+n]`` slice).
+    Vectorized: n shifted views of the flat token array joined in one
+    ``binary_join_element_wise`` call; windows crossing a row boundary
+    are masked with one aligned row-id compare."""
+    from lucene_ray.pipelines.text_kernels import flat_words
+
+    ids = b.column("doc_id").to_pylist()
+    mask = _eval_mask(ids, pct)
+    if not keep_eval:
+        mask = ~mask
+    sub = b.filter(pa.array(mask))
+    empty = pa.table(
+        {"gram": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+    )
+    if len(sub) == 0:
+        return empty
+    flat, offsets = flat_words(sub.column("text"))
+    nt = len(flat)
+    nwin = nt - n + 1
+    if nwin <= 0:
+        return empty
+    row = np.repeat(np.arange(len(sub), dtype=np.int64), np.diff(offsets))
+    valid = row[:nwin] == row[n - 1 :]
+    parts = [flat.slice(k, nwin) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    grams = grams.filter(pa.array(valid))
+    doc_of = np.asarray(sub.column("doc_id"))[row[:nwin][valid]]
+    t = pa.table({"gram": grams, "doc_id": pa.array(doc_of, pa.int64())})
+    # rows are whole docs, so per-batch distinct IS globally distinct
+    # for the train side; the eval side still dedups globally after.
+    return t.group_by(["gram", "doc_id"]).aggregate([])
+
+
+def decontaminate(
+    sf_dir: str, n: int = 8, pct: int = 5, n_buckets: int = 64
+):
+    """→ (doc_id, n_contaminated) for every TRAIN doc sharing ≥1 word
+    ``n``-gram with the ~``pct``% eval slice, ordered by doc_id.
+    n_contaminated = distinct contaminated grams in the doc.
+
+    Semi-join shape: grams hash into ``n_buckets`` buckets (a gram lands
+    in exactly one), ONE groupby co-locates each bucket's eval + train
+    rows, and the membership probe inside the group task is a single
+    vectorized ``is_in`` — no per-gram Python, no driver state, no
+    broadcast; group size ≈ total_grams / n_buckets (raise ``n_buckets``
+    with corpus size). Partial per-doc hit counts then sum in a
+    doc-bounded groupby."""
+    import pandas as pd
+    import ray.data
+
+    def tagged(b: pa.Table) -> pa.Table:
+        ev = _gram_table(b, n, True, pct)
+        tr = _gram_table(b, n, False, pct)
+        ev = ev.set_column(
+            1, "doc_id", pa.array(np.full(len(ev), -1, np.int64))
+        )
+        t = pa.concat_tables([ev, tr])
+        bucket = (
+            pd.util.hash_array(
+                t.column("gram").to_numpy(zero_copy_only=False)
+            )
+            % n_buckets
+        ).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def bucket_probe(g: pa.Table) -> pa.Table:
+        did = np.asarray(g.column("doc_id"), dtype=np.int64)
+        evmask = did == -1
+        ev_set = g.column("gram").filter(pa.array(evmask))
+        tr_grams = g.column("gram").filter(pa.array(~evmask))
+        if len(ev_set) == 0 or len(tr_grams) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "hits": pa.array([], pa.int64()),
+                }
+            )
+        hit = pc.is_in(tr_grams, value_set=ev_set).to_numpy(
+            zero_copy_only=False
+        )
+        docs = did[~evmask][hit]
+        u, c = np.unique(docs, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(u), "hits": pa.array(c.astype(np.int64))}
+        )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "n_contaminated"])
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(tagged, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_probe, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("hits")
+        .map_batches(_rename, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def sql_decontaminate(n: int = 8, pct: int = 5) -> str:
+    sel = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 16))::UBIGINT % 100"
+    return f"""
+with w as (select doc_id, string_split(text, ' ') as ws from documents),
+grams as (
+  select doc_id, array_to_string(ws[i+1:i+{n}], ' ') as gram
+  from w, unnest(range(greatest(array_length(ws) - {n - 1}, 0))) as r(i)
+),
+ev as (select distinct gram from grams
+       where {sel} < {pct}),
+tr as (select distinct doc_id, gram from grams
+       where {sel} >= {pct})
+select doc_id, count(*) as n_contaminated
+from tr join ev using (gram)
+group by doc_id
+order by doc_id
+"""

@@ -445,3 +445,78 @@ class TestCollocations:
         )
         assert pairs[("a", "b")] == 4  # doc0 'a b' once + doc2 three times
         assert pairs[("b", "a")] == 3  # doc0 'b a' + doc2 twice
+
+
+class TestDecontaminate:
+    def test_matches_bruteforce(self, ray_session):
+        import hashlib
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import decontaminate
+
+        n, pct = 4, 5
+        got = decontaminate(SF, n=n, pct=pct).to_pandas()
+        t = pq.read_table(DOCS, columns=["doc_id", "text"])
+        ev_grams, tr_grams = set(), {}
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ws = (txt or "").split(" ")
+            grams = {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+            is_eval = (
+                int.from_bytes(
+                    hashlib.md5(str(did).encode()).digest()[:8], "big"
+                )
+                % 100
+                < pct
+            )
+            if is_eval:
+                ev_grams |= grams
+            else:
+                tr_grams[did] = grams
+        want = sorted(
+            (did, len(g & ev_grams))
+            for did, g in tr_grams.items()
+            if g & ev_grams
+        )
+        assert list(map(tuple, got[["doc_id", "n_contaminated"]].values)) == want
+        assert len(want) > 0  # non-trivial at sf0.001 with n=4
+
+    def test_row_boundary_windows(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.corpus_ops import decontaminate
+
+        # doc_id=1 is in the 5% eval slice under the md5 selector?  Pin
+        # instead: find one eval id among 0..99 and craft the corpus.
+        import hashlib
+
+        def is_eval(i):
+            return (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big"
+                )
+                % 100
+                < 5
+            )
+
+        ev_id = next(i for i in range(1000) if is_eval(i))
+        tr_id = next(i for i in range(1000) if not is_eval(i))
+        tr2 = next(i for i in range(tr_id + 1, 1000) if not is_eval(i))
+        # train doc tr_id ends with 'x y'; eval doc starts with 'z w':
+        # the cross-row window 'x y z w' must NOT count as a gram.
+        t = pa.table(
+            {
+                "doc_id": pa.array([tr_id, ev_id, tr2], pa.int64()),
+                "text": pa.array(["a b x y", "z w a b", "x y z w"]),
+            }
+        )
+        d = tmp_path / "dc"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = decontaminate(str(d), n=2, pct=5).to_pandas()
+        res = dict(zip(got["doc_id"], got["n_contaminated"]))
+        # eval grams: {'z w','w a','a b'}; train tr_id grams {'a b','b x','x y'}
+        # → 1 hit; tr2 grams {'x y','y z','z w'} → 1 hit ('z w')
+        assert res == {tr_id: 1, tr2: 1}
