@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": lsh_knn.lsh_knn,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "dedup_components": dedup.dedup_components,
+        "span_dedup": dedup.span_dedup,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.sql_simhash_pairs(),
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "dedup_components": dedup.sql_dedup_components(),
+        "span_dedup": dedup.sql_span_dedup(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
         "image_decode": mm.sql_image_decode(),

@@ -845,3 +845,135 @@ select d.doc_id,
 from documents d left join comp c on c.v = d.doc_id
 order by doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# C4-style duplicate-span removal (Raffel et al. 2020 §2.2: "we discarded
+# all but one of any three-sentence span occurring more than once").  The
+# synthetic corpus has no sentence boundaries, so the span unit is a
+# non-overlapping W-word chunk; semantics are identical: the GLOBALLY
+# FIRST occurrence (smallest (doc_id, chunk_idx)) of each distinct span
+# survives, every later occurrence is cut, and documents are rewritten
+# from their surviving spans.  Three-stage shuffle plan, no driver state:
+#   1. map_batches: chunk rows (doc_id, idx, chunk, key) — chunk strings
+#      built zero-copy from the flat token array via ListArray offsets +
+#      one binary_join kernel;
+#   2. groupby(bucket): min-key-per-span + keep flags, vectorized inside
+#      the group task (factorize + minimum.at — no per-span Python);
+#   3. groupby(doc_id): rewrite the doc from its kept chunks in order.
+# --------------------------------------------------------------------------
+
+_SPAN_IDX_BITS = 20  # idx < 2^20 chunks/doc; key = doc_id * 2^20 + idx
+
+
+def span_dedup(sf_dir: str, w: int = 10, n_buckets: int = 64):
+    """→ (doc_id, n_chunks, n_kept, kept_text) per document, ordered by
+    doc_id: ``w``-word spans deduplicated corpus-wide, first occurrence
+    (by doc_id then position) kept, document text rebuilt from the
+    surviving spans."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_ray.pipelines.corpus_ops import _docs_path
+    from lucene_ray.pipelines.text_kernels import flat_words
+
+    M = 1 << _SPAN_IDX_BITS
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        flat, offs = flat_words(b.column("text"))
+        nt = len(flat)
+        t_per_row = np.diff(offs)  # ≥1 always ('' splits to [''])
+        n_chunks = (t_per_row + w - 1) // w
+        total = int(n_chunks.sum())
+        doc_of = np.repeat(np.arange(len(b), dtype=np.int64), n_chunks)
+        first = np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        idx = np.arange(total, dtype=np.int64) - first
+        starts = np.asarray(offs)[:-1][doc_of] + idx * w
+        lofs = np.append(starts, nt)
+        la = pa.ListArray.from_arrays(
+            pa.array(lofs, pa.int64()).cast(pa.int32()), flat
+        )
+        chunks = pc.binary_join(la, " ")
+        ids = np.asarray(b.column("doc_id"))[doc_of]
+        if total and idx.max() >= M:
+            raise ValueError(f"document exceeds 2^{_SPAN_IDX_BITS} spans")
+        bucket = (
+            pd.util.hash_array(chunks.to_numpy(zero_copy_only=False))
+            % n_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "chunk": chunks,
+                "doc_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idx),
+                "key": pa.array(ids * M + idx),
+            }
+        )
+
+    def keep_flags(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("key"), dtype=np.int64)
+        codes, _ = pd.factorize(g.column("chunk").to_numpy(zero_copy_only=False))
+        mins = np.full(codes.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, codes, keys)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "idx": g.column("idx"),
+                "chunk": g.column("chunk"),
+                "keep": pa.array(keys == mins[codes]),
+            }
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g.column("idx")), kind="stable")
+        keep = np.asarray(g.column("keep"))[order]
+        chunks = g.column("chunk").take(pa.array(order)).filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [g.column("doc_id")[0].as_py()], pa.int64()
+                ),
+                "n_chunks": pa.array([len(g)], pa.int64()),
+                "n_kept": pa.array([int(keep.sum())], pa.int64()),
+                "kept_text": pa.array(
+                    [" ".join(chunks.to_pylist())], pa.string()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def sql_span_dedup(w: int = 10) -> str:
+    m = 1 << _SPAN_IDX_BITS
+    return f"""
+with wd as (select doc_id, string_split(text, ' ') as ws from documents),
+chunks as (
+  select doc_id, i as idx,
+         array_to_string(ws[i*{w}+1 : (i+1)*{w}], ' ') as chunk,
+         doc_id * {m} + i as key
+  from wd, unnest(range((array_length(ws) + {w - 1}) // {w})) as r(i)
+),
+mins as (select chunk, min(key) as mk from chunks group by chunk)
+select c.doc_id,
+       count(*) as n_chunks,
+       sum(case when c.key = mins.mk then 1 else 0 end) as n_kept,
+       coalesce(array_to_string(
+         list(c.chunk order by c.idx) filter (where c.key = mins.mk), ' '
+       ), '') as kept_text
+from chunks c join mins using (chunk)
+group by c.doc_id
+order by c.doc_id
+"""

@@ -204,3 +204,58 @@ class TestDedupComponents:
         got = dedup_components(str(d)).to_pandas().sort_values("doc_id")
         assert list(got["component"]) == [7, 9, 11]
         assert list(got["keep"]) == [1, 1, 1]
+
+
+class TestSpanDedup:
+    def test_matches_bruteforce(self, ray_session):
+        from lucene_ray.pipelines.dedup import span_dedup
+
+        w = 10
+        got = span_dedup(SF, w=w).to_pandas()
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        rows = sorted(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+        )
+        seen = {}
+        want = {}
+        for did, txt in rows:
+            ws = (txt or "").split(" ")
+            chunks = [
+                " ".join(ws[i : i + w]) for i in range(0, len(ws), w)
+            ] or [""]
+            kept = []
+            for j, c in enumerate(chunks):
+                if c not in seen:
+                    seen[c] = (did, j)
+                if seen[c] == (did, j):
+                    kept.append(c)
+            want[did] = (len(chunks), len(kept), " ".join(kept))
+        assert len(got) == len(want)
+        for r in got.itertuples(index=False):
+            assert (r.n_chunks, r.n_kept, r.kept_text) == want[r.doc_id], r.doc_id
+        assert any(got["n_kept"] < got["n_chunks"])  # non-trivial corpus
+
+    def test_first_occurrence_ordering(self, ray_session, tmp_path):
+        from lucene_ray.pipelines.dedup import span_dedup
+
+        # doc 5 repeats its own first span; doc 9 repeats doc 5's span.
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 9], pa.int64()),
+                "text": pa.array(["a b a b c d", "a b x y"]),
+            }
+        )
+        d = tmp_path / "sd"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = (
+            span_dedup(str(d), w=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 5 chunks: ['a b','a b','c d'] -> keep idx0 + 'c d'
+        assert got.loc[5, "kept_text"] == "a b c d"
+        assert (got.loc[5, "n_chunks"], got.loc[5, "n_kept"]) == (3, 2)
+        # doc 9 chunks: ['a b','x y'] -> 'a b' already owned by doc 5
+        assert got.loc[9, "kept_text"] == "x y"
+        assert (got.loc[9, "n_chunks"], got.loc[9, "n_kept"]) == (2, 1)
