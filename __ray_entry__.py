@@ -42,6 +42,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import corpus_ops as co
+    from lucene_ray.pipelines import curate
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import fingerprint
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "dedup_components": dedup.dedup_components,
         "span_dedup": dedup.span_dedup,
+        "curate_corpus": curate.curate_corpus,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import corpus_ops as co
+    from lucene_ray.pipelines import curate
     from lucene_ray.pipelines import dedup
     from lucene_ray.pipelines import events as ev
     from lucene_ray.pipelines import fingerprint
@@ -257,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
         "dedup_components": dedup.sql_dedup_components(),
         "span_dedup": dedup.sql_span_dedup(),
+        "curate_corpus": curate.sql_curate_corpus(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
         "image_decode": mm.sql_image_decode(),

@@ -520,3 +520,33 @@ class TestDecontaminate:
         # eval grams: {'z w','w a','a b'}; train tr_id grams {'a b','b x','x y'}
         # → 1 hit; tr2 grams {'x y','y z','z w'} → 1 hit ('z w')
         assert res == {tr_id: 1, tr2: 1}
+
+
+class TestCurateCorpus:
+    def test_funnel_equals_stage_intersection(self, ray_session):
+        import hashlib
+
+        from lucene_ray.pipelines.corpus_ops import decontaminate, gopher_quality
+        from lucene_ray.pipelines.curate import curate_corpus
+        from lucene_ray.pipelines.dedup import dedup_components
+
+        got = curate_corpus(SF).to_pandas()
+        q = gopher_quality(SF).to_pandas()
+        quality = set(q.loc[q["keep"], "doc_id"])
+        comp = dedup_components(SF).to_pandas()
+        canonical = set(comp.loc[comp["keep"] == 1, "doc_id"]) | (
+            set(q["doc_id"]) - set(comp["doc_id"])
+        )
+        contaminated = set(decontaminate(SF).to_pandas()["doc_id"])
+        train = {
+            d
+            for d in q["doc_id"]
+            if int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "big"
+            )
+            % 100
+            >= 5
+        }
+        want = sorted((quality & train & canonical) - contaminated)
+        assert list(got["doc_id"]) == want
+        assert 0 < len(want) < len(q)  # a real funnel, not a no-op
