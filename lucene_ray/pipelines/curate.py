@@ -37,11 +37,16 @@ from lucene_ray.pipelines.text_kernels import flat_words, seg_sum
 
 
 def curate_corpus(
-    sf_dir: str, pct: int = 5, n: int = 8, n_buckets: int = 64
+    sf_dir: str,
+    pct: int = 5,
+    n: int = 8,
+    n_buckets: int = 64,
+    keep_text: bool = False,
 ):
-    """→ (doc_id, lang, n_chars) of the documents that survive the full
-    funnel (quality ∧ train-slice ∧ dedup-canonical ∧ uncontaminated),
-    ordered by doc_id."""
+    """→ (doc_id, lang, n_chars[, text]) of the documents that survive
+    the full funnel (quality ∧ train-slice ∧ dedup-canonical ∧
+    uncontaminated), ordered by doc_id. ``keep_text`` carries the
+    document body through for export sinks."""
     import hashlib
 
     import pandas as pd
@@ -93,28 +98,30 @@ def curate_corpus(
         keep = pa.array(quality & train)
         sub = b.filter(keep)
         ids_np = np.asarray(sub.column("doc_id"), dtype=np.int64)
-        return pa.table(
-            {
-                "bucket": _bucketed(ids_np),
-                "doc_id": sub.column("doc_id"),
-                "lang": sub.column("lang"),
-                "n_chars": sub.column("n_chars"),
-                "kind": pa.array(np.zeros(len(sub), np.int32)),
-            }
-        )
+        cols = {
+            "bucket": _bucketed(ids_np),
+            "doc_id": sub.column("doc_id"),
+            "lang": sub.column("lang"),
+            "n_chars": sub.column("n_chars"),
+            "kind": pa.array(np.zeros(len(sub), np.int32)),
+        }
+        if keep_text:
+            cols["text"] = sub.column("text")
+        return pa.table(cols)
 
     def as_drop(t: pa.Table) -> pa.Table:
         ids_np = np.asarray(t.column("doc_id"), dtype=np.int64)
         m = len(t)
-        return pa.table(
-            {
-                "bucket": _bucketed(ids_np),
-                "doc_id": t.column("doc_id"),
-                "lang": pa.array([""] * m, pa.string()),
-                "n_chars": pa.array(np.zeros(m, np.int64)),
-                "kind": pa.array(np.ones(m, np.int32)),
-            }
-        )
+        cols = {
+            "bucket": _bucketed(ids_np),
+            "doc_id": t.column("doc_id"),
+            "lang": pa.array([""] * m, pa.string()),
+            "n_chars": pa.array(np.zeros(m, np.int64)),
+            "kind": pa.array(np.ones(m, np.int32)),
+        }
+        if keep_text:
+            cols["text"] = pa.array([""] * m, pa.string())
+        return pa.table(cols)
 
     def dup_drops(t: pa.Table) -> pa.Table:
         return as_drop(t.filter(pc.equal(t.column("keep"), 0)))
@@ -125,7 +132,10 @@ def curate_corpus(
         base = kind == 0
         dropped = np.isin(did[base], did[~base])
         out = g.filter(pa.array(base)).filter(pa.array(~dropped))
-        return out.select(["doc_id", "lang", "n_chars"])
+        keep_cols = ["doc_id", "lang", "n_chars"] + (
+            ["text"] if keep_text else []
+        )
+        return out.select(keep_cols)
 
     docs = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text", "lang", "n_chars"]
@@ -175,3 +185,21 @@ where {sel} >= {pct}
   and d.doc_id not in (select doc_id from cont)
 order by d.doc_id
 """
+
+
+def export_curated(
+    sf_dir: str, out_dir: str, pct: int = 5, n: int = 8, n_buckets: int = 64
+) -> int:
+    """Run the curation funnel with document text and stream the
+    surviving corpus to ``out_dir`` as lang-partitioned Parquet
+    (``lang=<l>/...``) — the training-mix layout a downstream tokenizer
+    job reads per-language. Returns the number of exported docs. The
+    write is the pipeline's consumer: nothing materializes on the
+    driver."""
+    ds = curate_corpus(
+        sf_dir, pct=pct, n=n, n_buckets=n_buckets, keep_text=True
+    )
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    import ray.data
+
+    return ray.data.read_parquet(out_dir).count()

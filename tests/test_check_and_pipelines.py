@@ -550,3 +550,21 @@ class TestCurateCorpus:
         want = sorted((quality & train & canonical) - contaminated)
         assert list(got["doc_id"]) == want
         assert 0 < len(want) < len(q)  # a real funnel, not a no-op
+
+    def test_export_curated_partitioned(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.curate import curate_corpus, export_curated
+
+        out = str(tmp_path / "curated")
+        n = export_curated(SF, out)
+        kept = curate_corpus(SF).to_pandas()
+        assert n == len(kept)
+        langs = sorted(
+            d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")
+        )
+        assert langs == sorted(set(kept["lang"]))
+        back = pq.read_table(out).to_pandas()
+        assert sorted(back["doc_id"]) == sorted(kept["doc_id"])
+        assert (back["text"].str.len() > 0).all()
