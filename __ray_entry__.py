@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": dedup.dedup_components,
         "span_dedup": dedup.span_dedup,
         "curate_corpus": curate.curate_corpus,
+        "curation_report": curate.curation_report,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup.sql_dedup_components(),
         "span_dedup": dedup.sql_span_dedup(),
         "curate_corpus": curate.sql_curate_corpus(),
+        "curation_report": curate.sql_curation_report(),
         "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
         "embedding_near_dup": dedup.sql_embedding_near_dup(),
         "image_decode": mm.sql_image_decode(),

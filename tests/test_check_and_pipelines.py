@@ -568,3 +568,21 @@ class TestCurateCorpus:
         back = pq.read_table(out).to_pandas()
         assert sorted(back["doc_id"]) == sorted(kept["doc_id"])
         assert (back["text"].str.len() > 0).all()
+
+    def test_report_consistent_with_funnel(self, ray_session):
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.curate import curate_corpus, curation_report
+
+        rep = curation_report(SF).to_pandas()
+        kept = curate_corpus(SF).to_pandas()
+        docs = pq.read_table(DOCS, columns=["doc_id", "source"]).to_pandas()
+        by_src = docs.groupby("source").size()
+        kept_src = (
+            docs.set_index("doc_id").loc[kept["doc_id"], "source"]
+            .value_counts()
+        )
+        assert rep["n_docs"].sum() == len(docs)
+        for r in rep.itertuples(index=False):
+            assert r.n_docs == by_src[r.source]
+            assert r.n_final == kept_src.get(r.source, 0)
+            assert r.n_final <= r.n_quality_train <= r.n_docs
