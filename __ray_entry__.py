@@ -56,7 +56,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
 
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
+    # first ~50 entries per round. Round-3 ordering puts the 30 entries that
+    # have never received a driver row first, then the 15 last checked in
+    # round 1, then the 50 that went green (rows+schema+hash) in round 2 —
+    # those keep pytest + the oracle harness as regression cover.
     return {
+        # --- never driver-checked before round 3 (30) ---
+        "multi_phrase_search": sq.multi_phrase_search,
+        "sloppy_phrase_search": sq.sloppy_phrase_search,
+        "dismax_topk": sq.dismax_topk,
+        "constant_score_topk": sq.constant_score_topk,
+        "term_in_set": sq.term_in_set,
+        "span_near_search": sq.span_near_search,
+        "doc_fingerprints": fingerprint.doc_fingerprints,
+        "gopher_quality": co.gopher_quality,
+        "sample_hash": co.sample_hash,
+        "sample_stratified": co.sample_stratified,
+        "length_quantiles": co.length_quantiles,
+        "collocations": co.collocations,
+        "decontaminate": co.decontaminate,
+        "lm_perplexity": lm_score.lm_perplexity,
+        "repetition_stats": co.repetition_stats,
+        "token_counts": co.token_counts,
+        "knn_filtered": knn.knn_filtered,
+        "knn_ivf": ivf_knn.knn_ivf,
+        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
+        "knn_hnsw": hnsw_knn.knn_hnsw,
+        "knn_quantized": quantized_knn.knn_quantized,
+        "dedup_components": dedup.dedup_components,
+        "span_dedup": dedup.span_dedup,
+        "curate_corpus": curate.curate_corpus,
+        "curation_report": curate.curation_report,
+        "image_decode": mm.image_decode,
+        "percolate_docs": percolate.percolate_docs,
+        "nb_classify": classify.nb_classify,
+        "knn_classify": classify.knn_classify,
+        "events_hopping": ev.hopping_window_stats,
+        # --- last checked in round 1 (15) ---
+        "phrase_search": sq.phrase_search,
+        "term_stats": co.term_stats,
+        "collection_stats": co.collection_stats,
+        "doc_norms": co.doc_norms,
+        "dedup_exact": co.dedup_exact,
+        "lang_counts": co.lang_counts,
+        "text_quality": co.text_quality,
+        "knn_cosine": knn.knn_cosine,
+        "knn_lsh": lsh_knn.lsh_knn,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        "events_window": ev.tumbling_window_stats,
+        "events_sessionize": ev.sessionize,
+        # --- green (rows+schema+hash) in round 2 (50) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_shuffle": sq.bm25_topk_shuffle,
         "bm25_topk_multireader": sq.bm25_topk_multireader,
@@ -107,51 +160,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
         "more_like_this_tv": mlt.more_like_this_tv,
-        "phrase_search": sq.phrase_search,
-        "multi_phrase_search": sq.multi_phrase_search,
-        "sloppy_phrase_search": sq.sloppy_phrase_search,
-        "dismax_topk": sq.dismax_topk,
-        "constant_score_topk": sq.constant_score_topk,
-        "term_in_set": sq.term_in_set,
-        "span_near_search": sq.span_near_search,
-        "term_stats": co.term_stats,
-        "collection_stats": co.collection_stats,
-        "doc_norms": co.doc_norms,
-        "dedup_exact": co.dedup_exact,
-        "doc_fingerprints": fingerprint.doc_fingerprints,
-        "lang_counts": co.lang_counts,
-        "text_quality": co.text_quality,
-        "gopher_quality": co.gopher_quality,
-        "sample_hash": co.sample_hash,
-        "sample_stratified": co.sample_stratified,
-        "length_quantiles": co.length_quantiles,
-        "collocations": co.collocations,
-        "decontaminate": co.decontaminate,
-        "lm_perplexity": lm_score.lm_perplexity,
-        "repetition_stats": co.repetition_stats,
-        "token_counts": co.token_counts,
-        "knn_cosine": knn.knn_cosine,
-        "knn_filtered": knn.knn_filtered,
-        "knn_ivf": ivf_knn.knn_ivf,
-        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
-        "knn_hnsw": hnsw_knn.knn_hnsw,
-        "knn_quantized": quantized_knn.knn_quantized,
-        "knn_lsh": lsh_knn.lsh_knn,
-        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
-        "dedup_components": dedup.dedup_components,
-        "span_dedup": dedup.span_dedup,
-        "curate_corpus": curate.curate_corpus,
-        "curation_report": curate.curation_report,
-        "simhash_pairs": dedup.simhash_pairs,
-        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
-        "embedding_near_dup": dedup.embedding_near_dup,
-        "image_decode": mm.image_decode,
-        "percolate_docs": percolate.percolate_docs,
-        "nb_classify": classify.nb_classify,
-        "knn_classify": classify.knn_classify,
-        "events_window": ev.tumbling_window_stats,
-        "events_hopping": ev.hopping_window_stats,
-        "events_sessionize": ev.sessionize,
     }
 
 
@@ -171,6 +179,60 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import suggest as sugg
 
     return {
+        # --- never driver-checked before round 3 ---
+        "multi_phrase_search": sq.sql_multi_phrase_search(),
+        "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
+        "dismax_topk": sq.sql_dismax_topk(),
+        "constant_score_topk": sq.sql_constant_score_topk(),
+        "term_in_set": sq.sql_term_in_set(),
+        "span_near_search": sq.sql_span_near_search(),
+        "doc_fingerprints": fingerprint.sql_doc_fingerprints(),
+        "gopher_quality": co.sql_gopher_quality(),
+        "sample_hash": co.sql_sample_hash(),
+        "sample_stratified": co.sql_sample_stratified(),
+        "length_quantiles": co.sql_length_quantiles(),
+        "collocations": co.sql_collocations(),
+        "decontaminate": co.sql_decontaminate(),
+        "lm_perplexity": lm_score.sql_lm_perplexity(),
+        "repetition_stats": co.sql_repetition_stats(),
+        "token_counts": co.sql_token_counts(),
+        "knn_filtered": knn.sql_knn_filtered(),
+        # IVF with nprobe == n_lists scans every list exactly once →
+        # identical to brute force; same bit-exact oracle
+        "knn_ivf": knn.sql_knn_cosine(),
+        "knn_ivf_quantized": knn.sql_knn_cosine(),
+        # knn_hnsw: non-SQL-expressible (graph traversal recall) →
+        # rows-only driver check, deliberately no oracle; HNSW recall
+        # is pinned in pytest
+        # quantized scoring + error-bounded pruning + exact re-rank is
+        # provably identical to brute force → same oracle
+        "knn_quantized": knn.sql_knn_cosine(),
+        "dedup_components": dedup.sql_dedup_components(),
+        "span_dedup": dedup.sql_span_dedup(),
+        "curate_corpus": curate.sql_curate_corpus(),
+        "curation_report": curate.sql_curation_report(),
+        "image_decode": mm.sql_image_decode(),
+        "percolate_docs": percolate.sql_percolate_docs(),
+        "nb_classify": classify.sql_nb_classify(),
+        "knn_classify": classify.sql_knn_classify(),
+        "events_hopping": ev.sql_hopping_window_stats(),
+        # --- last checked in round 1 ---
+        "phrase_search": sq.sql_phrase_search(),
+        "term_stats": co.sql_term_stats(),
+        "collection_stats": co.sql_collection_stats(),
+        "doc_norms": co.sql_doc_norms(),
+        "dedup_exact": co.sql_dedup_exact(),
+        "lang_counts": co.sql_lang_counts(),
+        "text_quality": co.sql_text_quality(),
+        "knn_cosine": knn.sql_knn_cosine(),
+        "knn_lsh": lsh_knn.sql_lsh_knn(),
+        "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
+        "simhash_pairs": dedup.sql_simhash_pairs(),
+        "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
+        "embedding_near_dup": dedup.sql_embedding_near_dup(),
+        "events_window": ev.sql_tumbling_window_stats(),
+        "events_sessionize": ev.sql_sessionize(),
+        # --- green (rows+schema+hash) in round 2 ---
         "bm25_topk": sq.sql_bm25_topk(),
         "bm25_topk_shuffle": sq.sql_bm25_topk(),
         "bm25_topk_multireader": sq.sql_bm25_topk(),
@@ -221,55 +283,4 @@ def oracle_sql() -> dict[str, str]:
         "highlight_search": hl.sql_highlight_search(),
         "more_like_this": mlt.sql_more_like_this(),
         "more_like_this_tv": mlt.sql_more_like_this(),
-        "phrase_search": sq.sql_phrase_search(),
-        "multi_phrase_search": sq.sql_multi_phrase_search(),
-        "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
-        "dismax_topk": sq.sql_dismax_topk(),
-        "constant_score_topk": sq.sql_constant_score_topk(),
-        "term_in_set": sq.sql_term_in_set(),
-        "span_near_search": sq.sql_span_near_search(),
-        "term_stats": co.sql_term_stats(),
-        "collection_stats": co.sql_collection_stats(),
-        "doc_norms": co.sql_doc_norms(),
-        "dedup_exact": co.sql_dedup_exact(),
-        "doc_fingerprints": fingerprint.sql_doc_fingerprints(),
-        "lang_counts": co.sql_lang_counts(),
-        "text_quality": co.sql_text_quality(),
-        "gopher_quality": co.sql_gopher_quality(),
-        "sample_hash": co.sql_sample_hash(),
-        "sample_stratified": co.sql_sample_stratified(),
-        "length_quantiles": co.sql_length_quantiles(),
-        "collocations": co.sql_collocations(),
-        "decontaminate": co.sql_decontaminate(),
-        "lm_perplexity": lm_score.sql_lm_perplexity(),
-        "repetition_stats": co.sql_repetition_stats(),
-        "token_counts": co.sql_token_counts(),
-        "knn_cosine": knn.sql_knn_cosine(),
-        "knn_filtered": knn.sql_knn_filtered(),
-        # IVF with nprobe == n_lists scans every list exactly once →
-        # identical to brute force; same bit-exact oracle
-        "knn_ivf": knn.sql_knn_cosine(),
-        "knn_ivf_quantized": knn.sql_knn_cosine(),
-        # quantized scoring + error-bounded pruning + exact re-rank is
-        # provably identical to brute force → same oracle
-        "knn_quantized": knn.sql_knn_cosine(),
-        # knn_hnsw: non-SQL-expressible (graph traversal recall) →
-        # rows-only driver check, deliberately no oracle; HNSW recall
-        # is pinned in pytest
-        "knn_lsh": lsh_knn.sql_lsh_knn(),
-        "simhash_pairs": dedup.sql_simhash_pairs(),
-        "minhash_lsh_dedup": dedup.sql_minhash_lsh_dedup(),
-        "dedup_components": dedup.sql_dedup_components(),
-        "span_dedup": dedup.sql_span_dedup(),
-        "curate_corpus": curate.sql_curate_corpus(),
-        "curation_report": curate.sql_curation_report(),
-        "ngram_jaccard_by_source": dedup.sql_ngram_jaccard_by_source(),
-        "embedding_near_dup": dedup.sql_embedding_near_dup(),
-        "image_decode": mm.sql_image_decode(),
-        "percolate_docs": percolate.sql_percolate_docs(),
-        "nb_classify": classify.sql_nb_classify(),
-        "knn_classify": classify.sql_knn_classify(),
-        "events_window": ev.sql_tumbling_window_stats(),
-        "events_hopping": ev.sql_hopping_window_stats(),
-        "events_sessionize": ev.sql_sessionize(),
     }

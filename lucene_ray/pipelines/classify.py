@@ -30,6 +30,8 @@ name on both sides.
 from __future__ import annotations
 
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -181,7 +183,7 @@ def nb_classify(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2).sort(
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=actor_pool()).sort(
         "doc_id"
     )
 
@@ -252,163 +254,144 @@ order by doc_id
 KNN_CLS_K = 5
 
 
-def knn_classify(sf_dir: str, k: int = KNN_CLS_K, block_rows: int = 2048):
+def knn_classify(
+    sf_dir: str,
+    k: int = KNN_CLS_K,
+    block_rows: int = 2048,
+    n_lists: int | None = None,
+):
     """→ (vec_id, label_pred, votes) sorted by vec_id: per vector, the
     majority label of its k nearest OTHER vectors by cosine; neighbor
     set pinned by (sim_bp desc, cand_id asc), vote ties by
     (votes desc, label asc) — all integer, hash-exact vs the oracle.
 
-    Plan (nothing materializes the full matrix): normalize + pack
-    ``block_rows``-sized blocks to scratch (atomic, reusable), one Ray
-    task per ORDERED block pair emits ≤ block_rows·k partial-top-k rows
-    (composite ``(bp<<40) − cand`` keys make the per-row cut one
-    argpartition, no Python row loop), then a ``groupby(vec_id)``
-    reduce takes the global top-k and votes."""
-    import hashlib as _hl
-    import tempfile
+    Plan — EXACT kNN join with **bound-ordered IVF scanning** (no block
+    cross product, no partial-top-k shuffle, no driver reduce):
 
+    1. reuse :func:`ivf_knn.build_ivf` (labels carried via
+       ``extra_cols``) + :func:`ivf_knn.ivf_radii`;
+    2. one task per query row-group chunk (footer-planned). Each task
+       scans CANDIDATE lists in decreasing upper-bound order
+       ``ub_j = cos(max(0, θ_ij − r_i − r_j))`` (sphere triangle
+       inequality) while maintaining the chunk's running top-k in
+       composite integer keys ``(bp << 40) − cand_id``;
+    3. exact early stop: once ``floor(ub·1e4 + .5) <`` the STRICT
+       minimum k-th-best bp across the chunk's queries, no remaining
+       list can contribute a neighbor (``<`` not ``≤``: an equal-bp
+       candidate with a smaller id could still displace on the id
+       tie-break);
+    4. votes are finalized inside the task — the output IS the final
+       (vec_id, label_pred, votes) rows; nothing reduces on the driver.
+
+    Worst case (unclustered data) degrades to the brute-force scan cost;
+    clustered real embeddings prune most lists per chunk."""
     import ray
     import ray.data
     import pyarrow.parquet as pq
 
+    from lucene_ray.pipelines.ivf_knn import (
+        _normalize,
+        build_ivf,
+        ivf_chunks,
+        ivf_radii,
+    )
+
     path = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = pq.ParquetFile(path).metadata.num_rows  # footer only
-    n_blocks = max(1, -(-n_rows // block_rows))
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "lucene_ray_knncls",
-        _hl.blake2b(
-            f"{os.path.abspath(path)}:{n_rows}:{n_blocks}".encode(),
-            digest_size=8,
-        ).hexdigest(),
-    )
-    os.makedirs(scratch, exist_ok=True)
+    C = n_lists or max(1, min(64, n_rows // max(block_rows, 1)))
+    ivf_dir = build_ivf(sf_dir, n_lists=C, extra_cols=("label",))
+    cents = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    data_dir = os.path.join(ivf_dir, "data")
+    radii = ivf_radii(ivf_dir, cents)
+    chunks = ivf_chunks(data_dir, block_rows)
 
-    def normalize(b: pa.Table) -> pa.Table:
-        arr = b.column("embedding").combine_chunks()
-        emb = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
-        n = np.linalg.norm(emb, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        emb = emb / n
-        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-        return pa.table(
-            {
-                "blk": pa.array((vec_ids % n_blocks).astype(np.int64)),
-                "vec_id": pa.array(vec_ids),
-                "label": b.column("label").cast(pa.int32()),
-                "emb": pa.array(list(emb), pa.list_(pa.float64())),
-            }
-        )
+    theta_cc = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    gap = np.maximum(theta_cc - radii[:, None] - radii[None, :], 0.0)
+    ub = np.cos(gap)  # C×C upper bound on any cross-list cosine
+    ub_ref = ray.put(ub)
+    chunks_ref = ray.put(chunks)
 
-    def pack_block(group: pa.Table):
-        blk = int(group.column("blk")[0].as_py())
-        out = os.path.join(scratch, f"blk_{blk:06d}.npz")
-        if not os.path.exists(out):
-            ids = np.asarray(group.column("vec_id"), dtype=np.int64)
-            order = np.argsort(ids)
-            arr = group.column("emb").combine_chunks()
-            mat = np.asarray(arr.values, dtype=np.float64).reshape(
-                len(arr), -1
-            )[order]
-            labels = np.asarray(group.column("label"), dtype=np.int32)[order]
-            tmp = out + f".tmp{os.getpid()}.npz"
-            with open(tmp, "wb") as f:
-                np.savez(f, ids=ids[order], mat=mat, labels=labels)
-            os.replace(tmp, out)
-        return pa.table(
-            {
-                "blk": group.column("blk").slice(0, 1),
-                "path": pa.array([out], pa.string()),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        path, columns=["vec_id", "embedding", "label"]
-    )
-    block_meta = (
-        ds.map_batches(normalize, batch_format="pyarrow")
-        .groupby("blk")
-        .map_groups(pack_block, batch_format="pyarrow")
-        .take_all()
-    )  # B metadata rows (paths) only
-    paths = {int(r["blk"]): r["path"] for r in block_meta}
-    pair_items = [
-        {"i": i, "j": j, "pi": paths[i], "pj": paths[j]}
-        for i in sorted(paths)
-        for j in sorted(paths)
+    items = [
+        {"lid": lid, "fp": fp, "lo": lo, "hi": hi}
+        for lid in sorted(chunks)
+        for (fp, lo, hi) in chunks[lid]
     ]
 
-    def _load(p):
-        with np.load(p) as z:
-            return z["ids"], z["mat"], z["labels"]
+    NEG = np.iinfo(np.int64).min
 
-    def score_pair(batch: pa.Table) -> pa.Table:
-        oq, oc, ol, ob = [], [], [], []
-        for i, j, pi, pj in zip(
-            batch.column("i").to_pylist(),
-            batch.column("j").to_pylist(),
-            batch.column("pi").to_pylist(),
-            batch.column("pj").to_pylist(),
-        ):
-            ids_i, mat_i, _ = _load(pi)
-            ids_j, mat_j, lab_j = _load(pj)
-            sims = mat_i @ mat_j.T
-            bp = np.floor(sims * 10000 + 0.5).astype(np.int64)
-            # composite key: (bp desc, cand_id asc) in ONE argpartition;
-            # |bp| ≤ ~10001 so bp<<40 never overflows and the - cand
-            # term (ids < 2^40) never crosses a bp level
-            key = (bp << 40) - ids_j[None, :]
-            # on the diagonal pair each row contains exactly one SELF
-            # column — take one extra slot, then drop self by id equality
-            # (cosines may legitimately be negative, so no bp sentinel)
-            kk = min(k + (1 if i == j else 0), key.shape[1])
-            sel = np.argpartition(-key, kth=kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(len(ids_i)), kk)
-            cols = sel.ravel()
-            keep = (
-                ids_i[rows] != ids_j[cols]
-                if i == j
-                else np.ones(len(rows), dtype=bool)
-            )
-            oq.append(np.repeat(ids_i, kk)[keep])
-            oc.append(ids_j[cols][keep])
-            ol.append(lab_j[cols][keep])
-            ob.append(bp[rows, cols][keep])
+    def _load(fp: str, lo: int, hi: int):
+        t = pq.ParquetFile(fp).read_row_groups(
+            list(range(lo, hi)), columns=["vec_id", "embedding", "label"]
+        )
+        arr = t.column("embedding").combine_chunks()
+        m = _normalize(
+            np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        )
+        return (
+            np.asarray(t.column("vec_id"), dtype=np.int64),
+            m,
+            np.asarray(t.column("label"), dtype=np.int32),
+        )
+
+    def classify_chunk(batch: pa.Table) -> pa.Table:
+        ub_m = ray.get(ub_ref)
+        all_chunks = ray.get(chunks_ref)
+        out_id, out_lab, out_votes = [], [], []
+        for row in batch.to_pylist():
+            q_ids, q_mat, _ = _load(row["fp"], row["lo"], row["hi"])
+            nq = len(q_ids)
+            lid = int(row["lid"])
+            # running top-k state: composite keys + labels, sentinel NEG
+            keys = np.full((nq, k), NEG, dtype=np.int64)
+            labs = np.full((nq, k), -1, dtype=np.int32)
+            order = np.argsort(-ub_m[lid])  # lists by decreasing bound
+            for j in order:
+                ubj_bp = int(np.floor(ub_m[lid, j] * 10000 + 0.5))
+                kth = keys[:, -1]
+                # strict <: equal-bp candidates can displace on id ties
+                if (kth > NEG).all() and ubj_bp < int((kth >> 40).min()):
+                    break
+                for fp, lo, hi in all_chunks[int(j)]:
+                    c_ids, c_mat, c_lab = _load(fp, lo, hi)
+                    bp = np.floor(q_mat @ c_mat.T * 10000 + 0.5).astype(
+                        np.int64
+                    )
+                    cand_keys = (bp << 40) - c_ids[None, :]
+                    if int(j) == lid:  # mask self-pairs
+                        cand_keys[q_ids[:, None] == c_ids[None, :]] = NEG
+                    merged = np.concatenate([keys, cand_keys], axis=1)
+                    lab_m = np.concatenate(
+                        [labs, np.broadcast_to(c_lab, (nq, len(c_ids)))],
+                        axis=1,
+                    )
+                    # ascending sort + reverse — negating would overflow
+                    # the int64-min sentinel (−NEG == NEG) and rank
+                    # sentinels first
+                    sel = np.argsort(merged, axis=1)[:, ::-1][:, :k]
+                    rows_ix = np.arange(nq)[:, None]
+                    keys = merged[rows_ix, sel]
+                    labs = lab_m[rows_ix, sel]
+            for qi in range(nq):
+                got = labs[qi][keys[qi] > NEG]
+                if len(got) == 0:
+                    continue  # singleton corpus: no other vectors
+                ls, counts = np.unique(got, return_counts=True)
+                win = np.lexsort((ls, -counts))[0]
+                out_id.append(int(q_ids[qi]))
+                out_lab.append(int(ls[win]))
+                out_votes.append(int(counts[win]))
         return pa.table(
             {
-                "vec_id": pa.array(np.concatenate(oq), pa.int64()),
-                "cand": pa.array(np.concatenate(oc), pa.int64()),
-                "label": pa.array(np.concatenate(ol), pa.int32()),
-                "bp": pa.array(np.concatenate(ob), pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "label_pred": pa.array(out_lab, pa.int32()),
+                "votes": pa.array(out_votes, pa.int64()),
             }
         )
 
-    def vote(group: pa.Table) -> pa.Table:
-        vid = group.column("vec_id")[0]
-        cand = np.asarray(group.column("cand"), dtype=np.int64)
-        lab = np.asarray(group.column("label"), dtype=np.int32)
-        bp = np.asarray(group.column("bp"), dtype=np.int64)
-        order = np.lexsort((cand, -bp))[:k]
-        labs, counts = np.unique(lab[order], return_counts=True)
-        win = np.lexsort((labs, -counts))[0]
-        return pa.table(
-            {
-                "vec_id": pa.array([vid.as_py()], pa.int64()),
-                "label_pred": pa.array([int(labs[win])], pa.int32()),
-                "votes": pa.array([int(counts[win])], pa.int64()),
-            }
-        )
-
-    pairs_ds = ray.data.from_items(pair_items)
-    if len(pair_items) > 1:
-        pairs_ds = pairs_ds.repartition(len(pair_items))
-    partials = pairs_ds.map_batches(score_pair, batch_format="pyarrow")
-    return (
-        partials.groupby("vec_id")
-        .map_groups(vote, batch_format="pyarrow")
-        .sort("vec_id")
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    return ds.map_batches(classify_chunk, batch_format="pyarrow").sort(
+        "vec_id"
     )
-
 
 def sql_knn_classify(k: int = KNN_CLS_K) -> str:
     """Same neighbor pinning and vote tie-breaks in DuckDB; cosine in

@@ -8,6 +8,8 @@ quality metrics, language distribution).
 from __future__ import annotations
 
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import Dict
 
 import numpy as np
@@ -221,7 +223,7 @@ def text_quality(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(Quality, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Quality, batch_format="pyarrow", concurrency=actor_pool())
 
 
 def sql_text_quality() -> str:
@@ -304,7 +306,7 @@ def gopher_quality(sf_dir: str):
             }
         )
 
-    return ds.map_batches(stats, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def sql_gopher_quality() -> str:
@@ -368,7 +370,7 @@ def sample_hash(sf_dir: str, pct: int = 10):
         )
         return b.filter(keep)
 
-    return ds.map_batches(pick, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
 def sql_sample_hash(pct: int = 10) -> str:
@@ -444,7 +446,7 @@ def repetition_stats(sf_dir: str):
             }
         )
 
-    return ds.map_batches(stats, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def sql_repetition_stats() -> str:
@@ -511,7 +513,7 @@ def token_counts(sf_dir: str):
             }
         )
 
-    return ds.map_batches(counts, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(counts, batch_format="pyarrow")
 
 
 def sql_token_counts() -> str:

@@ -15,12 +15,13 @@ Every pipeline here is **shuffle-native**: no driver-side text dicts, no
   the 64 bits into ``max_hamming + 1`` bands: any pair within the radius
   shares at least one exact band, so ``groupby(band, value)`` buckets are
   a complete candidate generator; XOR-popcount runs only within buckets.
-- Blocked Jaccard: all-pairs only *within* a blocking key (``source``) via
-  ``groupby(source).map_groups`` — the exact-verification complement.
-- Embedding near-dup: exact all-pairs cosine at a low threshold is
-  inherently O(n²) work (the oracle demands every pair); the scale shape
-  is a **block nested-loop join** — normalized blocks written once, one
-  task per block pair, each touching exactly two blocks.
+- Blocked Jaccard: **inverted shingle join** within the ``source``
+  blocking key — the same plan as the SQL oracle, never all-pairs per
+  source (one hot source would otherwise be one giant task).
+- Embedding near-dup: exact cosine pairs via **angular cluster pruning**
+  over the IVF hive layout — spherical-k-means lists, per-list angular
+  radii, sphere-triangle-inequality list-pair pruning, then one matmul
+  task per surviving row-group chunk pair.
 
 All hashing is seeded/stable (crc32 / blake2b), never Python ``hash``.
 """
@@ -29,8 +30,10 @@ from __future__ import annotations
 
 import hashlib
 import os
+
+from lucene_ray.cluster import actor_pool
 import zlib
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -140,20 +143,33 @@ def minhash_lsh_dedup(sf_dir: str):
     )
 
     # ---- distributed exact-Jaccard verify (no driver text dict) ----------
-    # Shape: two hash-join-style shuffles. (1) every doc's shingle-hash set
-    # and every pair row key on doc_id; groupby(doc_id) attaches the set to
-    # the pair rows that reference that doc. (2) groupby(a, b) brings the
+    # Shape: two hash-join-style shuffles. (1) CANDIDATE docs' shingle-hash
+    # sets and every pair row key on doc_id; groupby(doc_id) attaches the set
+    # to the pair rows that reference that doc. (2) groupby(a, b) brings the
     # two sets of a pair together and computes exact Jaccard over sorted
     # int64 shingle hashes. Jaccard over crc32 shingle hashes equals
     # string-set Jaccard up to hash collisions (~1e-6 per pair) — the same
     # hash space the MinHash signatures are built from.
-    # (At 100 TB one would pre-filter the shingle shuffle with a broadcast
-    # of the candidate doc-id set — candidates are tiny vs the corpus.)
+    #
+    # Candidate-id broadcast prefilter: candidate pairs are sparse vs the
+    # corpus, so materialize ONLY their doc ids (two int64 columns — small
+    # even against a 10^12-doc corpus), broadcast the sorted unique id set
+    # once via ray.put, and emit shingle sets solely for candidate docs.
+    # The verify shuffle's width is ∝ candidates, not corpus size.
+    pairs = pairs.materialize()
+    cand: Set[int] = set()
+    for cb in pairs.iter_batches(batch_format="pyarrow"):
+        cand.update(cb.column("a").to_pylist())
+        cand.update(cb.column("b").to_pylist())
+    cand_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+
     def doc_sets(batch: pa.Table) -> pa.Table:
+        cand_ids = ray.get(cand_ref)  # zero-copy plasma read per task
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        sel = np.flatnonzero(np.isin(ids, cand_ids))
+        texts = batch.column("text").take(pa.array(sel)).to_pylist()
         ks, shs = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
+        for doc_id, text in zip(ids[sel], texts):
             ks.append(int(doc_id))
             shs.append(shingle_hashes(text or "").tolist())
         return pa.table(
@@ -400,7 +416,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = (
-        ds.map_batches(Fp, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Fp, batch_format="pyarrow", concurrency=actor_pool())
         .groupby(["band", "bval"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
@@ -449,33 +465,128 @@ order by a, b
 
 
 # --------------------------------------------------------------------------
-# blocked exact n-gram Jaccard (groupby blocking key)
+# blocked exact n-gram Jaccard (inverted shingle join)
 # --------------------------------------------------------------------------
-def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
-    """→ (a, b, j_bp): exact trigram Jaccard ≥ 0.5 among docs sharing the
-    ``source`` blocking key (all-pairs within group via map_groups)."""
-    import ray.data
+def shingle_hashes64(text: str) -> np.ndarray:
+    """Sorted UNIQUE 64-bit blake2b hashes of the word-3-gram shingle set.
 
-    def per_group(g) -> pa.Table:
-        ids = g["doc_id"].tolist()
-        shs = [shingles(t or "") for t in g["text"].tolist()]
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sa, sb = shs[i], shs[j]
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                jv = inter / (len(sa) + len(sb) - inter)
-                if jv >= tau:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out.append((a, b, int(np.floor(jv * 10000))))
-        out.sort()
+    64 bits (not crc32) because the inverted join below compares hashes
+    across a whole source's shingle vocabulary — at 32 bits the birthday
+    bound (~77k distinct) makes cross-doc collisions routine, which would
+    inflate pair intersections; at 64 bits they're ~1e-8 at 10^6 shingles.
+    """
+    return np.unique(
+        np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                - (1 << 63)  # center into int64
+                for s in shingles(text)
+            ),
+            dtype=np.int64,
+        )
+    )
+
+
+def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
+    """→ (a, b, j_bp): exact trigram Jaccard ≥ ``tau`` among docs sharing
+    the ``source`` blocking key.
+
+    Ray shape — **inverted shingle join**, the same plan as the SQL
+    oracle, NOT all-pairs per source (one hot source would otherwise put
+    the whole corpus in a single task):
+
+    1. ``map_batches``: per doc emit one row per unique shingle hash —
+       ``(source, sh, doc_id, n)`` with ``n`` = the doc's set size;
+    2. ``groupby(source, sh).map_groups``: each posting-list bucket emits
+       its doc pairs ``(a, b, na, nb)`` — work is Σ df², concentrated on
+       shared shingles only, spread across every bucket;
+    3. ``groupby(a, b)``: COUNT = |A∩B|; Jaccard = i/(na+nb−i), filter τ,
+       ``j_bp = floor(j*10000)`` in float64 exactly like the oracle.
+
+    The known residual hot spot is stop-shingles ("of the and") whose df²
+    dominates; the exactness-preserving refinement is positional prefix
+    filtering (emit only each doc's ⌊(1−τ)·n⌋+1 globally-rarest shingles
+    for candidate generation, then verify like the MinHash pipeline).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    def postings(batch: pa.Table) -> pa.Table:
+        srcs, shs, ids, ns = [], [], [], []
+        for doc_id, text, src in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            hs = shingle_hashes64(text or "")
+            if len(hs) == 0:
+                continue
+            shs.append(hs)
+            ids.append(np.full(len(hs), int(doc_id), dtype=np.int64))
+            ns.append(np.full(len(hs), len(hs), dtype=np.int64))
+            srcs.extend([src] * len(hs))
+        if not shs:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "sh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "a": pa.array([x[0] for x in out], pa.int64()),
-                "b": pa.array([x[1] for x in out], pa.int64()),
-                "j_bp": pa.array([x[2] for x in out], pa.int64()),
+                "source": pa.array(srcs),
+                "sh": pa.array(np.concatenate(shs)),
+                "doc_id": pa.array(np.concatenate(ids)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        d = group.num_rows
+        if d < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(np.asarray(group.column("doc_id"), dtype=np.int64))
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)[order]
+        ns = np.asarray(group.column("n"), dtype=np.int64)[order]
+        ia, ib = np.triu_indices(d, k=1)
+        return pa.table(
+            {
+                "a": pa.array(ids[ia]),
+                "b": pa.array(ids[ib]),
+                "na": pa.array(ns[ia]),
+                "nb": pa.array(ns[ib]),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("count()"), dtype=np.float64)
+        na = np.asarray(batch.column("max(na)"), dtype=np.float64)
+        nb = np.asarray(batch.column("max(nb)"), dtype=np.float64)
+        union = na + nb - i
+        jv = i / union
+        keep = np.flatnonzero(jv >= tau)
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.asarray(batch.column("a"), dtype=np.int64)[keep]
+                ),
+                "b": pa.array(
+                    np.asarray(batch.column("b"), dtype=np.int64)[keep]
+                ),
+                "j_bp": pa.array(
+                    np.floor(i[keep] * 10000.0 / union[keep]).astype(np.int64)
+                ),
             }
         )
 
@@ -483,7 +594,14 @@ def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )
-    return ds.groupby("source").map_groups(per_group, batch_format="pandas")
+    return (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby(["source", "sh"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(), Max("na"), Max("nb"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
 
 
 def sql_ngram_jaccard_by_source(tau: float = 0.5) -> str:
@@ -519,113 +637,99 @@ order by a, b
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
-def embedding_near_dup(sf_dir: str, tau: float = 0.45, block_rows: int = 4096):
-    """→ (a, b, c_bp): vector pairs with cosine ≥ τ.
+def embedding_near_dup(
+    sf_dir: str,
+    tau: float = 0.45,
+    block_rows: int = 4096,
+    n_lists: Optional[int] = None,
+):
+    """→ (a, b, c_bp): vector pairs with cosine ≥ τ — EXACT (the oracle
+    demands every qualifying pair), but pruned, not a blind block cross
+    product.
 
-    Exact all-pairs at a low threshold is inherently O(n²) *work* (the
-    oracle demands every qualifying pair); what must NOT be O(n²·memory)
-    or driver-resident is the plan. Shape: **block nested-loop join** —
+    Ray shape — **angular cluster pruning over the IVF layout**:
 
-      stage 1 (map + small shuffle): normalize vectors, assign each to a
-        block by vec_id, ``groupby(block).map_groups`` writes one dense
-        float64 matrix per block to scratch storage (shared FS / object
-        store at cluster scale; /tmp here);
-      stage 2 (task per block pair, i ≤ j): load exactly two blocks,
-        one matmul, emit pairs ≥ τ with a < b.
+    1. reuse :func:`ivf_knn.build_ivf`'s hive-partitioned inverted file
+       (spherical k-means lists; shared storage, resumable — the layout
+       the 100-TB ANN path already uses);
+    2. one column-pruned streaming pass computes each list's angular
+       radius ``r_c = max angle(member, centroid)`` (tiny C-row aggregate);
+    3. prune list pairs by the sphere triangle inequality: members of
+       lists i, j satisfy ``angle(a, b) ≥ θ_ij − r_i − r_j``, so a pair of
+       lists is scanned ONLY if ``cos(max(0, θ_ij − r_i − r_j)) ≥ τ`` —
+       provably no qualifying pair is lost (exactness preserved; at τ=0.45
+       on random small-sf data nothing prunes, on clustered real
+       embeddings most of the C² grid does);
+    4. surviving list pairs fan out as one task per row-group chunk pair
+       (footer-planned ≤ ``block_rows`` rows per side): two pruned parquet
+       range-reads, one float64 matmul, emit ``a < b`` pairs ≥ τ.
 
-    Each task touches 2 blocks of ``block_rows`` vectors; parallelism is
-    B(B+1)/2 independent tasks; nothing materializes the full matrix.
-    (For high-τ near-dup, the LSH-bucketed plan in ``pipelines.lsh_knn``
-    is the subquadratic alternative — it trades recall for work.)"""
+    Nothing lands on the driver but footers, centroids, and C radii; no
+    local-FS scratch handoff (the IVF dir is the shared layout).
+    """
     import ray
     import ray.data
-    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.ivf_knn import (
+        _normalize,
+        build_ivf,
+        ivf_chunks,
+        ivf_radii,
+    )
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
     n_rows = pq.ParquetFile(path).metadata.num_rows  # footer only
-    n_blocks = max(1, -(-n_rows // block_rows))
-    import hashlib as _hl
-    import tempfile
+    C = n_lists or max(1, min(64, n_rows // max(block_rows, 1)))
+    ivf_dir = build_ivf(sf_dir, n_lists=C)
+    cents = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    data_dir = os.path.join(ivf_dir, "data")
+    radii = ivf_radii(ivf_dir, cents)
 
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        "lucene_ray_neardup",
-        _hl.blake2b(
-            f"{os.path.abspath(path)}:{n_rows}:{n_blocks}".encode(), digest_size=8
-        ).hexdigest(),
-    )
-    os.makedirs(scratch, exist_ok=True)
+    # ---- exact list-pair prune (driver-side C×C grid — tiny) --------------
+    theta_cc = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    eps = 1e-9
+    gap = theta_cc - radii[:, None] - radii[None, :]
+    survive = np.cos(np.maximum(gap, 0.0)) >= tau - eps
+    chunks = ivf_chunks(data_dir, block_rows)
 
-    def normalize(b: pa.Table) -> pa.Table:
-        arr = b.column("embedding").combine_chunks()
-        emb = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
-        n = np.linalg.norm(emb, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        emb = emb / n
-        vec_ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-        return pa.table(
-            {
-                "blk": pa.array((vec_ids % n_blocks).astype(np.int64)),
-                "vec_id": pa.array(vec_ids),
-                "emb": pa.array(list(emb), pa.list_(pa.float64())),
-            }
+    items = []
+    for i in sorted(chunks):
+        for j in sorted(chunks):
+            if j < i or (j != i and not survive[i, j]):
+                continue
+            ci, cj = chunks[i], chunks[j]
+            for p in range(len(ci)):
+                for q in range(len(cj) if i != j else len(cj)):
+                    if i == j and q < p:
+                        continue
+                    fa, la, ha = ci[p]
+                    fb, lb, hb = cj[q]
+                    items.append(
+                        {
+                            "same": int(i == j and p == q),
+                            "fa": fa, "la": la, "ha": ha,
+                            "fb": fb, "lb": lb, "hb": hb,
+                        }
+                    )
+
+    def _load_range(fp: str, lo: int, hi: int):
+        f = pq.ParquetFile(fp)
+        t = f.read_row_groups(list(range(lo, hi)), columns=["vec_id", "embedding"])
+        arr = t.column("embedding").combine_chunks()
+        m = _normalize(
+            np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
         )
-
-    def pack_block(group: pa.Table):
-        """One block → one .npz (ids, matrix) on scratch storage, written
-        atomically (tmp + rename) so a re-run reuses finished blocks."""
-        blk = int(group.column("blk")[0].as_py())
-        out = os.path.join(scratch, f"blk_{blk:06d}.npz")
-        if not os.path.exists(out):
-            ids = np.asarray(group.column("vec_id"), dtype=np.int64)
-            order = np.argsort(ids)
-            arr = group.column("emb").combine_chunks()
-            mat = np.asarray(arr.values, dtype=np.float64).reshape(
-                len(arr), -1
-            )[order]
-            tmp = out + f".tmp{os.getpid()}.npz"
-            with open(tmp, "wb") as f:
-                np.savez(f, ids=ids[order], mat=mat)
-            os.replace(tmp, out)
-        return pa.table(
-            {
-                "blk": group.column("blk").slice(0, 1),
-                "path": pa.array([out], pa.string()),
-            }
-        )
-
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    block_meta = (
-        ds.map_batches(normalize, batch_format="pyarrow")
-        .groupby("blk")
-        .map_groups(pack_block, batch_format="pyarrow")
-        .take_all()
-    )  # B rows of metadata (paths), never the vectors themselves
-    paths = {int(r["blk"]): r["path"] for r in block_meta}
-
-    pair_items = [
-        {"i": i, "j": j, "pi": paths[i], "pj": paths[j]}
-        for i in sorted(paths)
-        for j in sorted(paths)
-        if i <= j
-    ]
-
-    def _load(p):
-        with np.load(p) as z:
-            return z["ids"], z["mat"]
+        return np.asarray(t.column("vec_id"), dtype=np.int64), m
 
     def score_pair(batch: pa.Table) -> pa.Table:
         oa, ob, oc = [], [], []
-        for i, j, pi, pj in zip(
-            batch.column("i").to_pylist(),
-            batch.column("j").to_pylist(),
-            batch.column("pi").to_pylist(),
-            batch.column("pj").to_pylist(),
-        ):
-            ids_i, mat_i = _load(pi)
-            ids_j, mat_j = _load(pj)
+        for row in batch.to_pylist():
+            ids_i, mat_i = _load_range(row["fa"], row["la"], row["ha"])
+            ids_j, mat_j = _load_range(row["fb"], row["lb"], row["hb"])
             sims = mat_i @ mat_j.T
-            if i == j:
+            if row["same"]:
                 ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
             else:
                 ii, jj = np.nonzero(sims >= tau)
@@ -642,9 +746,7 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45, block_rows: int = 4096):
             }
         )
 
-    pairs_ds = ray.data.from_items(pair_items)
-    if len(pair_items) > 1:
-        pairs_ds = pairs_ds.repartition(len(pair_items))
+    pairs_ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     return pairs_ds.map_batches(score_pair, batch_format="pyarrow")
 
 
@@ -663,37 +765,41 @@ order by a, b
 # --------------------------------------------------------------------------
 
 
-def dedup_components(sf_dir: str, max_rounds: int = 64):
-    """→ (doc_id, component, keep), one row per document: near-duplicate
-    CLUSTERS as connected components over the verified MinHash pair graph
-    — the final stage of a web-scale dedup pipeline (pairs alone don't
-    dedup anything; the keep-set does).
+def propagate_min_labels(pairs, max_rounds: int = 64):
+    """Distributed connected components by iterative min-label propagation
+    with pointer jumping: ``pairs`` is a Dataset of int64 edge columns
+    ``(a, b)``; → Dataset ``(u, l)`` with one row per node appearing in
+    any pair, ``l`` = smallest node id reachable from ``u``.
 
-    ``component`` = smallest doc_id reachable through duplicate pairs
-    (docs in no pair are singleton components of themselves);
-    ``keep`` = 1 on the canonical representative (doc_id == component).
+    Ray shape — every round distributed:
 
-    Ray shape — iterative min-label propagation, every round distributed:
-
-    - edge list = verified pairs symmetrized, materialized ONCE: the
-      iterative state is O(|candidate pairs|), far smaller than the
-      corpus at any scale;
+    - edge list = pairs symmetrized, materialized ONCE: the iterative
+      state is O(|candidate pairs|), far smaller than the corpus at any
+      scale;
     - init fuses round one: ``groupby(u).min(v)`` over edges ∪ self-loops
       = min(self, direct neighbors);
     - each round: ``Dataset.join`` labels onto edges (hash shuffle), then
       ``groupby(node).min(label)`` over propagated ∪ current labels;
+      pointer-jumping shortcut edges (u ↔ label(u)) halve the remaining
+      path each round → rounds ≤ O(log diameter), so chain-shaped
+      clusters of any eccentricity converge within ``max_rounds``;
     - convergence check: labels are monotone non-increasing, so the
       global label SUM strictly decreases until fixpoint — one scalar
-      aggregate per round, no change-count join. Rounds ≤ cluster graph
-      diameter (near-dup clusters are shallow).
-    - finish: (doc_id, doc_id) rows for the whole corpus ∪ component
-      labels → ``groupby(doc_id).min`` — labels never exceed their node
-      id, so the union-min IS the left join with coalesce(self).
+      aggregate per round, no change-count join.
     """
     import ray
     import ray.data
 
-    pairs = minhash_lsh_dedup(sf_dir)
+    from lucene_ray.cluster import cluster_cpus
+
+    # Block-count discipline: union concatenates block lists and
+    # groupby/map_groups emit one block per input block, so without a
+    # repartition the label dataset's block count grows geometrically with
+    # rounds (≈3× per round) and the sort-shuffle's cost is superlinear in
+    # block count — rounds go 10 s → 60 s → wedged on a 50-node graph.
+    # Re-bucketing labels to a fixed, cluster-sized block count each round
+    # keeps every round's task graph constant.
+    nb = max(2, cluster_cpus())
 
     def _cat(x, y) -> pa.ChunkedArray:
         return pa.chunked_array(
@@ -710,7 +816,11 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
         uv = _cat(batch.column("a"), batch.column("b"))
         return pa.table({"u": uv, "v": uv})
 
-    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    edges = (
+        pairs.map_batches(sym_edges, batch_format="pyarrow")
+        .repartition(nb)
+        .materialize()
+    )
 
     def _as_labels(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -722,6 +832,7 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
         .groupby("u")
         .min("v")
         .map_batches(_as_labels, batch_format="pyarrow")
+        .repartition(nb)
         .materialize()
     )
 
@@ -747,6 +858,25 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
             }
         )
 
+    # Pointer jumping: u and label(u) are provably in the same component, so
+    # (u ↔ label(u)) are valid extra edges; adding them each round shortcuts
+    # chain-shaped clusters from O(diameter) to O(log diameter) rounds —
+    # a path graph of ANY eccentricity converges well within max_rounds.
+    def label_shortcut_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch.column("u"), batch.column("l"))
+        b = batch.filter(keep)
+        u, l = b.column("u"), b.column("l")
+        n = b.num_rows
+        return pa.table(
+            {
+                "u": _cat(u, l),
+                "v": _cat(l, u),
+                "tag": pa.array([1] * (2 * n), pa.int32()),
+            }
+        )
+
     def propagate(group: pa.Table) -> pa.Table:
         tags = np.asarray(group.column("tag"))
         lab_rows = np.flatnonzero(tags == 0)
@@ -769,10 +899,12 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
     for _ in range(max_rounds):
         if prev_sum == 0:
             break  # no pairs at all
+        lab_rows_ds = labels.map_batches(tag_labels, batch_format="pyarrow")
+        shortcut = labels.map_batches(
+            label_shortcut_edges, batch_format="pyarrow"
+        )
         prop = (
-            tagged_edges.union(
-                labels.map_batches(tag_labels, batch_format="pyarrow")
-            )
+            tagged_edges.union(shortcut, lab_rows_ds)
             .groupby("u")
             .map_groups(propagate, batch_format="pyarrow")
         )
@@ -781,6 +913,7 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
             .groupby("u")
             .min("l")
             .map_batches(_as_labels, batch_format="pyarrow")
+            .repartition(nb)
             .materialize()
         )
         cur = labels.sum("l")
@@ -789,6 +922,29 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
         prev_sum = cur
     else:
         raise RuntimeError(f"label propagation did not converge in {max_rounds}")
+    return labels
+
+
+def dedup_components(sf_dir: str, max_rounds: int = 64):
+    """→ (doc_id, component, keep), one row per document: near-duplicate
+    CLUSTERS as connected components over the verified MinHash pair graph
+    — the final stage of a web-scale dedup pipeline (pairs alone don't
+    dedup anything; the keep-set does).
+
+    ``component`` = smallest doc_id reachable through duplicate pairs
+    (docs in no pair are singleton components of themselves);
+    ``keep`` = 1 on the canonical representative (doc_id == component).
+
+    Components via :func:`propagate_min_labels` (pointer-jumping min-label
+    propagation); finish: (doc_id, doc_id) rows for the whole corpus ∪
+    component labels → ``groupby(doc_id).min`` — labels never exceed their
+    node id, so the union-min IS the left join with coalesce(self).
+    """
+    import ray
+    import ray.data
+
+    pairs = minhash_lsh_dedup(sf_dir)
+    labels = propagate_min_labels(pairs, max_rounds=max_rounds)
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]

@@ -32,6 +32,35 @@ def export_matches(
     if man is None:
         raise FileNotFoundError(f"no manifest in {index_dir}")
     os.makedirs(out_dir, exist_ok=True)
+
+    # Resume markers are only valid for the SAME query: a `_query.json`
+    # manifest pins (query, index generation) for the out_dir, and a partition
+    # written under a different query is discarded, not counted as done.
+    import hashlib as _hl
+    import json as _json
+
+    qhash = _hl.blake2b(
+        f"{query}|gen={man.generation}".encode(), digest_size=8
+    ).hexdigest()
+    man_path = os.path.join(out_dir, "_query.json")
+    stale = False
+    if os.path.exists(man_path):
+        try:
+            with open(man_path) as f:
+                stale = _json.load(f).get("qhash") != qhash
+        except Exception:
+            stale = True
+    if stale:
+        import shutil
+
+        for name in os.listdir(out_dir):
+            if name.startswith("seg="):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    tmp_man = man_path + f".tmp{os.getpid()}"
+    with open(tmp_man, "w") as f:
+        _json.dump({"qhash": qhash, "query": query}, f)
+    os.replace(tmp_man, man_path)
+
     items = [{"seg_id": int(s["seg_id"])} for s in man.segments]
 
     class ExportSegment:
@@ -101,10 +130,12 @@ def export_matches(
     # upstream CPU tasks, so the actor pool can own every CPU without
     # deadlocking a small ray.init (a repartition here starves at num_cpus=4).
     ds = ray.data.from_items(items, override_num_blocks=len(items))
+    from lucene_ray.cluster import actor_pool
+
     meta = ds.map_batches(
         ExportSegment,
         batch_format="pyarrow",
-        concurrency=concurrency or min(4, max(1, len(items))),
+        concurrency=concurrency or actor_pool(cap=max(1, len(items))),
         batch_size=1,
     ).take_all()  # one meta row per segment — tiny
     return int(sum(r["rows"] for r in meta))

@@ -48,7 +48,7 @@ def highlight_search(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t, "k": 10**9} for q, t in HL_QUERIES]
     )
-    res = search_dataset(idx, qds, concurrency=2)
+    res = search_dataset(idx, qds)
 
     def hits(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -75,13 +75,17 @@ def train_centroids(sample: np.ndarray, n_lists: int, seed: int = 13) -> np.ndar
 
 
 def build_ivf(
-    sf_dir: str, n_lists: int = N_LISTS, with_codes: bool = False
+    sf_dir: str,
+    n_lists: int = N_LISTS,
+    with_codes: bool = False,
+    extra_cols: tuple = (),
 ) -> str:
     """Build (or reuse) the partitioned IVF layout; returns its dir.
     ``with_codes=True`` also stores each vector's int8 quantized code
     (fixed_size_list<int8>) beside the floats — the
     ``Lucene99ScalarQuantizedVectorsFormat`` on-disk pairing used by
-    :func:`ivf_knn_quantized`."""
+    :func:`ivf_knn_quantized`. ``extra_cols`` carries additional source
+    columns (e.g. ``label`` for the kNN classifier) into the layout."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -92,7 +96,7 @@ def build_ivf(
     prefix = "ivfq" if with_codes else "ivf"
     tag = hashlib.sha1(
         f"{prefix}:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{n_lists}:"
-        f"{KMEANS_ITERS}:{SAMPLE_ROWS}".encode()
+        f"{KMEANS_ITERS}:{SAMPLE_ROWS}:{','.join(extra_cols)}".encode()
     ).hexdigest()[:16]
     ivf_dir = os.path.join(CACHE_ROOT, f"{prefix}_{tag}")
     marker = os.path.join(ivf_dir, "_DONE")
@@ -130,13 +134,86 @@ def build_ivf(
             )
         return b.append_column("list", pa.array(lists))
 
-    ds = ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(
+        emb, columns=["vec_id", "embedding", *extra_cols]
+    )
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(ivf_dir, "data"), partition_cols=["list"]
     )
     with open(marker, "w"):
         pass
     return ivf_dir
+
+
+def ivf_chunks(data_dir: str, block_rows: int) -> dict:
+    """Footer-only chunking of the IVF hive layout: per list id, a list of
+    ``(file_path, rg_lo, rg_hi)`` row-group ranges of ≤ ``block_rows`` rows
+    each. No vector data is read — only parquet footers."""
+    import pyarrow.parquet as pq
+
+    chunks: dict = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("list="):
+            continue
+        lid = int(name.split("=", 1)[1])
+        chunks[lid] = []
+        part = os.path.join(data_dir, name)
+        for fn in sorted(os.listdir(part)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(part, fn)
+            md = pq.ParquetFile(fp).metadata
+            lo, rows = 0, 0
+            for rg in range(md.num_row_groups):
+                rows += md.row_group(rg).num_rows
+                if rows >= block_rows:
+                    chunks[lid].append((fp, lo, rg + 1))
+                    lo, rows = rg + 1, 0
+            if lo < md.num_row_groups:
+                chunks[lid].append((fp, lo, md.num_row_groups))
+    return chunks
+
+
+def ivf_radii(ivf_dir: str, cents: np.ndarray) -> np.ndarray:
+    """Per-list angular radius ``r_c = max angle(member, centroid)`` —
+    one column-pruned streaming pass, cached beside the layout. The
+    radii power EXACT pruning: members of lists i, j satisfy
+    ``angle(a,b) ≥ θ_ij − r_i − r_j`` (sphere triangle inequality)."""
+    import ray
+    import ray.data
+
+    radius_path = os.path.join(ivf_dir, "radii.npy")
+    if os.path.exists(radius_path):
+        return np.load(radius_path)
+    c_ref = ray.put(cents)
+
+    def theta(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        arr = b.column("embedding").combine_chunks()
+        m = _normalize(
+            np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        )
+        lids = np.asarray(b.column("list"), dtype=np.int64)
+        d = np.einsum("ij,ij->i", m, cm[lids])
+        th = np.arccos(np.clip(d, -1.0, 1.0))
+        return pa.table({"list": pa.array(lids), "theta": pa.array(th)})
+
+    rad_rows = (
+        ray.data.read_parquet(
+            os.path.join(ivf_dir, "data"), columns=["embedding", "list"]
+        )
+        .map_batches(theta, batch_format="pyarrow")
+        .groupby("list")
+        .max("theta")
+        .take_all()
+    )  # one row per list — tiny
+    radii = np.zeros(len(cents), dtype=np.float64)
+    for r in rad_rows:
+        radii[int(r["list"])] = float(r["max(theta)"])
+    tmp = radius_path + f".tmp{os.getpid()}.npy"
+    np.save(tmp, radii)
+    os.replace(tmp, radius_path)
+    return radii
 
 
 def _probe_lists(

@@ -64,7 +64,7 @@ def join_search(sf_dir: str):
             for qid, fq, ff, tf in JOIN_SPECS
         ]
     )
-    res = search_dataset(idx, qds, concurrency=2, query_factory=make_join_query)
+    res = search_dataset(idx, qds, query_factory=make_join_query)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(

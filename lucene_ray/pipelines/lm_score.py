@@ -20,6 +20,8 @@ Keep rule in integer algebra: mean NLL per word ≤ ``KEEP_NATS_MICRO`` micro-na
 from __future__ import annotations
 
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import Dict
 
 from lucene_ray.pipelines.text_kernels import flat_words, seg_sum
@@ -130,7 +132,7 @@ def lm_perplexity(sf_dir: str):
     ds = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text"]
     )
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2).sort(
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=actor_pool()).sort(
         "doc_id"
     )
 

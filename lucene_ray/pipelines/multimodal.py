@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import Dict, Optional
 
 import numpy as np
@@ -142,7 +144,7 @@ def image_decode(sf_dir: str):
     )
     imgs = ds.map_batches(make_images, batch_format="pyarrow", batch_size=256)
     decoded = imgs.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
 
     def finish(b: pa.Table) -> pa.Table:

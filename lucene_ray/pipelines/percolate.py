@@ -19,6 +19,8 @@ presearcher → always evaluated).
 from __future__ import annotations
 
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import List, Tuple
 
 import pyarrow as pa
@@ -84,7 +86,7 @@ def percolate_docs(sf_dir: str):
     return ds.map_batches(
         _PercolateActor,
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=actor_pool(),
         batch_size=512,
     ).sort(["query_id", "doc_id"])
 

@@ -12,6 +12,8 @@ scores, not just matching ranks.
 from __future__ import annotations
 
 import os
+
+from lucene_ray.cluster import actor_pool
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -90,7 +92,7 @@ def _run(
 
     idx = get_or_build_index(sf_dir)
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in queries])
-    res = search_dataset(idx, qds, k=k, concurrency=2, similarity=similarity)
+    res = search_dataset(idx, qds, k=k, similarity=similarity)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -147,7 +149,7 @@ def bm25_topk_shuffle(sf_dir: str):
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in TERM_QUERIES])
     from lucene_ray.search.searcher import search_dataset
 
-    res = search_dataset(idx, qds, k=K, concurrency=2)
+    res = search_dataset(idx, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -217,7 +219,7 @@ def pretokenized_topk(sf_dir: str):
         )
         tmp = tok_dir + ".tmp"
         ds.map_batches(
-            _TokenizeStage, concurrency=2, batch_format="pyarrow"
+            _TokenizeStage, concurrency=actor_pool(), batch_format="pyarrow"
         ).write_parquet(tmp)
         os.replace(tmp, tok_dir)
     if not os.path.exists(os.path.join(tag, "manifest.json")):
@@ -226,7 +228,7 @@ def pretokenized_topk(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t} for q, t in TERM_QUERIES]
     )
-    res = search_dataset(tag, qds, k=K, concurrency=2)
+    res = search_dataset(tag, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -266,7 +268,7 @@ def bm25_topk_plain(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t} for q, t in TERM_QUERIES]
     )
-    res = search_dataset(idx, qds, k=K, concurrency=2)
+    res = search_dataset(idx, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -364,7 +366,7 @@ def html_bm25_topk(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t} for q, t in TERM_QUERIES]
     )
-    res = search_dataset(idx, qds, k=K, concurrency=2)
+    res = search_dataset(idx, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -450,7 +452,7 @@ def hit_count(sf_dir: str):
     return qds.map_batches(
         _CountActor,
         fn_constructor_kwargs={"index_dir": idx},
-        concurrency=2,
+        concurrency=actor_pool(),
         batch_format="pyarrow",
         batch_size=4,
     )
@@ -561,7 +563,7 @@ def explain_score(sf_dir: str):
     return qds.map_batches(
         _ExplainActor,
         fn_constructor_kwargs={"index_dir": idx},
-        concurrency=2,
+        concurrency=actor_pool(),
         batch_format="pyarrow",
         batch_size=2,
     )
@@ -633,7 +635,7 @@ def bm25_topk_filtered(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t} for q, t in FILTERED_QUERIES]
     )
-    res = search_dataset(idx, qds, k=K, concurrency=2)
+    res = search_dataset(idx, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -800,7 +802,7 @@ def _matchset_run(sf_dir: str, queries: List[Tuple[int, str]], config=None):
     qds = ray.data.from_items(
         [{"qid": q, "query": t, "k": 10**9} for q, t in queries]
     )
-    res = search_dataset(idx, qds, concurrency=2)
+    res = search_dataset(idx, qds)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1006,7 +1008,7 @@ def sloppy_phrase_search(sf_dir: str):
             for q, a, b, s in SLOPPY_QUERIES
         ]
     )
-    res = search_dataset(idx, qds, concurrency=2)
+    res = search_dataset(idx, qds)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1050,7 +1052,7 @@ def phrase_search(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t, "k": 10**9} for q, t in PHRASE_QUERIES]
     )
-    res = search_dataset(idx, qds, concurrency=2)
+    res = search_dataset(idx, qds)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1623,7 +1625,7 @@ def bm25_topk_deleted(sf_dir: str):
         with open(marker, "w") as f:
             f.write("lang:de")
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in TERM_QUERIES])
-    res = search_dataset(idx, qds, k=K, concurrency=2)
+    res = search_dataset(idx, qds, k=K)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1930,7 +1932,7 @@ def msm_search(sf_dir: str):
     idx = get_or_build_index(sf_dir)
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in MSM_QUERIES])
     res = search_dataset(
-        idx, qds, k=K, concurrency=2, query_factory=_MsmFactory(2)
+        idx, qds, k=K, query_factory=_MsmFactory(2)
     )
 
     def rename(b: pa.Table) -> pa.Table:
@@ -2068,7 +2070,7 @@ def interval_ordered(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=actor_pool())
 
 
 def sql_interval_ordered() -> str:
@@ -2157,7 +2159,7 @@ def interval_or(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=actor_pool())
 
 
 def sql_interval_or() -> str:
@@ -2493,7 +2495,7 @@ def multi_phrase_search(sf_dir: str):
         [{"qid": q, "query": t, "k": 10**9} for q, t in MP_QUERIES]
     )
     res = search_dataset(
-        idx, qds, concurrency=2, query_factory=make_multi_phrase
+        idx, qds, query_factory=make_multi_phrase
     )
 
     def rename(b: pa.Table) -> pa.Table:
@@ -2654,7 +2656,7 @@ def combined_field_topk(sf_dir: str):
         [{"qid": q, "query": t} for q, t in CF_QUERIES]
     )
     res = search_dataset(
-        idx, qds, k=K, concurrency=2, query_factory=make_cfq
+        idx, qds, k=K, query_factory=make_cfq
     )
 
     def rename(b: pa.Table) -> pa.Table:
@@ -2815,7 +2817,7 @@ def dismax_topk(sf_dir: str):
     qds = ray.data.from_items(
         [{"qid": q, "query": t} for q, t in DISMAX_QUERIES]
     )
-    res = search_dataset(idx, qds, k=K, concurrency=2, query_factory=make_dismax)
+    res = search_dataset(idx, qds, k=K, query_factory=make_dismax)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -2881,7 +2883,7 @@ def constant_score_topk(sf_dir: str):
     idx = get_or_build_index(sf_dir)
     qds = ray.data.from_items([{"qid": q, "query": t} for q, t in CS_QUERIES])
     res = search_dataset(
-        idx, qds, k=K, concurrency=2, query_factory=make_constant_score
+        idx, qds, k=K, query_factory=make_constant_score
     )
 
     def rename(b: pa.Table) -> pa.Table:
@@ -2961,7 +2963,7 @@ def term_in_set(sf_dir: str):
             for q, f, ts in TIS_QUERIES
         ]
     )
-    res = search_dataset(idx, qds, concurrency=2, query_factory=make_term_in_set)
+    res = search_dataset(idx, qds, query_factory=make_term_in_set)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -3022,7 +3024,7 @@ def span_near_search(sf_dir: str):
             for q, ts, s, o in SPAN_QUERIES
         ]
     )
-    res = search_dataset(idx, qds, concurrency=2, query_factory=make_span)
+    res = search_dataset(idx, qds, query_factory=make_span)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -3147,7 +3149,7 @@ def feature_boosted_topk(sf_dir: str):
         [{"qid": q, "query": t} for q, t in FEATURE_QUERIES]
     )
     res = search_dataset(
-        idx, qds, k=K, concurrency=2, query_factory=make_feature_query
+        idx, qds, k=K, query_factory=make_feature_query
     )
 
     def rename(b: pa.Table) -> pa.Table:

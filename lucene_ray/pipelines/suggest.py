@@ -15,6 +15,7 @@ from typing import List, Tuple
 
 import pyarrow as pa
 
+from lucene_ray.cluster import actor_pool
 from lucene_ray.pipelines.index_cache import get_or_build_index
 from lucene_ray.search.searcher import IndexSearcher
 
@@ -73,7 +74,7 @@ def spell_suggest(sf_dir: str):
     return qds.map_batches(
         _SuggestActor,
         fn_constructor_kwargs={"index_dir": idx},
-        concurrency=2,
+        concurrency=actor_pool(),
         batch_format="pyarrow",
         batch_size=16,
     )
@@ -159,7 +160,7 @@ def suggest_complete(sf_dir: str):
     return qds.map_batches(
         _CompleteActor,
         fn_constructor_kwargs={"index_dir": idx},
-        concurrency=2,
+        concurrency=actor_pool(),
         batch_format="pyarrow",
         batch_size=16,
     )

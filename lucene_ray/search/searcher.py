@@ -2109,6 +2109,13 @@ class IndexSearcher:
         # matches — no per-match key gather, no per-segment sort
         want_dir = "desc" if descending else "asc"
         early = self.config.index_sort == (sort_field, want_dir)
+        if early and self.segments:
+            # string DV sort goes through per-segment ordinals + raw-value
+            # global merge (str_sort below); the numeric early-exit key
+            # algebra doesn't apply to object arrays — take the general path
+            ty = self.segments[0].dv(sort_field).type
+            if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                early = False
         c_val = c_si = c_doc = None
         if after is not None:
             c_val, c_gdoc = after
@@ -2769,13 +2776,22 @@ def search_dataset(
     index_dir: str,
     queries_ds,
     k: int = 10,
-    concurrency: int = 4,
+    concurrency=None,
     similarity: Optional[str] = None,
     query_factory=None,
 ):
     """Distributed search: queries Dataset (qid, query[, k]) → results
     Dataset (qid, rank, key, docid, score) via a searcher actor pool.
-    ``similarity``: registry name (None = BM25)."""
+    ``similarity``: registry name (None = BM25).
+
+    ``concurrency=None`` (default) sizes an AUTOSCALING pool from the
+    cluster: min stays 1 so a handful of gate queries don't pay a fleet's
+    actor spin-up, max tracks cluster CPUs so a real query stream saturates
+    the node. Pass an int to pin the pool (benchmarks do)."""
+    if concurrency is None:
+        from lucene_ray.cluster import actor_pool
+
+        concurrency = actor_pool()
     return queries_ds.map_batches(
         SearcherActor,
         fn_constructor_kwargs={

@@ -30,6 +30,8 @@ class TestExport:
         assert n == len(r["keys"])
         files = []
         for part in sorted(os.listdir(out)):
+            if not part.startswith("seg="):
+                continue  # _query.json resume manifest lives alongside
             files.append(os.path.join(out, part, "part.parquet"))
         t = pq.read_table(files)
         assert sorted(t.column("key").to_pylist()) == sorted(
@@ -48,6 +50,7 @@ class TestExport:
         stamps = {
             p: os.path.getmtime(os.path.join(out, p, "part.parquet"))
             for p in os.listdir(out)
+            if p.startswith("seg=")
         }
         n2 = export_matches(index_dir, "data", out)
         assert n1 == n2
