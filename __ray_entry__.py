@@ -62,7 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round 1, then the 50 that went green (rows+schema+hash) in round 2 —
     # those keep pytest + the oracle harness as regression cover.
     return {
-        # --- never driver-checked before round 3 (30) ---
+        # --- never driver-checked before round 3 ---
+        "bm25_topk_sharded": sq.bm25_topk_sharded,
         "multi_phrase_search": sq.multi_phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
         "dismax_topk": sq.dismax_topk,
@@ -180,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # --- never driver-checked before round 3 ---
+        # sharded tier is bit-exact vs the replica tier → same oracle
+        "bm25_topk_sharded": sq.sql_bm25_topk(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "dismax_topk": sq.sql_dismax_topk(),

@@ -111,6 +111,36 @@ def bm25_topk(sf_dir: str):
     return _run(sf_dir, TERM_QUERIES)
 
 
+def bm25_topk_sharded(sf_dir: str, n_shards: int = 3):
+    """Same term workload through the SHARD-PARTITIONED query tier
+    (``search.sharded``): disjoint segment subsets per actor, a global
+    df/ttf stats exchange, per-(query, shard) top-k, ``groupby(qid)``
+    TopDocs.merge — bit-exact vs the replica tier, so the same SQL
+    oracle as ``bm25_topk`` applies. This is the tier that serves an
+    index too large for any single node (SURVEY §3.2)."""
+    import ray.data
+
+    from lucene_ray.search.sharded import search_dataset_sharded
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in TERM_QUERIES]
+    )
+    res = search_dataset_sharded(idx, qds, k=K, n_shards=n_shards)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "rank": b.column("rank"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 def classic_tfidf_topk(sf_dir: str):
     """Same term workload under ClassicSimilarity (TF-IDF): tf=sqrt(freq),
     idf=ln((N+1)/(df+1))+1, lengthNorm=1/sqrt(len) via the SmallFloat INT

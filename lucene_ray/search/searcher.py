@@ -205,7 +205,13 @@ def _sum_field_stats(all_fs: List[dict]) -> dict:
 class IndexSearcher:
     """Open once (per process / per Ray actor), search many times."""
 
-    def __init__(self, index_dir, similarity=None, query_cache=_DEFAULT_CACHE):
+    def __init__(
+        self,
+        index_dir,
+        similarity=None,
+        query_cache=_DEFAULT_CACHE,
+        segment_ids=None,
+    ):
         """``index_dir``: one committed index directory, or a SEQUENCE of
         them — the ``MultiReader`` role (``core/index/MultiReader.java`` +
         ``IndexSearcher`` over its leaves): leaves concatenate in the
@@ -222,12 +228,23 @@ class IndexSearcher:
         (``Codec.forName`` analogue).
 
         ``query_cache``: an ``LRUQueryCache`` (default: fresh instance),
-        or None to disable constant-score match-set caching."""
+        or None to disable constant-score match-set caching.
+
+        ``segment_ids``: open only these seg_ids (single-index mode) —
+        the SHARD role for the distributed query tier
+        (``search.sharded``): postings/DV/docmap of unowned segments are
+        never touched, while collection statistics stay manifest-global
+        so BM25 weights equal the full index's. Per-term df/ttf for a
+        shard is local unless ``stats_override`` is set (the sharded
+        tier's global-stats exchange sets it)."""
         dirs = (
             [index_dir]
             if isinstance(index_dir, (str, os.PathLike))
             else list(index_dir)
         )
+        if segment_ids is not None and len(dirs) != 1:
+            raise ValueError("segment_ids sharding requires a single index")
+        self.stats_override = None
         mans: List[Manifest] = []
         for d in dirs:
             m = load_manifest(d)
@@ -244,11 +261,15 @@ class IndexSearcher:
         self.segments: List[SegmentReader] = []
         doc_base = 0  # MultiReader docBase accumulation across indexes
         for d, m in zip(dirs, mans):
+            seg_rows = m.segments
+            if segment_ids is not None:
+                want = set(int(s) for s in segment_ids)
+                seg_rows = [s for s in seg_rows if int(s["seg_id"]) in want]
             segs = [
                 SegmentReader(os.path.join(d, "segments", f"seg_{s['seg_id']:06d}"))
                 if "dir" not in s
                 else SegmentReader(s["dir"])
-                for s in m.segments
+                for s in seg_rows
             ]
             # leaf order = docid-base order WITHIN each index, so the
             # TopDocs.merge tie-break (score, seg_idx, docid) equals
@@ -330,6 +351,12 @@ class IndexSearcher:
                 hit = (infos, df, ttf)
                 if len(cache) < 100_000:
                     cache[t] = hit
+            # shard mode: the cache holds LOCAL df/ttf sums; the global
+            # stats exchanged across shards apply at read time so cached
+            # entries never go stale across override changes
+            if self.stats_override is not None and t in self.stats_override:
+                odf, ottf = self.stats_override[t]
+                hit = (hit[0], int(odf), int(ottf))
             out[t] = hit
         return out
 
