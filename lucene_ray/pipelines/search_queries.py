@@ -141,6 +141,130 @@ def bm25_topk_sharded(sf_dir: str, n_shards: int = 3):
     return res.map_batches(rename, batch_format="pyarrow")
 
 
+# full classic-parser grammar: AND/OR/NOT keywords, parenthesized
+# groups (nested, boosted), mixed with multiterm suffix syntax
+# (``QueryParser.jj:105`` Query/Clause/Conjunction productions)
+GROUPED_QUERIES: List[Tuple[int, str]] = [
+    (0, "(spark OR merge) AND (data OR vector)"),
+    (1, "data AND NOT spark"),
+    (2, "+(spark merge)^2 que*"),
+    (3, "(vector OR merge) AND NOT (spark AND the)"),
+]
+
+
+def grouped_boolean_search(sf_dir: str):
+    """Parser-driven grouped booleans over the documents index: every
+    query goes through ``parse_query``'s recursive-descent grammar —
+    AND/OR/NOT, nested parens, group boosts, prefix syntax — and the
+    engine's nested-BooleanQuery evaluation. Returns the FULL match set
+    (scored), ordered (qid, doc_id)."""
+    import ray.data
+
+    idx = get_or_build_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t, "k": 10**9} for q, t in GROUPED_QUERIES]
+    )
+    res = search_dataset(idx, qds)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "doc_id": b.column("key").cast(pa.int64()),
+                "score": b.column("score"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow").sort(
+        ["qid", "doc_id"]
+    )
+
+
+def sql_grouped_boolean_search() -> str:
+    """Oracle: per-query match-set algebra over the shared ``tscore``
+    CTE (float32 BM25 term scores); group sums replicate the engine's
+    left-associative float32 clause-order addition, and the ×2 group
+    boost is exact (power-of-two scaling commutes with fp rounding).
+    ``que*`` is a constant-score prefix (1.0 per matching doc)."""
+    leaves = [
+        (0, 0, "spark"), (0, 1, "merge"), (0, 2, "data"), (0, 3, "vector"),
+        (1, 0, "data"), (1, 1, "spark"),
+        (2, 0, "spark"), (2, 1, "merge"),
+        (3, 0, "vector"), (3, 1, "merge"), (3, 2, "spark"), (3, 3, "the"),
+    ]
+    vals = ", ".join(f"({q}, {ti}, '{t}', 'LEAF')" for q, ti, t in leaves)
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {vals}
+),
+tf as (
+  select q.qid, q.ti, q.occur, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3, 4
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.ti, tf.occur, tf.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf.tf as float) * f.inv) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join (
+    select d.term,
+           cast(ln(1 + ((select doc_count from stats) - d.df + 0.5) / (d.df + 0.5)) as float) as w
+    from df d
+  ) w on w.term = q.term
+  join fnorm f on f.doc_id = tf.doc_id
+),
+wide as (
+  select qid, doc_id,
+         max(s) filter (where ti = 0) as s0,
+         max(s) filter (where ti = 1) as s1,
+         max(s) filter (where ti = 2) as s2,
+         max(s) filter (where ti = 3) as s3
+  from tscore group by qid, doc_id
+),
+prefix_hit as (
+  select distinct doc_id from tok where term like 'que%'
+),
+q0 as (
+  select 0 as qid, doc_id,
+         ((coalesce(s0, cast(0 as float)) + coalesce(s1, cast(0 as float)))
+          + (coalesce(s2, cast(0 as float)) + coalesce(s3, cast(0 as float)))) as score
+  from wide where qid = 0
+    and (s0 is not null or s1 is not null)
+    and (s2 is not null or s3 is not null)
+),
+q1 as (
+  select 1 as qid, doc_id, s0 as score
+  from wide where qid = 1 and s0 is not null and s1 is null
+),
+q2 as (
+  select 2 as qid, w.doc_id,
+         (cast(2 as float) * (coalesce(s0, cast(0 as float)) + coalesce(s1, cast(0 as float)))
+          + (case when p.doc_id is not null then cast(1 as float) else cast(0 as float) end)) as score
+  from wide w left join prefix_hit p on p.doc_id = w.doc_id
+  where qid = 2 and (s0 is not null or s1 is not null)
+),
+q3 as (
+  select 3 as qid, doc_id,
+         (coalesce(s0, cast(0 as float)) + coalesce(s1, cast(0 as float))) as score
+  from wide where qid = 3
+    and (s0 is not null or s1 is not null)
+    and not (s2 is not null and s3 is not null)
+),
+allq as (
+  select * from q0 union all select * from q1
+  union all select * from q2 union all select * from q3
+)
+select cast(qid as int) as qid, doc_id, cast(score as float) as score
+from allq
+order by qid, doc_id
+"""
+
+
 def classic_tfidf_topk(sf_dir: str):
     """Same term workload under ClassicSimilarity (TF-IDF): tf=sqrt(freq),
     idf=ln((N+1)/(df+1))+1, lengthNorm=1/sqrt(len) via the SmallFloat INT

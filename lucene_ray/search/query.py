@@ -393,7 +393,7 @@ _CLAUSE_RE = re.compile(
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
       | /(?P<regexp>[^/]*)/
       | \[(?P<rlo>[^\s\]]+)\ TO\ (?P<rhi>[^\s\]]+)\]
-      | (?P<word>[^\s"^~]+)(?:~(?P<fedits>\d+))?
+      | (?P<word>[^\s"^~()]+)(?:~(?P<fedits>\d+))?
     )
     (?:\^(?P<boost>\d+(?:\.\d+)?))?
     """,
@@ -414,88 +414,206 @@ def _range_bound(tok: str):
             return tok
 
 
+def _atom_query(m, analyzer) -> Optional[Tuple[str, bool, "Query"]]:
+    """One ``_CLAUSE_RE`` match → (occur, occur_explicit, query); None if
+    the atom analyzes away (stopword-only, empty)."""
+    occur = {"+": MUST, "-": MUST_NOT, "#": FILTER, "": SHOULD}[
+        m.group("occur")
+    ]
+    explicit = bool(m.group("occur"))
+    boost = float(m.group("boost") or 1.0)
+    fieldname = m.group("field") or "text"
+    if m.group("phrase") is not None:
+        terms = [t for t, *_ in analyzer.analyze(m.group("phrase"))]
+        if not terms:
+            return None
+        slop = int(m.group("slop") or 0)
+        q: Query = PhraseQuery(tuple(terms), slop=slop, boost=boost)
+    elif m.group("regexp") is not None:
+        # /re/ — anchored regexp over the term dictionary (classic
+        # QueryParser regexp syntax, QueryParser.jj REGEXPTERM)
+        q = RegexpQuery(m.group("regexp"), boost=boost, field=fieldname)
+    elif m.group("rlo") is not None:
+        lo = _range_bound(m.group("rlo"))
+        hi = _range_bound(m.group("rhi"))
+        if isinstance(lo, str) or isinstance(hi, str):
+            # non-numeric bound → lexicographic TermRangeQuery (the
+            # classic parser's range IS a term range,
+            # ``QueryParser.jj:105``); numeric bounds keep the
+            # doc-values RangeQuery (points role)
+            low = (
+                simple_lowercase if fieldname == "text" else (lambda s: s)
+            )
+            lo_s = None if lo is None else low(str(lo))
+            hi_s = None if hi is None else low(str(hi))
+            q = TermRangeQuery(lo_s, hi_s, boost=boost, field=fieldname)
+        else:
+            q = RangeQuery(fieldname, lo=lo, hi=hi, boost=boost)
+    elif m.group("fedits") is not None:
+        # fuzzy: the term is lowercased, not tokenized (classic parser
+        # lowercase_expanded_terms behavior), capped at 2 edits
+        word = m.group("word")
+        if fieldname == "text":
+            word = simple_lowercase(word)
+        q = FuzzyQuery(
+            word,
+            max_edits=min(2, int(m.group("fedits"))),
+            boost=boost,
+            field=fieldname,
+        )
+    elif "*" in m.group("word") or "?" in m.group("word"):
+        word = m.group("word")
+        if fieldname == "text":
+            word = simple_lowercase(word)
+        if word.endswith("*") and "?" not in word and "*" not in word[:-1]:
+            q = PrefixQuery(word[:-1], boost=boost, field=fieldname)
+        else:
+            q = WildcardQuery(word, boost=boost, field=fieldname)
+    elif fieldname != "text":
+        # keyword field: the value indexes verbatim, so match verbatim
+        q = TermQuery(m.group("word"), boost=boost, field=fieldname)
+    else:
+        terms = [t for t, *_ in analyzer.analyze(m.group("word"))]
+        if not terms:
+            return None
+        if len(terms) == 1:
+            q = TermQuery(terms[0], boost=boost)
+        else:
+            # analyzed multi-token word (e.g. "3.a") → phrase, classic
+            # QueryParser behavior
+            q = PhraseQuery(tuple(terms), boost=boost)
+    return occur, explicit, q
+
+
+def _boost_into(q: "Query", b: float) -> "Query":
+    """Distribute a group boost ``(...)^b`` into scoring leaves — this
+    engine's BooleanQuery scores the SUM of clause scores, so multiplying
+    each scoring leaf's boost equals the reference's BoostQuery wrapper
+    multiplying the sum."""
+    import dataclasses
+
+    if b == 1.0:
+        return q
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            tuple(
+                (o, _boost_into(s, b) if o in (SHOULD, MUST) else s)
+                for o, s in q.clauses
+            ),
+            q.minimum_should_match,
+        )
+    if hasattr(q, "boost"):
+        return dataclasses.replace(q, boost=q.boost * b)
+    return q
+
+
+_KEYWORD_RE = re.compile(
+    r"(?:(AND|&&)|(OR|\|\|)|(NOT))(?=[\s(+\-#!\"]|$)|(!)"
+)
+_GROUP_OPEN_RE = re.compile(r"(?P<occur>[+\-#]?)\(")
+_GROUP_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
+
+
+def _parse_seq(text: str, pos: int, analyzer, depth: int):
+    """Recursive clause-sequence parser with the classic QueryParser's
+    conjunction semantics (``QueryParser.jj:105`` Query/Clause/Conjunction
+    productions + ``QueryParserBase.addClause``): ``AND`` promotes BOTH
+    its operands to MUST (unless explicitly signed), ``OR`` leaves
+    SHOULD, ``NOT``/``!`` prohibits the next clause; parenthesized groups
+    nest and accept ``^boost``. → (clauses, next_pos)."""
+    clauses: List[List] = []  # [occur, query, explicit]
+    conj = None  # pending AND between previous and next clause
+    neg = False  # pending NOT on the next clause
+
+    def add(occur: str, explicit: bool, q: "Query"):
+        nonlocal conj, neg
+        if neg and not explicit:
+            occur, explicit = MUST_NOT, True
+        if conj == "AND":
+            if clauses and clauses[-1][0] == SHOULD and not clauses[-1][2]:
+                clauses[-1][0] = MUST
+            if not explicit and occur == SHOULD:
+                occur = MUST
+        clauses.append([occur, q, explicit])
+        conj, neg = None, False
+
+    n = len(text)
+    while pos < n:
+        if text[pos].isspace():
+            pos += 1
+            continue
+        if text[pos] == ")":
+            if depth == 0:  # stray close paren: ignore it (lenient)
+                pos += 1
+                continue
+            return clauses, pos
+        km = _KEYWORD_RE.match(text, pos)
+        if km:
+            if km.group(1):
+                conj = "AND"
+            elif km.group(2):
+                conj = conj or None  # OR: default occur already SHOULD
+            else:  # NOT keyword or ! prefix
+                neg = True
+            pos = km.end()
+            continue
+        gm = _GROUP_OPEN_RE.match(text, pos)
+        if gm:
+            sub, pos = _parse_seq(text, gm.end(), analyzer, depth + 1)
+            if pos < n and text[pos] == ")":
+                pos += 1
+            gboost = 1.0
+            bm = _GROUP_BOOST_RE.match(text, pos)
+            if bm:
+                gboost = float(bm.group(1))
+                pos = bm.end()
+            if not sub:
+                conj, neg = None, False
+                continue
+            gq = _boost_into(
+                rewrite(BooleanQuery(tuple((o, q) for o, q, _ in sub))),
+                gboost,
+            )
+            occur = {"+": MUST, "-": MUST_NOT, "#": FILTER, "": SHOULD}[
+                gm.group("occur")
+            ]
+            add(occur, bool(gm.group("occur")), gq)
+            continue
+        am = _CLAUSE_RE.match(text, pos)
+        if am and am.end() > pos:
+            pos = am.end()
+            atom = _atom_query(am, analyzer)
+            if atom is not None:
+                add(*atom)
+            else:
+                conj, neg = None, False
+            continue
+        pos += 1  # unparseable char: skip (lenient, like finditer before)
+    return clauses, pos
+
+
 def parse_query(text: str, analyzer: Optional[Analyzer] = None) -> Query:
     """Parse a query string into a plan; text terms run through
-    ``analyzer``. Syntax (the classic-QueryParser subset +
-    extensions, ``lucene/queryparser/.../classic/QueryParser.jj:105``):
+    ``analyzer``. Syntax (classic QueryParser,
+    ``lucene/queryparser/.../classic/QueryParser.jj:105``):
 
     - ``term``, ``+required``, ``-prohibited``, ``#filtered`` (FILTER —
       match without scoring, this engine's spelling of
       ``BooleanClause.Occur.FILTER``), ``term^boost``
+    - ``a AND b``/``&&``, ``a OR b``/``||``, ``NOT a``/``!a`` with the
+      classic promotion semantics (AND promotes both operands to MUST
+      unless explicitly signed; default operator is OR)
+    - ``(grouped clauses)``, nestable, with optional ``(...)^boost``
     - ``"a phrase"~slop`` (text field only)
+    - ``wild*card`` / ``wi?ld`` / ``fuzzy~2`` / ``/regexp/``
     - ``field:term`` — non-default fields are keyword (StringField)
       fields; their values are NOT analyzed (match is verbatim)
-    - ``field:[lo TO hi]`` — doc-values range, ``*`` = open bound
+    - ``field:[lo TO hi]`` — doc-values range, ``*`` = open bound;
+      non-numeric bounds run a lexicographic TermRangeQuery
     """
     analyzer = analyzer or Analyzer()
-    clauses: List[Tuple[str, Query]] = []
-    for m in _CLAUSE_RE.finditer(text):
-        occur = {"+": MUST, "-": MUST_NOT, "#": FILTER, "": SHOULD}[
-            m.group("occur")
-        ]
-        boost = float(m.group("boost") or 1.0)
-        fieldname = m.group("field") or "text"
-        if m.group("phrase") is not None:
-            terms = [t for t, *_ in analyzer.analyze(m.group("phrase"))]
-            if not terms:
-                continue
-            slop = int(m.group("slop") or 0)
-            q: Query = PhraseQuery(tuple(terms), slop=slop, boost=boost)
-        elif m.group("regexp") is not None:
-            # /re/ — anchored regexp over the term dictionary (classic
-            # QueryParser regexp syntax, QueryParser.jj REGEXPTERM)
-            q = RegexpQuery(m.group("regexp"), boost=boost, field=fieldname)
-        elif m.group("rlo") is not None:
-            lo = _range_bound(m.group("rlo"))
-            hi = _range_bound(m.group("rhi"))
-            if isinstance(lo, str) or isinstance(hi, str):
-                # non-numeric bound → lexicographic TermRangeQuery (the
-                # classic parser's range IS a term range,
-                # ``QueryParser.jj:105``); numeric bounds keep the
-                # doc-values RangeQuery (points role)
-                low = (
-                    simple_lowercase if fieldname == "text" else (lambda s: s)
-                )
-                lo_s = None if lo is None else low(str(lo))
-                hi_s = None if hi is None else low(str(hi))
-                q = TermRangeQuery(lo_s, hi_s, boost=boost, field=fieldname)
-            else:
-                q = RangeQuery(fieldname, lo=lo, hi=hi, boost=boost)
-        elif m.group("fedits") is not None:
-            # fuzzy: the term is lowercased, not tokenized (classic parser
-            # lowercase_expanded_terms behavior), capped at 2 edits
-            word = m.group("word")
-            if fieldname == "text":
-                word = simple_lowercase(word)
-            q = FuzzyQuery(
-                word,
-                max_edits=min(2, int(m.group("fedits"))),
-                boost=boost,
-                field=fieldname,
-            )
-        elif "*" in m.group("word") or "?" in m.group("word"):
-
-            word = m.group("word")
-            if fieldname == "text":
-                word = simple_lowercase(word)
-            if word.endswith("*") and "?" not in word and "*" not in word[:-1]:
-                q = PrefixQuery(word[:-1], boost=boost, field=fieldname)
-            else:
-                q = WildcardQuery(word, boost=boost, field=fieldname)
-        elif fieldname != "text":
-            # keyword field: the value indexes verbatim, so match verbatim
-            q = TermQuery(m.group("word"), boost=boost, field=fieldname)
-        else:
-            terms = [t for t, *_ in analyzer.analyze(m.group("word"))]
-            if not terms:
-                continue
-            if len(terms) == 1:
-                q = TermQuery(terms[0], boost=boost)
-            else:
-                # analyzed multi-token word (e.g. "3.a") → phrase, classic
-                # QueryParser behavior
-                q = PhraseQuery(tuple(terms), boost=boost)
-        clauses.append((occur, q))
+    parsed, _ = _parse_seq(text, 0, analyzer, 0)
+    clauses: List[Tuple[str, Query]] = [(o, q) for o, q, _ in parsed]
     if not clauses:
         return BooleanQuery(())
     if len(clauses) == 1 and clauses[0][0] == SHOULD:
