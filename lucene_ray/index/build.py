@@ -153,7 +153,10 @@ def build_partition(
     else:
         texts = tbl.column(config.text_col).to_pylist()
         inv = invert_texts(
-            texts, analyzer_for_config(config), with_positions=config.positions
+            texts,
+            analyzer_for_config(config),
+            with_positions=config.positions,
+            with_offsets=getattr(config, "offsets", False),
         )
     field_norms: dict = {}
     field_stats: dict = {}

@@ -62,6 +62,13 @@ class IndexConfig:
     # config JSON-serializable and picklable across actors
     term_filters: Tuple[str, ...] = ()
     positions: bool = True
+    # offsets — store per-position character offsets beside positions
+    # (the ``.pay`` stream role, ``Lucene104PostingsFormat.java:17-80``;
+    # ``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS``). Enables
+    # offset-based highlighting without re-analyzing stored text. Requires
+    # ``positions=True``; the build takes the per-doc analyzer path (the
+    # vectorized flat tokenizer doesn't carry offsets).
+    offsets: bool = False
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     num_buckets: int = 1  # term-hash parts per segment (shuffle build uses >1)
     rows_per_segment: int = 1 << 20  # partition granularity for the build
@@ -177,6 +184,7 @@ class IndexConfig:
             "term_filters": list(self.term_filters),
             "char_filters": list(self.char_filters),
             "positions": self.positions,
+            "offsets": self.offsets,
             "max_token_length": self.max_token_length,
             "num_buckets": self.num_buckets,
             "rows_per_segment": self.rows_per_segment,
@@ -203,6 +211,7 @@ class IndexConfig:
             term_filters=tuple(d.get("term_filters", ())),
             char_filters=tuple(d.get("char_filters", ())),
             positions=d["positions"],
+            offsets=d.get("offsets", False),
             max_token_length=d["max_token_length"],
             num_buckets=d["num_buckets"],
             rows_per_segment=d["rows_per_segment"],

@@ -608,6 +608,12 @@ def merge_segments(
     """Merge source segments (contiguous docid ranges) into one new segment
     (serial per-bucket; ``merge_round`` fans buckets out as Ray tasks)."""
     readers, _, _ = _open_sorted_readers(index_dir, seg_ids)
+    if any(r.meta.get("offsets") for r in readers):
+        # offsets (.pay role) are currently build-path-only; refusing is
+        # better than a merged segment silently dropping its offsets
+        raise NotImplementedError(
+            "merging offset-bearing segments is not supported yet"
+        )
     t0 = time.time()
     tmp_root = os.path.join(index_dir, "segments", ".tmp")
     os.makedirs(tmp_root, exist_ok=True)

@@ -239,12 +239,19 @@ class InvertedBatch:
     positions: Optional[np.ndarray]  # uint32, all positions term-major
     pos_starts: Optional[np.ndarray]  # int64[n_terms+1] offsets into positions
     doc_lengths: np.ndarray  # int64[n_docs]
+    # per-position character offsets (the ``.pay`` stream role,
+    # ``Lucene104PostingsFormat.java:17-80``): aligned 1:1 with
+    # ``positions`` and sharing ``pos_starts``; ``off_lens`` stores
+    # end − start (small values pack tighter than absolute ends)
+    off_starts: Optional[np.ndarray] = None  # uint32
+    off_lens: Optional[np.ndarray] = None  # uint32
 
 
 def invert_texts(
     texts: Sequence[Optional[str]],
     analyzer: Analyzer,
     with_positions: bool,
+    with_offsets: bool = False,
 ) -> InvertedBatch:
     """Tokenize + invert a doc range into sorted per-term postings arrays.
 
@@ -253,8 +260,41 @@ def invert_texts(
     on int64 arrays — one ``np.argsort`` over ``code * n_docs + docid``
     replaces an Arrow string sort, cutting allocation/memory-bandwidth
     pressure (the build is bandwidth-bound at high task concurrency).
+
+    ``with_offsets`` captures per-position character offsets (the ``.pay``
+    role): the per-doc analyzer path runs instead of the flat vectorized
+    one (it is the only path that carries offsets), so offset-bearing
+    indexes pay an indexing-speed cost, like the reference's
+    ``..._AND_OFFSETS`` index option.
     """
     n_docs = len(texts)
+    if with_offsets:
+        if not with_positions:
+            raise ValueError("offsets require positions")
+        terms_l: List[str] = []
+        pos_l: List[int] = []
+        start_l: List[int] = []
+        len_l: List[int] = []
+        doc_lengths = np.zeros(n_docs, dtype=np.int64)
+        for di, text in enumerate(texts):
+            toks = analyzer.analyze(text or "")
+            doc_lengths[di] = len(toks)
+            for term, s, e, pos in toks:
+                terms_l.append(term)
+                pos_l.append(pos)
+                start_l.append(s)
+                len_l.append(e - s)
+        return _invert_flat(
+            np.asarray(terms_l, dtype=object),
+            doc_lengths,
+            np.asarray(pos_l, dtype=np.uint32),
+            n_docs,
+            True,
+            flat_offsets=(
+                np.asarray(start_l, dtype=np.uint32),
+                np.asarray(len_l, dtype=np.uint32),
+            ),
+        )
     # batched analysis: one regex/lowercase pass over the whole batch
     # (per-doc fallback inside analyze_flat keeps output identical)
     all_terms, doc_lengths, flat_positions = analyzer.analyze_flat(texts)
@@ -295,6 +335,7 @@ def _invert_flat(
     flat_positions: Optional[np.ndarray],
     n_docs: int,
     with_positions: bool,
+    flat_offsets: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> InvertedBatch:
     """Shared inversion core over a flat token stream in document order
     (``all_terms`` flat Arrow array or object ndarray, ``doc_lengths``
@@ -337,6 +378,8 @@ def _invert_flat(
             positions=np.empty(0, np.uint32) if with_positions else None,
             pos_starts=empty64 if with_positions else None,
             doc_lengths=doc_lengths,
+            off_starts=np.empty(0, np.uint32) if flat_offsets else None,
+            off_lens=np.empty(0, np.uint32) if flat_offsets else None,
         )
 
     codes = codes_first.astype(np.int64)
@@ -405,6 +448,11 @@ def _invert_flat(
         tok_term_starts = pair_starts[term_start_mask]
         pos_starts = np.append(tok_term_starts, len(positions)).astype(np.int64)
 
+    off_starts = off_lens = None
+    if flat_offsets is not None:
+        off_starts = flat_offsets[0][perm]
+        off_lens = flat_offsets[1][perm]
+
     return InvertedBatch(
         terms=(
             sorted_terms_arr
@@ -417,6 +465,8 @@ def _invert_flat(
         positions=positions,
         pos_starts=pos_starts,
         doc_lengths=doc_lengths,
+        off_starts=off_starts,
+        off_lens=off_lens,
     )
 
 
@@ -824,6 +874,21 @@ def write_segment(
         if (config.positions and inv.positions is not None and n_terms)
         else None
     )
+    # offsets (.pay role): two blob streams sharing the positions framing —
+    # absolute starts and (end − start) lengths, each FOR-packed per term
+    with_offsets = bool(
+        getattr(config, "offsets", False)
+        and inv.off_starts is not None
+        and n_terms
+    )
+    all_off_start_blobs = all_off_len_blobs = None
+    if with_offsets:
+        all_off_start_blobs = encode_uint_blocks_batch(
+            inv.off_starts, inv.pos_starts
+        )
+        all_off_len_blobs = encode_uint_blocks_batch(
+            inv.off_lens, inv.pos_starts
+        )
     buckets = (
         np.array([config.term_bucket(t) for t in term_strs], dtype=np.int32)
         if config.num_buckets > 1
@@ -835,11 +900,14 @@ def write_segment(
     for b in range(config.num_buckets):
         idx = np.flatnonzero(buckets == b)
         rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
-                "pos_off": [], "pos_len": []}
+                "pos_off": [], "pos_len": [],
+                "off_off": [], "off_slen": [], "off_llen": []}
         post_parts: List[bytes] = []
         pos_parts: List[bytes] = []
+        off_parts: List[bytes] = []
         post_off = 0
         pos_off = 0
+        off_off = 0
         for ti in idx:
             s, e = inv.term_starts[ti], inv.term_starts[ti + 1]
             tfs = inv.pair_tfs[s:e]
@@ -861,6 +929,19 @@ def write_segment(
             else:
                 rows["pos_off"].append(0)
                 rows["pos_len"].append(0)
+            if with_offsets:
+                sb = all_off_start_blobs[ti]
+                lb = all_off_len_blobs[ti]
+                rows["off_off"].append(off_off)
+                rows["off_slen"].append(len(sb))
+                rows["off_llen"].append(len(lb))
+                off_parts.append(sb)
+                off_parts.append(lb)
+                off_off += len(sb) + len(lb)
+            else:
+                rows["off_off"].append(0)
+                rows["off_slen"].append(0)
+                rows["off_llen"].append(0)
             if FIELD_SEP not in term_strs[ti]:  # text-field stats only
                 sum_df += int(e - s)
                 sum_ttf += ttf
@@ -868,17 +949,22 @@ def write_segment(
         postings_bytes += post_off
         if config.positions:
             put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
-        terms_tbl = pa.table(
-            {
-                "term": pa.array(rows["term"], pa.large_string()),
-                "df": pa.array(rows["df"], pa.int64()),
-                "ttf": pa.array(rows["ttf"], pa.int64()),
-                "post_off": pa.array(rows["post_off"], pa.int64()),
-                "post_len": pa.array(rows["post_len"], pa.int64()),
-                "pos_off": pa.array(rows["pos_off"], pa.int64()),
-                "pos_len": pa.array(rows["pos_len"], pa.int64()),
-            }
-        )
+        if with_offsets:
+            put(f"part_{b:04d}.offsets.bin", b"".join(off_parts))
+        tcols = {
+            "term": pa.array(rows["term"], pa.large_string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "ttf": pa.array(rows["ttf"], pa.int64()),
+            "post_off": pa.array(rows["post_off"], pa.int64()),
+            "post_len": pa.array(rows["post_len"], pa.int64()),
+            "pos_off": pa.array(rows["pos_off"], pa.int64()),
+            "pos_len": pa.array(rows["pos_len"], pa.int64()),
+        }
+        if with_offsets:
+            tcols["off_off"] = pa.array(rows["off_off"], pa.int64())
+            tcols["off_slen"] = pa.array(rows["off_slen"], pa.int64())
+            tcols["off_llen"] = pa.array(rows["off_llen"], pa.int64())
+        terms_tbl = pa.table(tcols)
         pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
 
     build_s = time.time() - t0
@@ -896,6 +982,7 @@ def write_segment(
         "n_terms": n_terms,
         "n_parts": config.num_buckets,
         "positions": config.positions,
+        "offsets": with_offsets,
         "postings_formats": fmt_map,  # None == all-ray104 (back-compat)
         "key_type": str(keys.type),
         "index_sort": list(config.index_sort) if config.index_sort else None,
@@ -936,6 +1023,11 @@ class TermInfo:
     pos_off: int
     pos_len: int
     part: int
+    # offsets stream (.pay role): [off_off, off_off+off_slen) = starts
+    # blob, then off_llen bytes of (end − start) lengths blob
+    off_off: int = 0
+    off_slen: int = 0
+    off_llen: int = 0
     # postings-format NAME for this term's field, resolved from segment
     # meta (``PerFieldPostingsFormat`` read path — the recorded name
     # picks the decoder, ``PerFieldPostingsFormat.java:64-69``)
@@ -965,6 +1057,7 @@ class SegmentReader:
         self._terms: List[Optional[dict]] = [None] * self.n_parts
         self._post_mm: List[np.ndarray] = []
         self._pos_mm: List[Optional[np.ndarray]] = []
+        self._off_mm: List[Optional[np.ndarray]] = []
         for b in range(self.n_parts):
             pbin = os.path.join(seg_dir, f"part_{b:04d}.postings.bin")
             self._post_mm.append(
@@ -977,6 +1070,15 @@ class SegmentReader:
                 self._pos_mm.append(np.memmap(posf, dtype=np.uint8, mode="r"))
             else:
                 self._pos_mm.append(None)
+            offf = os.path.join(seg_dir, f"part_{b:04d}.offsets.bin")
+            if (
+                self.meta.get("offsets")
+                and os.path.exists(offf)
+                and os.path.getsize(offf)
+            ):
+                self._off_mm.append(np.memmap(offf, dtype=np.uint8, mode="r"))
+            else:
+                self._off_mm.append(None)
         # live docs: highest-generation tombstone bitmap (None = all live)
         self.deleted: Optional[np.ndarray] = load_deleted(seg_dir, self.n_docs)
         # per-field postings-format names from segment meta
@@ -1037,6 +1139,9 @@ class SegmentReader:
                 pos_len=int(t["pos_len"][lo]),
                 part=b,
                 fmt=self.fmt_for_key(term),
+                off_off=int(t["off_off"][lo]) if "off_off" in t else 0,
+                off_slen=int(t["off_slen"][lo]) if "off_off" in t else 0,
+                off_llen=int(t["off_llen"][lo]) if "off_off" in t else 0,
             )
         return None
 
@@ -1235,6 +1340,27 @@ class SegmentReader:
             self._decode_cache_pos[key] = hit
         return hit
 
+    def offsets_for(self, info: TermInfo) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-position character offsets for a term (the ``.pay`` stream,
+        ``Lucene104PostingsFormat.java:17-80``): → ``(starts, ends)``
+        uint32 arrays aligned 1:1 with :meth:`positions`. Slicing per doc
+        uses the same tf-cumsum the positions consumers use."""
+        mm = self._off_mm[info.part]
+        if mm is None or info.off_slen == 0:
+            raise ValueError("segment has no offsets")
+        starts = decode_uint_blocks(
+            mm[info.off_off : info.off_off + info.off_slen]
+        )
+        lens = decode_uint_blocks(
+            mm[
+                info.off_off
+                + info.off_slen : info.off_off
+                + info.off_slen
+                + info.off_llen
+            ]
+        )
+        return starts, starts + lens
+
     # -- norms -------------------------------------------------------------
 
     def norms_for(self, fieldname: str) -> np.ndarray:
@@ -1341,6 +1467,10 @@ class SegmentReader:
                 "pos_off": np.asarray(cols["pos_off"], np.int64),
                 "pos_len": np.asarray(cols["pos_len"], np.int64),
             }
+            if "off_off" in cols:  # offsets-bearing segment
+                t["off_off"] = np.asarray(cols["off_off"], np.int64)
+                t["off_slen"] = np.asarray(cols["off_slen"], np.int64)
+                t["off_llen"] = np.asarray(cols["off_llen"], np.int64)
             self._terms[b] = t
         return t
 

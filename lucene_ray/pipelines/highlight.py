@@ -111,6 +111,120 @@ def highlight_search(sf_dir: str):
     return joined.map_batches(passage, batch_format="pandas")
 
 
+def highlight_offsets(sf_dir: str):
+    """→ (qid, doc_id, start_off, end_off, snippet) — the SAME passage
+    rule as :func:`highlight_search`, but the match offsets come from the
+    INDEX's per-position offsets stream (the ``.pay`` role,
+    ``Lucene104PostingsFormat.java:17-80``;
+    ``FieldType.storeTermVectorOffsets`` /
+    ``IndexOptions..._AND_OFFSETS``), never from re-scanning stored text
+    — the reference ``UnifiedHighlighter``'s fast offset source
+    (``uhighlight/UnifiedHighlighter.java`` offset-source selection).
+
+    Ray shape: an offsets-enabled index (built once, cached), one actor
+    pool emitting (qid, doc_id, start, end) straight from postings+.pay
+    decode — first in-doc occurrence is the doc's first offsets entry,
+    positions are doc-ordered — then the stored-text join ONLY to slice
+    snippet bytes (index-first, text-last: at 100 TB the text join
+    touches matched rows only)."""
+    import ray.data
+
+    from lucene_ray.cluster import actor_pool
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.config import IndexConfig
+    from lucene_ray.pipelines.index_cache import index_dir_for
+
+    cfg = IndexConfig(rows_per_segment=2048, offsets=True)
+    idx = index_dir_for(sf_dir, cfg) + "_offsets"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        os.makedirs(idx, exist_ok=True)
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg)
+
+    class _OffsetHits:
+        """Per (qid, term) row: decode postings + offsets per segment and
+        emit each matching doc's FIRST occurrence char range."""
+
+        def __init__(self):
+            from lucene_ray.search.searcher import IndexSearcher
+
+            self.searcher = IndexSearcher(idx)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            o_qid, o_doc, o_s, o_e = [], [], [], []
+            for qid, term in zip(
+                batch.column("qid").to_pylist(),
+                batch.column("query").to_pylist(),
+            ):
+                for seg in self.searcher.segments:
+                    info = seg.lookup(term)
+                    if info is None:
+                        continue
+                    docids, tfs = seg.decoded(info)
+                    starts, ends = seg.offsets_for(info)
+                    first = np.cumsum(tfs.astype(np.int64)) - tfs
+                    keys = seg.docmap.take(
+                        pa.array(docids.astype(np.int64))
+                    ).to_pylist()
+                    o_qid.extend([int(qid)] * len(docids))
+                    o_doc.extend(int(k) for k in keys)
+                    o_s.extend(starts[first].astype(np.int64).tolist())
+                    o_e.extend(ends[first].astype(np.int64).tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(o_qid, pa.int32()),
+                    "doc_id": pa.array(o_doc, pa.int64()),
+                    "start_off": pa.array(o_s, pa.int64()),
+                    "end_off": pa.array(o_e, pa.int64()),
+                }
+            )
+
+    qds = ray.data.from_items(
+        [{"qid": q, "query": t} for q, t in HL_QUERIES]
+    )
+    hits_ds = qds.map_batches(
+        _OffsetHits, batch_format="pyarrow", concurrency=actor_pool(cap=4)
+    )
+    docs_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    joined = hits_ds.join(
+        docs_ds, join_type="inner", num_partitions=4, on=("doc_id",)
+    )
+
+    def snip(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = np.asarray(b.column("start_off"), dtype=np.int64)
+        e = np.asarray(b.column("end_off"), dtype=np.int64)
+        texts = b.column("text").to_pylist()
+        n = np.array([len(t) for t in texts], dtype=np.int64)
+        lo = np.maximum(s - CTX, 0)
+        hi = np.minimum(e + CTX, n)
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "doc_id": b.column("doc_id"),
+                "start_off": b.column("start_off"),
+                "end_off": b.column("end_off"),
+                "snippet": pa.array(
+                    [t[a:z] for t, a, z in zip(texts, lo, hi)], pa.string()
+                ),
+            }
+        )
+
+    return joined.map_batches(snip, batch_format="pyarrow")
+
+
+def sql_highlight_offsets() -> str:
+    """Same oracle shape as ``sql_highlight_search``: on this corpus the
+    tokenizer's first in-doc occurrence offset equals the first
+    whitespace-delimited occurrence (every existing oracle already
+    equates ``string_split(text, ' ')`` with the analyzer)."""
+    return sql_highlight_search()
+
+
 def sql_highlight_search() -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in HL_QUERIES)
     return f"""
