@@ -179,6 +179,7 @@ def encode_postings_batch(
     pair_tfs: np.ndarray,
     norms: np.ndarray,
     term_starts: np.ndarray,
+    pair_norms: Optional[np.ndarray] = None,
 ) -> List[bytes]:
     """Encode MANY terms' postings at once — same blob format as
     :func:`encode_postings`, decoded by the same reader.
@@ -207,7 +208,10 @@ def encode_postings_batch(
     for ti in multi:
         s, e = int(starts[ti]), int(ends[ti])
         out[ti] = encode_postings(
-            pair_docids[s:e], pair_tfs[s:e], norms[pair_docids[s:e]]
+            pair_docids[s:e],
+            pair_tfs[s:e],
+            pair_norms[s:e] if pair_norms is not None
+            else norms[pair_docids[s:e]],
         )
     single = np.flatnonzero(dfs <= BLOCK_SIZE)
     if len(single) == 0:
@@ -232,7 +236,14 @@ def encode_postings_batch(
 
     # ---- per-(term, norm) max freq → pareto impacts (pure-int inner loop
     # over the few distinct norms per term) ----
-    pair_norms = norms[pair_docids].astype(np.int64)
+    # pair_norms may arrive pre-gathered (shuffle build passes norms for
+    # ONLY the docids this bucket touches — gathering norms[docid] here
+    # would need the whole corpus's norms resident in every bucket task)
+    pair_norms = (
+        pair_norms.astype(np.int64)
+        if pair_norms is not None
+        else norms[pair_docids].astype(np.int64)
+    )
     term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
     combo = term_idx * 256 + pair_norms
     order = np.argsort(combo, kind="stable")

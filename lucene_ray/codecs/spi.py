@@ -45,8 +45,10 @@ class Ray104Format:
     has_impacts = True
 
     @staticmethod
-    def encode_batch(docids, tfs, norms, term_starts) -> List[bytes]:
-        return encode_postings_batch(docids, tfs, norms, term_starts)
+    def encode_batch(docids, tfs, norms, term_starts, pair_norms=None) -> List[bytes]:
+        return encode_postings_batch(
+            docids, tfs, norms, term_starts, pair_norms=pair_norms
+        )
 
     @staticmethod
     def view(blob) -> PostingsView:
@@ -90,7 +92,7 @@ class PlainFormat:
     has_impacts = False
 
     @staticmethod
-    def encode_batch(docids, tfs, norms, term_starts) -> List[bytes]:
+    def encode_batch(docids, tfs, norms, term_starts, pair_norms=None) -> List[bytes]:
         docids = np.ascontiguousarray(docids, dtype="<u4")
         tfs = np.ascontiguousarray(tfs, dtype="<u4")
         out: List[bytes] = []

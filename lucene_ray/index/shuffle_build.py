@@ -406,57 +406,84 @@ def build_index_shuffled(
         os.path.join(pieces_dir, f"norms_{m['pid']:06d}.bin") for m in piece_metas
     ]
 
+    # (base, n_docs) per piece — pieces are docid-ranged, so a bucket task
+    # can gather exactly the norm bytes its docids touch (memmap + fancy
+    # index) instead of loading the whole corpus's norms: per-task norm
+    # I/O is ∝ this bucket's distinct docids, independent of corpus size
+    piece_ranges = [
+        (int(m["base"]), int(m["n_docs"])) for m in piece_metas
+    ]
+
     @ray.remote
     def stage_c(bucket: int, paths_json: str) -> str:
         done_marker = os.path.join(tmp_seg, f"part_{bucket:04d}.done.json")
         if os.path.exists(done_marker):
             with open(done_marker) as f:
                 return f.read()
-        # norms are needed for impact frontiers: stream the piece files
-        # (docid-ordered) into one array — per-task, not on the driver
-        nrm = np.concatenate(
-            [np.fromfile(p, dtype=np.uint8) for p in norm_files]
-        ) if norm_files else np.empty(0, np.uint8)
+
+        def gather_norms(docids_u32: np.ndarray) -> np.ndarray:
+            """norm byte per pair docid, reading ONLY the touched piece
+            byte ranges (impact frontiers need norms aligned per pair)."""
+            needed = np.unique(docids_u32.astype(np.int64))
+            vals = np.empty(len(needed), dtype=np.uint8)
+            for (base, nd), path in zip(piece_ranges, norm_files):
+                lo = np.searchsorted(needed, base)
+                hi = np.searchsorted(needed, base + nd)
+                if lo == hi:
+                    continue
+                mm = np.memmap(path, dtype=np.uint8, mode="r")
+                vals[lo:hi] = mm[needed[lo:hi] - base]
+            return vals[np.searchsorted(needed, docids_u32.astype(np.int64))]
         rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
                 "pos_off": [], "pos_len": []}
         blobs: List[bytes] = []
         off = 0
+        import pyarrow.compute as pc
+
         srcs = [pq.read_table(p) for p in json.loads(paths_json)]
-        # gather per-term runs across salt pieces (salt order == docid order)
-        agg: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
-        for t in srcs:
-            terms = t.column("term").to_pylist()
-            dvals, doffs = _list_rows(t.column("docids"))
-            tvals, toffs = _list_rows(t.column("tfs"))
-            for i, term in enumerate(terms):
-                agg.setdefault(term, []).append(
-                    (
-                        dvals[doffs[i]:doffs[i + 1]],
-                        tvals[toffs[i]:toffs[i + 1]].astype(np.uint32),
-                    )
-                )
-        sorted_terms = sorted(agg)
-        # one batched encode per bucket (cheaper per element than per-term)
-        id_parts: List[np.ndarray] = []
-        tf_parts: List[np.ndarray] = []
-        starts = [0]
+        # gather per-term runs across salt pieces, fully vectorized: ONE
+        # stable Arrow sort by (term, first docid) replaces the per-term
+        # Python dict loop (vocab-sized buckets made that loop the hot
+        # spot); the taken list columns flatten in row order, so the
+        # term-run value ranges ARE the concatenated postings
+        big = pa.concat_tables(srcs) if len(srcs) > 1 else srcs[0]
         total = 0
-        for term in sorted_terms:
-            runs = agg[term]
-            runs.sort(key=lambda x: int(x[0][0]))
-            for ids, tfs in runs:
-                id_parts.append(ids)
-                tf_parts.append(tfs)
-                total += len(ids)
-            starts.append(total)
+        sorted_terms: List[str] = []
+        if big.num_rows:
+            first_doc = pc.list_element(big.column("docids"), 0)
+            order = pc.sort_indices(
+                pa.table({"t": big.column("term"), "fd": first_doc}),
+                sort_keys=[("t", "ascending"), ("fd", "ascending")],
+            )
+            big = big.take(order)
+            t_arr = big.column("term").combine_chunks()
+            dvals, doffs = _list_rows(big.column("docids"))
+            tvals, toffs = _list_rows(big.column("tfs"))
+            n_rows = big.num_rows
+            if n_rows > 1:
+                neq = pc.not_equal(
+                    t_arr.slice(1), t_arr.slice(0, n_rows - 1)
+                ).to_numpy(zero_copy_only=False)
+                run_rows = np.append(0, np.flatnonzero(neq) + 1)
+            else:
+                run_rows = np.array([0], dtype=np.int64)
+            sorted_terms = t_arr.take(pa.array(run_rows)).to_pylist()
+            starts = np.append(doffs[run_rows], doffs[-1]).astype(np.int64)
+            total = int(doffs[-1])
+        else:
+            starts = np.zeros(1, dtype=np.int64)
         if total:
-            big_ids = np.concatenate(id_parts).astype(np.uint32)
-            big_tfs = np.concatenate(tf_parts).astype(np.uint32)
+            big_ids = dvals.astype(np.uint32)
+            big_tfs = tvals.astype(np.uint32)
             # text-only build → ONE format for every term (SPI dispatch,
             # PerFieldPostingsFormat write role)
             fmt = format_for_name(config.format_name_for_field(DEFAULT_FIELD))
             blobs = fmt.encode_batch(
-                big_ids, big_tfs, nrm, np.array(starts, dtype=np.int64)
+                big_ids,
+                big_tfs,
+                np.empty(0, np.uint8),
+                starts,
+                pair_norms=gather_norms(big_ids),
             )
         for ti, term in enumerate(sorted_terms):
             blob = blobs[ti]

@@ -93,18 +93,31 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     import ray.data
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         g = g.sort_values("ts")
-        # epoch seconds unit-independently: Timestamp.value is always ns,
-        # regardless of the column's datetime64 resolution (ADVICE r01)
-        ts = g["ts"].map(lambda t: t.value) // 1_000_000_000
+        # epoch ns unit-independently, fully vectorized: one astype to ns
+        # resolution then a view as int64 (the per-row .map(lambda t:
+        # t.value) was a hot-user scale risk, VERDICT r02)
+        ns = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        ts = pd.Series(ns // 1_000_000_000, index=g.index)
         new = (ts.diff().fillna(gap_s + 1) > gap_s).cumsum()
-        out = g.assign(sess=new).groupby("sess").agg(
-            user_id=("user_id", "first"),
-            start_us=("ts", lambda s: int(s.iloc[0].value) // 1000),  # ns→µs
-            n_events=("ts", "size"),
-            dur_s=("ts", lambda s: int((s.iloc[-1] - s.iloc[0]).total_seconds())),
+        sess_ns = pd.Series(ns, index=g.index)
+        out = (
+            g.assign(sess=new, _ns=sess_ns)
+            .groupby("sess")
+            .agg(
+                user_id=("user_id", "first"),
+                _first_ns=("_ns", "first"),
+                n_events=("_ns", "size"),
+                _last_ns=("_ns", "last"),
+            )
         )
-        return out.reset_index(drop=True)
+        out["start_us"] = out["_first_ns"] // 1000  # ns→µs
+        out["dur_s"] = (out["_last_ns"] - out["_first_ns"]) // 1_000_000_000
+        return out[["user_id", "start_us", "n_events", "dur_s"]].reset_index(
+            drop=True
+        )
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]

@@ -63,23 +63,43 @@ def partial_topk_table(per_q) -> pa.Table:
 
 
 def reduce_topk(partials) -> pa.Table:
-    """Tiny global reduce over the partial rows (≤ k per query per
-    batch) → (qid, rank, vec_id, sim_bp)."""
-    cand = partials.to_pandas()
-    rows = []
-    for qi in range(len(QUERY_VEC_IDS)):
-        sub = cand[cand.qi == qi].copy()
-        sub = sub.sort_values(
-            ["sim_bp", "vec_id"], ascending=[False, True]
-        ).head(KNN_K)
-        for rank, (_, r) in enumerate(sub.iterrows()):
-            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    """Distributed global reduce → (qid, rank, vec_id, sim_bp).
+
+    Partial rows grow with block count (k × n_queries × n_blocks), so
+    the reduce runs as ``groupby(qi).map_groups`` — the shuffle routes
+    each query's partials to one task's top-k cut — and the driver takes
+    only the final k rows per query, never the partial set."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        bp = np.asarray(group.column("sim_bp"), dtype=np.int64)
+        ids = np.asarray(group.column("vec_id"), dtype=np.int64)
+        order = np.lexsort((ids, -bp))[: min(KNN_K, len(ids))]
+        qi = int(group.column("qi")[0].as_py())
+        return pa.table(
+            {
+                "qid": pa.array(
+                    [int(QUERY_VEC_IDS[qi])] * len(order), pa.int64()
+                ),
+                "rank": pa.array(
+                    np.arange(len(order), dtype=np.int32)
+                ),
+                "vec_id": pa.array(ids[order]),
+                "sim_bp": pa.array(bp[order]),
+            }
+        )
+
+    rows = (
+        partials.groupby("qi")
+        .map_groups(topk, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ k rows per query — the only driver-resident data
+    rows.sort(key=lambda r: (r["qid"], r["rank"]))
     return pa.table(
         {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int32()),
-            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], pa.int32()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r["sim_bp"] for r in rows], pa.int64()),
         }
     )
 
