@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": ivf_knn.knn_ivf,
         "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
         "knn_hnsw": hnsw_knn.knn_hnsw,
+        "knn_hnsw_filtered": hnsw_knn.knn_hnsw_filtered,
         "knn_quantized": quantized_knn.knn_quantized,
         "dedup_components": dedup.dedup_components,
         "span_dedup": dedup.span_dedup,

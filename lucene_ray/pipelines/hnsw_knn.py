@@ -52,6 +52,12 @@ CACHE_ROOT = os.environ.get("LUCENE_RAY_CACHE", "/tmp/lucene_ray_idx")
 _ML = 1.0 / math.log(M)
 
 
+class _VisitBudgetExceeded(Exception):
+    """HNSW traversal scored more nodes than the filter's cardinality —
+    signal the caller to fall back to exact search over the accepted set
+    (``KnnFloatVectorQuery.java`` visitedLimit semantics)."""
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit mix (public splitmix64 constants)."""
     z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(-1)
@@ -128,18 +134,35 @@ class _ShardGraph:
         return cur
 
     def _search_level(
-        self, q: np.ndarray, eps: List[int], ef: int, lvl: int
+        self,
+        q: np.ndarray,
+        eps: List[int],
+        ef: int,
+        lvl: int,
+        accept: np.ndarray = None,
+        visit_limit: int = None,
     ) -> List[Tuple[float, int]]:
         """Best-first search with ef results on one level →
-        [(sim, node)] unsorted. Deterministic tie-breaks via node index."""
+        [(sim, node)] unsorted. Deterministic tie-breaks via node index.
+
+        ``accept``: optional bool mask over row indices — rejected nodes
+        are still TRAVERSED (they keep the graph connected, exactly like
+        Lucene's acceptOrds bitset in ``HnswGraphSearcher.java``: the
+        filter gates result collection, not expansion). ``visit_limit``:
+        abort by raising ``_VisitBudgetExceeded`` once that many nodes
+        have been scored — ``KnnFloatVectorQuery.java`` sets this to the
+        filter's cardinality and falls back to exact search on excess.
+        """
         visited = set(eps)
+        n_visited = len(visited)
         # heaps keyed on (-sim, node) / (sim, node): node index breaks ties
         cand: List[Tuple[float, int]] = []
         res: List[Tuple[float, int]] = []
         for e in eps:
             s = float(self.v[e] @ q)
             heapq.heappush(cand, (-s, e))
-            heapq.heappush(res, (s, e))
+            if accept is None or accept[e]:
+                heapq.heappush(res, (s, e))
         while cand:
             negs, c = heapq.heappop(cand)
             if len(res) >= ef and -negs < res[0][0]:
@@ -149,14 +172,19 @@ class _ShardGraph:
             if not fresh:
                 continue
             visited.update(fresh)
+            n_visited += len(fresh)
+            if visit_limit is not None and n_visited > visit_limit:
+                raise _VisitBudgetExceeded()
             sims = self.v[fresh] @ q
             for x, s in zip(fresh, sims):
                 s = float(s)
-                if len(res) < ef or s > res[0][0]:
+                worst = res[0][0] if res else -math.inf
+                if len(res) < ef or s > worst:
                     heapq.heappush(cand, (-s, x))
-                    heapq.heappush(res, (s, x))
-                    if len(res) > ef:
-                        heapq.heappop(res)
+                    if accept is None or accept[x]:
+                        heapq.heappush(res, (s, x))
+                        if len(res) > ef:
+                            heapq.heappop(res)
         return res
 
     def _select(
@@ -232,6 +260,34 @@ class _ShardGraph:
         for l in range(self.max_level, 0, -1):
             cur = self._greedy(q, cur, l)
         res = self._search_level(q, [cur], max(ef, k), 0)
+        res.sort(key=lambda t: (-t[0], t[1]))
+        return res[:k]
+
+    def search_filtered(
+        self, q: np.ndarray, k: int, ef: int, accept: np.ndarray
+    ) -> List[Tuple[float, int]]:
+        """Filtered top-k: graph traversal collects only ``accept``-ed
+        rows, with visit budget = |accept| (the filter's cost, as in
+        ``KnnFloatVectorQuery.java``) — if the traversal would score more
+        nodes than a linear scan of the filtered set, do the exact scan
+        instead (identical result discipline, guaranteed full recall)."""
+        n_ok = int(accept.sum())
+        if n_ok == 0:
+            return []
+        budget = max(n_ok, ef)
+        try:
+            if self.entry < 0:
+                raise _VisitBudgetExceeded()
+            cur = self.entry
+            for l in range(self.max_level, 0, -1):
+                cur = self._greedy(q, cur, l)
+            res = self._search_level(
+                q, [cur], max(ef, k), 0, accept=accept, visit_limit=budget
+            )
+        except _VisitBudgetExceeded:
+            rows = np.nonzero(accept)[0]
+            sims = self.v[rows] @ q
+            res = [(float(s), int(r)) for s, r in zip(sims, rows)]
         res.sort(key=lambda t: (-t[0], t[1]))
         return res[:k]
 
@@ -365,3 +421,86 @@ def knn_hnsw(sf_dir: str):
     """Driver-gate entry (rows-only: HNSW is approximate by design;
     recall vs brute force is pinned in tests/test_hnsw_knn.py)."""
     return hnsw_knn(sf_dir)
+
+
+def hnsw_knn_filtered(sf_dir: str, lang: str = "en", ef: int = EF_SEARCH):
+    """Filtered HNSW — ``KnnFloatVectorQuery``'s filter evaluated DURING
+    graph traversal (`core/search/KnnFloatVectorQuery.java`: acceptOrds
+    bitset + visitedLimit fallback to exact), vs ``knn_filtered``'s
+    brute-prefilter plan. Ray shape: the filter side reads only doc_id
+    with the lang predicate pushed into the parquet scan, the sorted id
+    set rides one ``ray.put`` broadcast with the query matrix, and each
+    shard task masks its own rows locally — per-shard accept bitsets,
+    like Lucene's per-leaf bitsets."""
+    import pyarrow.parquet as pq_
+
+    import ray
+    import ray.data
+
+    idx_dir = build_hnsw(sf_dir)
+    with open(os.path.join(idx_dir, "shards.txt")) as f:
+        shards = [ln.strip() for ln in f if ln.strip()]
+    q = _load_queries(sf_dir)
+    qn = _normalize(q.astype(np.float64))
+    ids = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"],
+        filters=[("lang", "=", lang)],
+    ).column("doc_id")
+    allowed = np.sort(np.asarray(ids, dtype=np.int64))
+    bcast = ray.put((qn, allowed))
+
+    def search_shard(b: pa.Table) -> pa.Table:
+        qm, ok_ids = ray.get(bcast)
+        out_q: List[int] = []
+        out_v: List[int] = []
+        out_s: List[int] = []
+        for name in b.column("shard").to_pylist():
+            g = _ShardGraph.load(os.path.join(idx_dir, name))
+            pos = np.searchsorted(ok_ids, g.ids)
+            safe = np.minimum(pos, max(len(ok_ids) - 1, 0))
+            accept = (
+                np.zeros(len(g.ids), dtype=bool)
+                if len(ok_ids) == 0
+                else ok_ids[safe] == g.ids
+            )
+            if not accept.any():
+                continue
+            for qi in range(qm.shape[0]):
+                for sim, row in g.search_filtered(qm[qi], KNN_K, ef, accept):
+                    out_q.append(qi)
+                    out_v.append(int(g.ids[row]))
+                    out_s.append(int(math.floor(sim * 10000 + 0.5)))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_bp": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    sds = ray.data.from_items([{"shard": s} for s in shards])
+    cand = sds.map_batches(
+        search_shard, batch_format="pyarrow", batch_size=1
+    ).to_pandas()  # ≤ n_shards * n_queries * k rows — tiny
+    rows = []
+    for qi in range(len(QUERY_VEC_IDS)):
+        sub = cand[cand.qi == qi].sort_values(
+            ["sim_bp", "vec_id"], ascending=[False, True]
+        ).head(KNN_K)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append((QUERY_VEC_IDS[qi], rank, int(r.vec_id), int(r.sim_bp)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def knn_hnsw_filtered(sf_dir: str):
+    """Driver-gate entry (rows-only; recall + exact-fallback equivalence
+    pinned in tests/test_hnsw_knn.py)."""
+    return hnsw_knn_filtered(sf_dir)
