@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked before round 3 ---
         "bm25_topk_sharded": sq.bm25_topk_sharded,
         "grouped_boolean_search": sq.grouped_boolean_search,
+        "synonym_graph_search": sq.synonym_graph_search,
         "highlight_offsets": hl.highlight_offsets,
         "multi_phrase_search": sq.multi_phrase_search,
         "sloppy_phrase_search": sq.sloppy_phrase_search,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),
         "grouped_boolean_search": sq.sql_grouped_boolean_search(),
+        "synonym_graph_search": sq.sql_synonym_graph_search(),
         "highlight_offsets": hl.sql_highlight_offsets(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),

@@ -29,6 +29,7 @@ from lucene_ray.analysis.filters import (
 )
 from lucene_ray.analysis.htmlstrip import resolve_char_filters
 from lucene_ray.analysis.lowercase import simple_lowercase
+from lucene_ray.analysis.synonyms import resolve_graph_filters
 from lucene_ray.analysis.tokenizer import (
     DEFAULT_MAX_TOKEN_LENGTH,
     StandardTokenizer,
@@ -57,10 +58,16 @@ class Analyzer:
         lowercase: bool = True,
         term_filters: Sequence = (),
         char_filters: Sequence = (),
+        graph_filters: Sequence = (),
     ):
         self.tokenizer = StandardTokenizer(max_token_length)
         self.stopwords: FrozenSet[str] = frozenset(stopwords or ())
         self.lowercase = lowercase
+        # stream-level graph filters (SynonymGraphFilter role,
+        # analysis/synonyms.py): (terms, positions) → (terms, positions).
+        # Non-empty ⇒ positions are no longer dense and token count can
+        # grow, so every path takes the per-document chain.
+        self.graph_filters = tuple(graph_filters)
         # post-stop token filters (analysis/filters.py protocol:
         # f(term) -> term | None, None = drop with position gap)
         self.term_filters = tuple(term_filters)
@@ -109,6 +116,16 @@ class Analyzer:
             if term is None:
                 continue
             out.append((term, t.start, t.end, pos))
+        for gf in self.graph_filters:
+            terms_g, pos_g, offs_g = gf.apply(
+                [o[0] for o in out],
+                [o[3] for o in out],
+                offsets=[(o[1], o[2]) for o in out],
+            )
+            out = [
+                (t, s, e, p)
+                for t, p, (s, e) in zip(terms_g, pos_g, offs_g)
+            ]
         return out
 
     # -- hot path: terms + positions only ----------------------------------
@@ -123,10 +140,12 @@ class Analyzer:
         lowered = simple_lowercase(text) if self.lowercase else text
         terms = self.tokenizer.terms(lowered)
         if not self.stopwords and not self.term_filters:
-            return terms, None
+            return self._apply_graph(terms, None)
         if not self.stopwords and self._maps_only:
             # pure term→term rewrites keep positions dense
-            return [self._apply_filters(t) for t in terms], None
+            return self._apply_graph(
+                [self._apply_filters(t) for t in terms], None
+            )
         stop = self.stopwords
         filt = self.term_filters
         kept: List[str] = []
@@ -140,7 +159,16 @@ class Analyzer:
                     continue
             kept.append(term)
             positions.append(pos)
-        return kept, positions
+        return self._apply_graph(kept, positions)
+
+    def _apply_graph(self, terms, positions):
+        """Run the stream-level graph-filter chain; identity when empty
+        (the hot configuration pays one attribute check)."""
+        if not self.graph_filters:
+            return terms, positions
+        for gf in self.graph_filters:
+            terms, positions = gf.apply(terms, positions)
+        return terms, positions
 
     def _remap_flat(self, terms):
         """Apply a pure-map filter chain to a flat Arrow token array:
@@ -183,7 +211,11 @@ class Analyzer:
         # dictionary-encode remaps each DISTINCT term exactly once
         # (vocabulary-level filtering) and a single Arrow take rebuilds
         # the stream. Dropping filters fall to the per-doc chain.
-        if not self.stopwords and (not self.term_filters or self._maps_only):
+        if (
+            not self.stopwords
+            and not self.graph_filters
+            and (not self.term_filters or self._maps_only)
+        ):
             ascii_pos: List[int] = []
             ascii_texts: List[str] = []
             other_pos: List[int] = []
@@ -307,6 +339,7 @@ class Analyzer:
 def analyzer_for_config(config) -> "Analyzer":
     """One construction point for every build/search site: resolves the
     config's named token-filter chain through the registry."""
+    syn_rules = tuple(getattr(config, "synonyms", ()) or ())
     return Analyzer(
         stopwords=config.stopwords,
         max_token_length=config.max_token_length,
@@ -314,6 +347,7 @@ def analyzer_for_config(config) -> "Analyzer":
         char_filters=resolve_char_filters(
             getattr(config, "char_filters", ())
         ),
+        graph_filters=resolve_graph_filters((syn_rules,) if syn_rules else ()),
     )
 
 

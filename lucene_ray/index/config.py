@@ -100,6 +100,12 @@ class IndexConfig:
     # role, ``Analyzer.initReader`` wiring). "html_strip" lets the raw
     # ``html:binary`` column of a pages corpus be the ``text_col``.
     char_filters: Tuple[str, ...] = ()
+    # synonyms — index-time SynonymGraphFilter rules in Solr syntax
+    # ("a, b, c" equivalence class keeps originals; "a b => x" mapping
+    # replaces). Flattened at emission (FlattenGraphFilter role); see
+    # ``analysis/synonyms.py``. Non-empty forces the per-document
+    # analysis path (token count grows, positions go sparse).
+    synonyms: Tuple[str, ...] = ()
     # postings-format SPI (``PostingsFormat.forName`` +
     # ``PerFieldPostingsFormat`` — ``core/codecs/PostingsFormat.java:30-76``,
     # ``core/codecs/perfield/PerFieldPostingsFormat.java:64-69``):
@@ -183,6 +189,7 @@ class IndexConfig:
             "stopwords": sorted(self.stopwords),
             "term_filters": list(self.term_filters),
             "char_filters": list(self.char_filters),
+            "synonyms": list(self.synonyms),
             "positions": self.positions,
             "offsets": self.offsets,
             "max_token_length": self.max_token_length,
@@ -210,6 +217,7 @@ class IndexConfig:
             stopwords=frozenset(d["stopwords"]),
             term_filters=tuple(d.get("term_filters", ())),
             char_filters=tuple(d.get("char_filters", ())),
+            synonyms=tuple(d.get("synonyms", ())),
             positions=d["positions"],
             offsets=d.get("offsets", False),
             max_token_length=d["max_token_length"],

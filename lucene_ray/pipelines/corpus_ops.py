@@ -682,7 +682,6 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     import ray
     import ray.data
 
-    from lucene_ray.pipelines.text_kernels import flat_words
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
 
@@ -844,7 +843,6 @@ def _gram_table(b: pa.Table, n: int, keep_eval: bool, pct: int) -> pa.Table:
     Vectorized: n shifted views of the flat token array joined in one
     ``binary_join_element_wise`` call; windows crossing a row boundary
     are masked with one aligned row-id compare."""
-    from lucene_ray.pipelines.text_kernels import flat_words
 
     ids = b.column("doc_id").to_pylist()
     mask = _eval_mask(ids, pct)

@@ -13,6 +13,13 @@ from typing import Optional
 
 import pyarrow as pa
 
+from lucene_ray.search.query import (
+    deduplicate_clauses,
+    parse_query,
+    query_terms,
+)
+from lucene_ray.search.searcher import IndexSearcher
+
 
 def export_matches(
     index_dir: str,
@@ -67,8 +74,6 @@ def export_matches(
         """One actor-held searcher; each input row exports one segment."""
 
         def __init__(self):
-            from lucene_ray.search.searcher import IndexSearcher
-
             self.searcher = IndexSearcher(index_dir)
             self.by_seg = {}
             for si, seg in enumerate(self.searcher.segments):
@@ -77,12 +82,6 @@ def export_matches(
         def __call__(self, batch: pa.Table) -> pa.Table:
             import numpy as np
             import pyarrow.parquet as pq
-
-            from lucene_ray.search.query import (
-                deduplicate_clauses,
-                parse_query,
-                query_terms,
-            )
 
             s = self.searcher
             q = deduplicate_clauses(

@@ -29,6 +29,8 @@ from typing import List, Tuple
 
 import pyarrow as pa
 
+from lucene_ray.search.searcher import IndexSearcher
+
 from lucene_ray.pipelines.index_cache import get_or_build_index
 from lucene_ray.search.searcher import search_dataset
 
@@ -145,8 +147,6 @@ def highlight_offsets(sf_dir: str):
         emit each matching doc's FIRST occurrence char range."""
 
         def __init__(self):
-            from lucene_ray.search.searcher import IndexSearcher
-
             self.searcher = IndexSearcher(idx)
 
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -25,10 +25,22 @@ from lucene_ray.analysis.analyzer import Analyzer
 from lucene_ray.search.query import (
     SHOULD,
     BooleanQuery,
+    CombinedFieldQuery,
+    ConstantScoreQuery,
+    CoveringQuery,
+    DisjunctionMaxQuery,
     FeatureQuery,
+    MultiPhraseQuery,
+    SpanNearQuery,
     SynonymQuery,
+    TermInSetQuery,
     TermQuery,
     parse_query,
+)
+from lucene_ray.search.intervals import (
+    eval_source,
+    filter_maxgaps,
+    ordered_intervals,
 )
 from lucene_ray.search.searcher import IndexSearcher, search_dataset
 
@@ -1953,7 +1965,6 @@ def covering_search(sf_dir: str, k: int = 15):
     """CoveringQuery: per-document minimum-should-match read from a
     doc-values expression (``lucene/sandbox CoveringQuery.java``) —
     score sums the matching clauses in clause order."""
-    from lucene_ray.search.query import CoveringQuery
 
     idx = get_or_build_index(sf_dir, MF_CONFIG)
     s = IndexSearcher(idx)
@@ -2187,7 +2198,6 @@ def interval_ordered(sf_dir: str):
     property-tested in ``tests/test_intervals.py``."""
     import ray.data
 
-    from lucene_ray.search.intervals import filter_maxgaps, ordered_intervals
 
     class Stage:
         def __init__(self):
@@ -2272,7 +2282,6 @@ def interval_or(sf_dir: str):
     drop out. Structural rows, integer-exact oracle."""
     import ray.data
 
-    from lucene_ray.search.intervals import eval_source
 
     class Stage:
         def __init__(self):
@@ -2631,7 +2640,6 @@ MP_QUERIES: List[Tuple[int, str]] = [
 
 def make_multi_phrase(spec: str):
     """Picklable query factory for the actor pool."""
-    from lucene_ray.search.query import MultiPhraseQuery
 
     return MultiPhraseQuery(
         positions=tuple(tuple(part.split("|")) for part in spec.split())
@@ -2750,7 +2758,6 @@ CF_CONFIG = IndexConfig(
 
 def make_cfq(term: str):
     """Picklable query factory for the actor pool."""
-    from lucene_ray.search.query import CombinedFieldQuery
 
     return CombinedFieldQuery(term=term, fields=CF_FIELDS)
 
@@ -2954,7 +2961,6 @@ DISMAX_QUERIES: List[Tuple[int, str]] = [
 
 def make_dismax(spec: str):
     """Picklable query factory: terms → DisjunctionMaxQuery(tie=0.37)."""
-    from lucene_ray.search.query import DisjunctionMaxQuery, TermQuery
 
     return DisjunctionMaxQuery(
         tuple(TermQuery(t) for t in spec.split()), DISMAX_TIE
@@ -3013,12 +3019,6 @@ CS_BOOST = 0.5
 
 def make_constant_score(spec: str):
     """term OR ConstantScore(the, 0.5): BM25(term) + 0.5 if doc has 'the'."""
-    from lucene_ray.search.query import (
-        SHOULD,
-        BooleanQuery,
-        ConstantScoreQuery,
-        TermQuery,
-    )
 
     return BooleanQuery(
         (
@@ -3098,7 +3098,6 @@ TIS_QUERIES: List[Tuple[int, str, Tuple[str, ...]]] = [
 
 def make_term_in_set(spec: str):
     """spec = 'field|t1,t2,...' → TermInSetQuery."""
-    from lucene_ray.search.query import TermInSetQuery
 
     fieldname, terms = spec.split("|", 1)
     return TermInSetQuery(fieldname, tuple(terms.split(",")))
@@ -3154,7 +3153,6 @@ SPAN_QUERIES: List[Tuple[int, Tuple[str, ...], int, bool]] = [
 
 def make_span(spec: str):
     """spec = 'o|slop|t1 t2 ...' or 'u|slop|...' → SpanNearQuery."""
-    from lucene_ray.search.query import SpanNearQuery
 
     mode, slop, terms = spec.split("|", 2)
     return SpanNearQuery(
@@ -3361,4 +3359,57 @@ ranked as (
 select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
        cast(score as float) as score
 from ranked where rn <= {K}
+"""
+
+
+# -- index-time synonym graph (SynonymGraphFilter + FlattenGraphFilter) ----
+
+SYN_CONFIG = IndexConfig(
+    rows_per_segment=2048,
+    num_buckets=2,
+    synonyms=("merge, combine", "table scan => tablescan"),
+)
+# (qid, query) — "combine" is absent from the corpus and reaches docs
+# only through the indexed equivalence class; "tablescan" exists only
+# where the multi-word mapping consumed a consecutive "table scan".
+SYN_QUERIES: List[Tuple[int, str]] = [
+    (0, "combine"),
+    (1, "tablescan"),
+    (2, "merge"),
+    (3, '"fast combine"'),  # phrase through a same-position synonym
+]
+
+
+def synonym_graph_search(sf_dir: str):
+    """Index-time SynonymGraphFilter end-to-end
+    (`lucene/analysis/common/.../synonym/SynonymGraphFilter.java` +
+    ``FlattenGraphFilter.java``): documents are indexed through a
+    synonym-expanding analyzer (equivalence class inserts at the same
+    position; multi-word mapping replaces with greedy-longest match),
+    queries analyze WITHOUT re-expansion. Full match sets."""
+    return _matchset_run(sf_dir, SYN_QUERIES, config=SYN_CONFIG)
+
+
+def sql_synonym_graph_search() -> str:
+    return """
+with tl as (
+  select doc_id, string_split(text, ' ') as l from documents
+),
+tok as (
+  select doc_id, unnest(l) as term, generate_subscripts(l, 1) as ord from tl
+),
+m as (
+  select 0 as qid, doc_id from tok where term in ('merge', 'combine')
+  union
+  select 1 as qid, a.doc_id from tok a
+    join tok b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+    where a.term = 'table' and b.term = 'scan'
+  union
+  select 2 as qid, doc_id from tok where term in ('merge', 'combine')
+  union
+  select 3 as qid, a.doc_id from tok a
+    join tok b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+    where a.term = 'fast' and b.term = 'merge'
+)
+select cast(qid as int) as qid, doc_id from m
 """

@@ -21,7 +21,7 @@ Semantics:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,6 +41,7 @@ from lucene_ray.codecs.feature import decode_feature_values, feature_scores
 from lucene_ray.codecs.spi import format_for_name
 from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
+from lucene_ray.search.expressions import Expression
 from lucene_ray.search.expressions import Expression
 from lucene_ray.search.similarities import similarity_for_name
 from lucene_ray.search.wand import block_gmax, wand_topk, window_gmax
@@ -321,7 +322,15 @@ class IndexSearcher:
         # score with their own norms + avgdl, unlike keyword fields
         self.text_fields = frozenset(self.config.extra_text_cols)
         self._field_inv_tables: Dict[str, np.ndarray] = {}
-        self.analyzer = analyzer_for_config(self.config)
+        # query-time analysis drops index-time synonym graph rules —
+        # the standard pairing (SynonymGraphFilter on exactly one side;
+        # ``.../synonym/SynonymGraphFilter.java`` class javadoc): the
+        # expansion already lives in the postings, re-expanding queries
+        # would double-count.
+        self.analyzer = analyzer_for_config(
+            self.config if not getattr(self.config, "synonyms", ())
+            else replace(self.config, synonyms=())
+        )
         self._states_cache: Dict[str, List[Optional[TermInfo]]] = {}
         self._gmax_cache: Dict[tuple, np.ndarray] = {}
         # weight-independent BM25 score denominators per (segment, term)
@@ -537,7 +546,6 @@ class IndexSearcher:
         ``max(1, floor(min_match_expr(doc)))``, score = float32 sum of
         matching sub-scores in clause order (the ``WANDScorer``-backed
         sum of the reference, evaluated exhaustively here)."""
-        from lucene_ray.search.expressions import Expression
 
         seg = self.segments[seg_idx]
         empty = SegmentResult(np.empty(0, np.uint32), np.empty(0, F32))

@@ -40,6 +40,8 @@ import numpy as np
 import pyarrow as pa
 
 from lucene_ray.index.manifest import load_manifest
+from lucene_ray.search.query import parse_query, query_terms
+from lucene_ray.search.searcher import IndexSearcher
 
 
 def shard_plan(index_dir: str, n_shards: int) -> List[List[int]]:
@@ -68,14 +70,10 @@ class ShardStatsActor:
     dictionaries — bisect lookups only, no postings decode."""
 
     def __init__(self, index_dir: str, segment_ids: Sequence[int], shard: int):
-        from lucene_ray.search.searcher import IndexSearcher
-
         self.searcher = IndexSearcher(index_dir, segment_ids=segment_ids)
         self.shard = int(shard)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from lucene_ray.search.query import parse_query, query_terms
-
         terms = set()
         for q in batch.column("query").to_pylist():
             terms.update(query_terms(parse_query(q, self.searcher.analyzer)))
@@ -110,8 +108,6 @@ class ShardSearcherActor:
         similarity: Optional[str] = None,
     ):
         import ray
-
-        from lucene_ray.search.searcher import IndexSearcher
 
         self.searcher = IndexSearcher(
             index_dir, similarity=similarity, segment_ids=segment_ids
