@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import classify, lm_score, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
+    from lucene_ray.pipelines import vector_index as vix
 
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # first ~50 entries per round. Round-3 ordering puts the 30 entries that
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
         "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_hnsw_filtered": hnsw_knn.knn_hnsw_filtered,
+        "knn_index_resident": vix.knn_index_resident,
         "knn_quantized": quantized_knn.knn_quantized,
         "dedup_components": dedup.dedup_components,
         "span_dedup": dedup.span_dedup,
@@ -182,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import classify, lm_score, percolate
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
+    from lucene_ray.pipelines import vector_index as vix
 
     return {
         # --- never driver-checked before round 3 ---

@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
+from lucene_ray.index.vectors import VECTORS_FILE, build_graph_bytes
 from lucene_ray.index.config import IndexConfig
 from lucene_ray.index.manifest import (
     Manifest,
@@ -121,6 +122,8 @@ def build_partition(
     cols += [c for c in config.keyword_cols if c not in cols]
     cols += [c for c in config.dv_cols if c not in cols]
     cols += [c for c in config.feature_cols if c not in cols]
+    if config.vector_col and config.vector_col not in cols:
+        cols.append(config.vector_col)
     tbl = read_partition(
         item["path"], int(item["row_start"]), int(item["row_end"]), cols
     )
@@ -187,6 +190,20 @@ def build_partition(
     keys = tbl.column(config.key_col).combine_chunks()
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
+    extra_files = None
+    vec_meta = {}
+    if config.vector_col:
+        # index-resident vectors (KnnFloatVectorField role): build this
+        # segment's HNSW graph over the partition's vectors, keyed by
+        # LOCAL docid, and ship it as a checksummed segment sidecar
+        varr = tbl.column(config.vector_col).combine_chunks()
+        vm = np.asarray(varr.values, dtype=np.float64).reshape(len(varr), -1)
+        extra_files = {
+            VECTORS_FILE: build_graph_bytes(
+                vm, np.arange(len(varr), dtype=np.int64)
+            )
+        }
+        vec_meta = {"vectors": {"dim": int(vm.shape[1]), "count": int(len(varr))}}
     meta = write_segment(
         sdir,
         seg_id,
@@ -199,11 +216,13 @@ def build_partition(
                 "path": item["path"],
                 "row_start": int(item["row_start"]),
                 "row_end": int(item["row_end"]),
-            }
+            },
+            **vec_meta,
         },
         dv_table=dv_table,
         kw_stats=kw_stats,
         field_norms=field_norms,
+        extra_files=extra_files,
     )
     return meta
 

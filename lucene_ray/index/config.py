@@ -123,6 +123,12 @@ class IndexConfig:
     # filters become two binary searches over a memmapped sorted
     # (value, docid) permutation instead of an O(maxDoc) column scan.
     point_cols: Tuple[str, ...] = ()
+    # vector_col — a ``list<float>`` column stored IN the segment as
+    # float32 vectors + a deterministic HNSW graph
+    # (``KnnFloatVectorField`` + ``Lucene99HnswVectorsFormat`` role):
+    # ``vectors.hnsw.npz`` beside postings, rebuilt at merge, searched
+    # via ``search.knn_index.knn_search_index`` with live-doc masking.
+    vector_col: Optional[str] = None
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -201,6 +207,7 @@ class IndexConfig:
             "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
             "point_cols": list(self.point_cols),
+            "vector_col": self.vector_col,
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
             "postings_format": self.postings_format,
@@ -229,6 +236,7 @@ class IndexConfig:
             extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
             point_cols=tuple(d.get("point_cols", ())),
+            vector_col=d.get("vector_col"),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),
             postings_format=d.get("postings_format", "ray104"),

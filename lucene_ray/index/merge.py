@@ -34,6 +34,7 @@ import pyarrow as pa
 
 from lucene_ray.index.config import FIELD_SEP, IndexConfig
 from lucene_ray.index.deletes import _write_deleted
+from lucene_ray.index.vectors import VECTORS_FILE, _ShardGraph, build_graph_bytes
 from lucene_ray.index.points import build_point_files
 from lucene_ray.index.manifest import (
     Manifest,
@@ -542,6 +543,26 @@ def _finalize_merge(
                     fh.write(blob)
                 point_crcs[name] = _zlib.crc32(blob)
             points_meta[f_] = info
+    vectors_meta = None
+    vec_crc: Dict[str, int] = {}
+    if all(r.meta.get("vectors") for r in readers):
+        # index-resident vectors: concatenate source segments' float32
+        # vectors in docid order and REBUILD the merged graph — the
+        # HnswGraphMerger role (``Lucene99HnswVectorsFormat`` merges by
+        # re-adding vectors; the deterministic hash-leveled build makes
+        # our rebuild bit-reproducible)
+        mats = [
+            _ShardGraph.load(os.path.join(r.seg_dir, VECTORS_FILE)).v
+            for r in readers
+        ]
+        vm = np.concatenate(mats)
+        if old_of_new is not None:
+            vm = vm[old_of_new]
+        blob = build_graph_bytes(vm, np.arange(len(vm), dtype=np.int64))
+        with open(os.path.join(tmp_dir, VECTORS_FILE), "wb") as fh:
+            fh.write(blob)
+        vec_crc[VECTORS_FILE] = _zlib.crc32(blob)
+        vectors_meta = {"dim": int(vm.shape[1]), "count": int(len(vm))}
     kw_stats: Dict[str, dict] = {}
     for r in readers:
         for f_, st in (r.meta.get("kw_stats") or {}).items():
@@ -551,6 +572,7 @@ def _finalize_merge(
     checksums: Dict[str, int] = {"norms.bin": _zlib.crc32(norm_bytes)}
     checksums.update(field_norm_crcs)
     checksums.update(point_crcs)
+    checksums.update(vec_crc)
     for br in bucket_results:
         checksums.update(br["checksums"])
     build_s = time.time() - t0
@@ -583,6 +605,7 @@ def _finalize_merge(
         "dv_cols": dv_cols,
         "term_vectors": bool(readers[0].meta.get("term_vectors")),
         "points": points_meta,
+        **({"vectors": vectors_meta} if vectors_meta else {}),
         "checksums": checksums,
         "lineage": lineage,
         "merged_from": seg_ids,

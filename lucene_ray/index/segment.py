@@ -775,6 +775,7 @@ def write_segment(
     dv_table: Optional[pa.Table] = None,
     kw_stats: Optional[dict] = None,
     field_norms: Optional[Dict[str, np.ndarray]] = None,
+    extra_files: Optional[Dict[str, bytes]] = None,
 ) -> dict:
     """Write one segment atomically (tmp dir + rename). Returns meta dict.
 
@@ -800,6 +801,10 @@ def write_segment(
     for fname in sorted(field_norms or {}):
         # per-field norms for extra tokenized fields (PerField norms role)
         put(f"norms_{fname}.bin", field_norms[fname].tobytes())
+    for fname in sorted(extra_files or {}):
+        # caller-supplied segment sidecars (per-segment vector graph,
+        # codec extensions) — checksummed like every other data file
+        put(fname, extra_files[fname])
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
     if dv_table is not None and dv_table.num_columns:
         # doc-values column store, row-aligned with local docids

@@ -1,0 +1,134 @@
+"""KNN search over INDEX-RESIDENT vectors — ``KnnFloatVectorQuery``
+against segments that store their own vectors + HNSW graph
+(``core/search/KnnFloatVectorQuery.java``,
+``core/codecs/lucene99/Lucene99HnswVectorsFormat.java``): per-leaf graph
+search with live-doc masking, per-leaf top-k, then the TopDocs.merge
+ordering (score desc, global docid asc).
+
+Ray shape: one task per segment (the segment is the unit of parallel
+work everywhere in this engine); the query matrix broadcasts once via
+``ray.put``; per-segment results are k × n_queries rows, so the merge
+input is tiny regardless of corpus size. Deleted docs participate as a
+rejected accept-bitset during traversal — exactly Lucene's liveDocs
+path — with the visit-budget exact fallback guaranteeing recall when
+most of a segment is deleted.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.index.deletes import load_deleted
+from lucene_ray.index.manifest import load_manifest, segment_dir
+from lucene_ray.index.vectors import EF_SEARCH, VECTORS_FILE, _ShardGraph
+
+
+def _search_segment(
+    seg_dir: str,
+    base_docid: int,
+    qm: np.ndarray,
+    k: int,
+    ef: int,
+    n_docs: int,
+) -> List[Tuple[int, int, int]]:
+    """→ [(qi, global_docid, sim_bp)] — one segment's top-k per query,
+    deleted docs masked out during graph traversal."""
+    g = _ShardGraph.load(os.path.join(seg_dir, VECTORS_FILE))
+    deleted = load_deleted(seg_dir, n_docs)
+    out: List[Tuple[int, int, int]] = []
+    if deleted is not None and deleted.any():
+        accept = ~deleted.astype(bool)
+        for qi in range(qm.shape[0]):
+            for sim, row in g.search_filtered(qm[qi], k, ef, accept):
+                out.append(
+                    (qi, base_docid + int(row), int(math.floor(sim * 10000 + 0.5)))
+                )
+    else:
+        for qi in range(qm.shape[0]):
+            for sim, row in g.search(qm[qi], k, ef):
+                out.append(
+                    (qi, base_docid + int(row), int(math.floor(sim * 10000 + 0.5)))
+                )
+    return out
+
+
+def knn_search_index(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    ef: int = EF_SEARCH,
+) -> pa.Table:
+    """→ (qi, rank, docid, key, sim_bp) global top-k per query row of
+    ``query_matrix`` (unnormalized vectors accepted)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    qm = qm / norms
+    q_ref = ray.put(qm)
+
+    @ray.remote(num_cpus=1)
+    def seg_task(sdir: str, base: int, n_docs: int):
+        return _search_segment(sdir, base, ray.get(q_ref), k, ef, n_docs)
+
+    futs = [
+        seg_task.remote(
+            s.get("dir") or segment_dir(index_dir, int(s["seg_id"])),
+            int(s["base_docid"]),
+            int(s["n_docs"]),
+        )
+        for s in man.segments
+        if s.get("vectors")
+    ]
+    rows: List[Tuple[int, int, int]] = []
+    for part in ray.get(futs):
+        rows.extend(part)
+    # global merge: sim desc, global docid asc (TopDocs.merge ordering)
+    out_q: List[int] = []
+    out_rank: List[int] = []
+    out_doc: List[int] = []
+    out_sim: List[int] = []
+    for qi in range(qm.shape[0]):
+        cand = sorted(
+            ((s, d) for (q, d, s) in rows if q == qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (s, d) in enumerate(cand):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_doc.append(d)
+            out_sim.append(s)
+    # resolve keys through per-segment docmaps (only segments that
+    # contributed hits are touched)
+    keys = np.empty(len(out_doc), dtype=np.int64)
+    doc_arr = np.asarray(out_doc, dtype=np.int64)
+    for s in man.segments:
+        base, n = int(s["base_docid"]), int(s["n_docs"])
+        mask = (doc_arr >= base) & (doc_arr < base + n)
+        if not mask.any():
+            continue
+        sdir = s.get("dir") or segment_dir(index_dir, int(s["seg_id"]))
+        dm = pq.read_table(
+            os.path.join(sdir, "docmap.parquet"), columns=["key"]
+        ).column("key")
+        keys[mask] = np.asarray(dm, dtype=np.int64)[doc_arr[mask] - base]
+    return pa.table(
+        {
+            "qi": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "docid": pa.array(out_doc, pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "sim_bp": pa.array(out_sim, pa.int64()),
+        }
+    )
