@@ -222,6 +222,11 @@ def merge_bucket(
     if _old_of_new is not None:
         norms = norms[_old_of_new]  # impacts see NEW docid order
     with_pos = bool(readers[0].meta["positions"])
+    with_off = all(bool(r.meta.get("offsets")) for r in readers)
+    if any(bool(r.meta.get("offsets")) for r in readers) and not with_off:
+        raise ValueError(
+            "cannot merge offset-bearing segments with offset-less ones"
+        )
     checksums: Dict[str, int] = {}
 
     def put(name: str, data: bytes):
@@ -260,12 +265,18 @@ def merge_bucket(
         if terms_list:
             heapq.heappush(heap, (terms_list[0], ri, 0))
     rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
-            "pos_off": [], "pos_len": []}
+            "pos_off": [], "pos_len": [],
+            "off_off": [], "off_slen": [], "off_llen": []}
     # k-way merge collecting concatenated pair arrays; the expensive
     # re-encode happens ONCE per bucket via the batched encoders
     ids_buf: List[np.ndarray] = []
     tf_buf: List[np.ndarray] = []
     pos_buf: List[np.ndarray] = []
+    # offsets (.pay role): two streams sharing the positions framing —
+    # per-position character starts and (end − start) lengths; they ride
+    # the SAME reorder gather as positions under an index sort
+    offs_buf: List[np.ndarray] = []
+    offl_buf: List[np.ndarray] = []
     term_starts = [0]
     pos_starts = [0]
     npairs = 0
@@ -283,6 +294,8 @@ def merge_bucket(
         g_ids: List[np.ndarray] = []
         g_tfs: List[np.ndarray] = []
         g_pos: List[np.ndarray] = []
+        g_offs: List[np.ndarray] = []
+        g_offl: List[np.ndarray] = []
         fmt_name = readers[0].fmt_for_key(term)
         for gri, gi in group:
             t = iters[gri][1]
@@ -316,12 +329,27 @@ def merge_bucket(
                     po, pl = int(t["pos_off"][gi]), int(t["pos_len"][gi])
                     pvals = decode_uint_blocks(pmm[po : po + pl])
                 g_pos.append(pvals)
+                if with_off:
+                    omm = readers[gri]._off_mm[b]
+                    oo = int(t["off_off"][gi])
+                    sl = int(t["off_slen"][gi])
+                    ll = int(t["off_llen"][gi])
+                    if sl or ll:
+                        g_offs.append(decode_uint_blocks(omm[oo : oo + sl]))
+                        g_offl.append(
+                            decode_uint_blocks(omm[oo + sl : oo + sl + ll])
+                        )
+                    else:  # keyword-field term: DOCS-only, no offsets
+                        g_offs.append(np.empty(0, np.uint32))
+                        g_offl.append(np.empty(0, np.uint32))
         if new_of_old is None:
             # unsorted: rebase offsets are disjoint increasing ranges, so
             # plain concatenation in reader order stays docid-sorted
             ids_buf.extend(g_ids)
             tf_buf.extend(g_tfs)
             pos_buf.extend(g_pos)
+            offs_buf.extend(g_offs)
+            offl_buf.extend(g_offl)
             npairs += sum(len(x) for x in g_ids)
             npos += sum(len(x) for x in g_pos)
         else:
@@ -344,6 +372,9 @@ def merge_bucket(
                 if total == 0:
                     # keyword-field term: DOCS-only postings, no positions
                     pos_buf.append(pos_c)
+                    if with_off:
+                        offs_buf.append(np.empty(0, np.uint32))
+                        offl_buf.append(np.empty(0, np.uint32))
                 else:
                     run_starts = np.cumsum(lens) - lens
                     sel_starts = run_starts[order]
@@ -354,6 +385,19 @@ def merge_bucket(
                     )
                     pos_buf.append(pos_c[gather])
                     npos += total
+                    if with_off:
+                        offs_c = (
+                            np.concatenate(g_offs)
+                            if len(g_offs) > 1
+                            else g_offs[0]
+                        )
+                        offl_c = (
+                            np.concatenate(g_offl)
+                            if len(g_offl) > 1
+                            else g_offl[0]
+                        )
+                        offs_buf.append(offs_c[gather])
+                        offl_buf.append(offl_c[gather])
         term_starts.append(npairs)
         pos_starts.append(npos)
         rows["term"].append(term)
@@ -396,10 +440,27 @@ def merge_bucket(
         )
     else:
         pos_blobs = None
+    off_s_blobs = off_l_blobs = None
+    if with_off and rows["term"]:
+        big_offs = (
+            np.concatenate(offs_buf).astype(np.uint32)
+            if offs_buf
+            else np.empty(0, np.uint32)
+        )
+        big_offl = (
+            np.concatenate(offl_buf).astype(np.uint32)
+            if offl_buf
+            else np.empty(0, np.uint32)
+        )
+        fr = np.array(pos_starts, dtype=np.int64)
+        off_s_blobs = encode_uint_blocks_batch(big_offs, fr)
+        off_l_blobs = encode_uint_blocks_batch(big_offl, fr)
     post_parts: List[bytes] = []
     pos_parts: List[bytes] = []
+    off_parts: List[bytes] = []
     post_off = 0
     pos_off = 0
+    off_off = 0
     for ti in range(len(rows["term"])):
         blob = blobs[ti]
         rows["post_off"].append(post_off)
@@ -415,20 +476,37 @@ def merge_bucket(
         else:
             rows["pos_off"].append(0)
             rows["pos_len"].append(0)
+        if off_s_blobs is not None:
+            sb, lb = off_s_blobs[ti], off_l_blobs[ti]
+            rows["off_off"].append(off_off)
+            rows["off_slen"].append(len(sb))
+            rows["off_llen"].append(len(lb))
+            off_parts.append(sb)
+            off_parts.append(lb)
+            off_off += len(sb) + len(lb)
+        else:
+            rows["off_off"].append(0)
+            rows["off_slen"].append(0)
+            rows["off_llen"].append(0)
     put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
     if with_pos:
         put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
-    terms_tbl = pa.table(
-        {
-            "term": pa.array(rows["term"], pa.large_string()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "ttf": pa.array(rows["ttf"], pa.int64()),
-            "post_off": pa.array(rows["post_off"], pa.int64()),
-            "post_len": pa.array(rows["post_len"], pa.int64()),
-            "pos_off": pa.array(rows["pos_off"], pa.int64()),
-            "pos_len": pa.array(rows["pos_len"], pa.int64()),
-        }
-    )
+    if with_off:
+        put(f"part_{b:04d}.offsets.bin", b"".join(off_parts))
+    tcols = {
+        "term": pa.array(rows["term"], pa.large_string()),
+        "df": pa.array(rows["df"], pa.int64()),
+        "ttf": pa.array(rows["ttf"], pa.int64()),
+        "post_off": pa.array(rows["post_off"], pa.int64()),
+        "post_len": pa.array(rows["post_len"], pa.int64()),
+        "pos_off": pa.array(rows["pos_off"], pa.int64()),
+        "pos_len": pa.array(rows["pos_len"], pa.int64()),
+    }
+    if with_off:
+        tcols["off_off"] = pa.array(rows["off_off"], pa.int64())
+        tcols["off_slen"] = pa.array(rows["off_slen"], pa.int64())
+        tcols["off_llen"] = pa.array(rows["off_llen"], pa.int64())
+    terms_tbl = pa.table(tcols)
     pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
     return {
         "checksums": checksums,
@@ -598,6 +676,7 @@ def _finalize_merge(
         "n_terms": sum(br["n_terms"] for br in bucket_results),
         "n_parts": readers[0].n_parts,
         "positions": bool(readers[0].meta["positions"]),
+        "offsets": all(bool(r.meta.get("offsets")) for r in readers),
         "postings_formats": readers[0].meta.get("postings_formats"),
         "key_type": readers[0].meta["key_type"],
         "kw_stats": kw_stats,
@@ -631,12 +710,6 @@ def merge_segments(
     """Merge source segments (contiguous docid ranges) into one new segment
     (serial per-bucket; ``merge_round`` fans buckets out as Ray tasks)."""
     readers, _, _ = _open_sorted_readers(index_dir, seg_ids)
-    if any(r.meta.get("offsets") for r in readers):
-        # offsets (.pay role) are currently build-path-only; refusing is
-        # better than a merged segment silently dropping its offsets
-        raise NotImplementedError(
-            "merging offset-bearing segments is not supported yet"
-        )
     t0 = time.time()
     tmp_root = os.path.join(index_dir, "segments", ".tmp")
     os.makedirs(tmp_root, exist_ok=True)

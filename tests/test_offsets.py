@@ -95,9 +95,12 @@ class TestOffsetsRoundtrip:
         with pytest.raises(ValueError):
             r.offsets_for(info)
 
-    def test_merge_refuses_offsets_segments(self, ray_session, tmp_path):
+    def test_merge_preserves_offsets(self, ray_session, tmp_path):
+        """Merged segment's offsets == the per-segment offsets for every
+        term/doc (the .pay stream merge role)."""
         from lucene_ray.index.build import build_index
-        from lucene_ray.index.merge import merge_segments
+        from lucene_ray.index.manifest import load_manifest, segment_dir
+        from lucene_ray.index.merge import force_merge
 
         idx = str(tmp_path / "idx")
         build_index(
@@ -105,9 +108,45 @@ class TestOffsetsRoundtrip:
             idx,
             IndexConfig(rows_per_segment=100, offsets=True),
         )
-        from lucene_ray.index.manifest import load_manifest
-
         man = load_manifest(idx)
-        ids = [int(s["seg_id"]) for s in man.segments][:2]
-        with pytest.raises(NotImplementedError):
-            merge_segments(idx, ids, 9999, man.config)
+        assert len(man.segments) >= 2
+        # truth from the pre-merge segments, keyed by global docid
+        truth = {}
+        for srow in man.segments:
+            r = SegmentReader(segment_dir(idx, int(srow["seg_id"])))
+            for term in r.terms_list(0) + (
+                r.terms_list(1) if r.n_parts > 1 else []
+            ):
+                info = r.lookup(term)
+                docids, tfs = r.decoded(info)
+                starts, ends = r.offsets_for(info)
+                cur = 0
+                for d, tf in zip(docids, tfs):
+                    key = (term, r.base_docid + int(d))
+                    truth[key] = (
+                        list(starts[cur : cur + tf]),
+                        list(ends[cur : cur + tf]),
+                    )
+                    cur += tf
+        force_merge(idx, max_segments=1)
+        man2 = load_manifest(idx)
+        assert len(man2.segments) == 1
+        mrow = man2.segments[0]
+        assert mrow["offsets"] is True
+        m = SegmentReader(segment_dir(idx, int(mrow["seg_id"])))
+        seen = 0
+        for term in set(t for t, _ in truth):
+            info = m.lookup(term)
+            assert info is not None, term
+            docids, tfs = m.decoded(info)
+            starts, ends = m.offsets_for(info)
+            cur = 0
+            for d, tf in zip(docids, tfs):
+                key = (term, m.base_docid + int(d))
+                assert truth[key] == (
+                    list(starts[cur : cur + tf]),
+                    list(ends[cur : cur + tf]),
+                ), key
+                cur += tf
+                seen += 1
+        assert seen == len(truth)
