@@ -935,7 +935,7 @@ def decontaminate(
         .groupby("doc_id")
         .sum("hits")
         .map_batches(_rename, batch_format="pyarrow")
-        .sort("doc_id")
+        .sort("doc_id")  # oracle-only: determinism for the gate, not a production step
     )
 
 

@@ -155,7 +155,7 @@ def curate_corpus(
         .union(cont)
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
-        .sort("doc_id")
+        .sort("doc_id")  # oracle-only: determinism for the gate, not a production step
     )
 
 

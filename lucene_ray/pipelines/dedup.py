@@ -973,7 +973,7 @@ def dedup_components(sf_dir: str, max_rounds: int = 64):
         .min("l")
         .map_batches(finish, batch_format="pyarrow")
     )
-    return out.sort("doc_id")
+    return out.sort("doc_id")  # oracle-only: determinism for the gate, not a production step
 
 
 def sql_dedup_components() -> str:
@@ -1108,7 +1108,7 @@ def span_dedup(sf_dir: str, w: int = 10, n_buckets: int = 64):
         .map_groups(keep_flags, batch_format="pyarrow")
         .groupby("doc_id")
         .map_groups(rebuild, batch_format="pyarrow")
-        .sort("doc_id")
+        .sort("doc_id")  # oracle-only: determinism for the gate, not a production step
     )
 
 
