@@ -97,6 +97,17 @@ def main(argv=None):
     e.add_argument("--out", required=True)
     e.add_argument("--num-cpus", type=int, default=None)
 
+    a = sub.add_parser(
+        "add-indexes",
+        help="adopt committed segments of other indexes into --index "
+             "(IndexWriter.addIndexes role: file-verbatim, new manifest "
+             "generation)",
+    )
+    a.add_argument("--index", required=True)
+    a.add_argument("--src", required=True, nargs="+",
+                   help="source index dirs to import")
+    a.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
 
@@ -154,6 +165,13 @@ def main(argv=None):
                 man = merge_round(args.index)
         print(json.dumps({"segments": len(man.segments),
                           "generation": man.generation}))
+    elif args.cmd == "add-indexes":
+        from lucene_ray.index.add_indexes import add_indexes
+
+        man = add_indexes(args.index, args.src)
+        print(json.dumps({"segments": len(man.segments),
+                          "generation": man.generation,
+                          "total_docs": man.total_docs}))
     elif args.cmd == "search":
         from lucene_ray.search.searcher import IndexSearcher
 
