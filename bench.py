@@ -169,6 +169,26 @@ def run_bench() -> dict:
     t_query = time.time() - t0
     svc.shutdown()
 
+    t_sharded = None
+    if "--sharded" in sys.argv:
+        # shard-partitioned query tier (SURVEY §3.2 100-TB serving shape):
+        # same index, same query stream, N disjoint-segment shard actors +
+        # global stats exchange + groupby(qid) TopDocs.merge reduce.
+        # Rank-identical to the replica tier (tests/test_sharded.py); at
+        # 100 TB this is the only tier that fits, so its throughput is the
+        # number that matters there.
+        import ray.data as _rd
+
+        from lucene_ray.search.sharded import search_dataset_sharded
+
+        qds = _rd.from_items(
+            [{"qid": q["qid"], "query": q["query"]} for q in queries]
+        )
+        t0 = time.time()
+        sres = search_dataset_sharded(index_dir, qds, k=10, n_shards=4)
+        n_sharded_rows = sres.count()
+        t_sharded = time.time() - t0
+
     out = {
         "metric": "index-build + BM25 top-10 query workload (synthetic pages corpus)",
         # value = the workload itself; actor-pool spin-up is a per-process
@@ -191,6 +211,9 @@ def run_bench() -> dict:
         "n_segments": len(man.segments),
         "result_rows": n_rows,
     }
+    if t_sharded is not None:
+        out["queries"]["query_sharded"] = round(t_sharded, 3)
+        out["qps_sharded"] = round(len(queries) / t_sharded, 1)
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
     return out

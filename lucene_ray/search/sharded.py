@@ -184,8 +184,22 @@ def search_dataset_sharded(
     from lucene_ray.cluster import actor_pool
 
     plan = shard_plan(index_dir, n_shards)
-    conc = concurrency or actor_pool(cap=max(2, 32 // max(1, len(plan))))
+    # each shard gets its own pool, so per-pool size divides the CLUSTER
+    # by shard count — 4 pools must not each claim the whole node (4×
+    # oversubscription = actor spin-up dominating the query leg)
+    from lucene_ray.cluster import cluster_cpus
+
+    conc = concurrency or actor_pool(
+        cap=max(1, cluster_cpus() // max(1, len(plan)))
+    )
     queries_ds = queries_ds.materialize()  # consumed once per shard, twice
+    # coalesce the query stream: from_items-style inputs arrive as
+    # hundreds of tiny blocks, and every block becomes a task in EVERY
+    # per-shard stage — repartition once to ~2 blocks per phase-1 actor
+    n_q = queries_ds.count()
+    want_blocks = max(1, min(64, n_q // 64))
+    if queries_ds.num_blocks() > 2 * want_blocks:
+        queries_ds = queries_ds.repartition(want_blocks).materialize()
 
     # ---- phase 0: global stats exchange -----------------------------------
     stats_parts = [
@@ -198,26 +212,32 @@ def search_dataset_sharded(
             },
             concurrency=(1, 2),
             batch_format="pyarrow",
+            batch_size=512,  # parse-only stage: fewer, fatter tasks
         )
         for si, p in enumerate(plan)
     ]
     stats_ds = stats_parts[0]
     if len(stats_parts) > 1:
         stats_ds = stats_ds.union(*stats_parts[1:])
-    from ray.data.aggregate import Max
+    # the stats exchange is tiny by construction — |distinct query terms|
+    # × n_shards rows — so the dedupe-then-sum reduce runs on the driver
+    # (two Ray-Data groupby shuffles here cost seconds of fixed overhead
+    # per query stream; the classic distributed-IR exchange is one
+    # gather of per-shard term stats, exactly this)
+    import time as _time
 
-    rows = (
-        stats_ds.groupby(["term", "shard"])
-        .aggregate(Max("df"), Max("ttf"))  # dedupe per-batch repeats
-        .groupby("term")
-        .aggregate(Sum("max(df)"), Sum("max(ttf)"))
-        .take_all()
-    )
-    stats: Dict[str, Tuple[int, int]] = {
-        r["term"]: (int(r["sum(max(df))"]), int(r["sum(max(ttf))"]))
-        for r in rows
-    }
+    _t0 = _time.time()
+    seen: Dict[Tuple[str, int], Tuple[int, int]] = {}
+    for r in stats_ds.take_all():
+        seen[(r["term"], int(r["shard"]))] = (int(r["df"]), int(r["ttf"]))
+    stats: Dict[str, Tuple[int, int]] = {}
+    for (term, _shard), (df, ttf) in seen.items():
+        d, t = stats.get(term, (0, 0))
+        stats[term] = (d + df, t + ttf)
     stats_ref = ray.put(stats)
+    if os.environ.get("LUCENE_RAY_PROFILE"):
+        print(f"[sharded] phase0 {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
 
     # ---- phase 1: per-shard top-k under global stats -----------------------
     parts = [
@@ -232,7 +252,10 @@ def search_dataset_sharded(
             },
             concurrency=conc,
             batch_format="pyarrow",
-            batch_size=16,
+            # large batches: per-task dispatch costs ~ms and every query
+            # visits EVERY shard, so small batches multiply into
+            # thousands of tiny tasks (queries/batch × shards)
+            batch_size=128,
         )
         for p in plan
     ]
@@ -243,6 +266,9 @@ def search_dataset_sharded(
     # ---- phase 2: TopDocs.merge per query ----------------------------------
     import functools
 
+    if os.environ.get("LUCENE_RAY_PROFILE"):
+        res = res.materialize()
+        print(f"[sharded] phase1 {_time.time() - _t0:.2f}s", flush=True)
     return res.groupby("qid").map_groups(
         functools.partial(merge_topk, k=k), batch_format="pyarrow"
     )
