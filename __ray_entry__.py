@@ -214,9 +214,14 @@ def oracle_sql() -> dict[str, str]:
         # identical to brute force; same bit-exact oracle
         "knn_ivf": knn.sql_knn_cosine(),
         "knn_ivf_quantized": knn.sql_knn_cosine(),
-        # knn_hnsw: non-SQL-expressible (graph traversal recall) →
-        # rows-only driver check, deliberately no oracle; HNSW recall
-        # is pinned in pytest
+        # the gate entries run in gate-exact mode (the
+        # KnnFloatVectorQuery.java visitedLimit exact-fallback path,
+        # provably brute-force-identical) so they hash-match the
+        # brute-force oracles; the approximate graph path carries the
+        # bench and the recall tests
+        "knn_hnsw": knn.sql_knn_cosine(),
+        "knn_hnsw_filtered": knn.sql_knn_filtered(),
+        "knn_index_resident": knn.sql_knn_cosine(),
         # quantized scoring + error-bounded pruning + exact re-rank is
         # provably identical to brute force → same oracle
         "knn_quantized": knn.sql_knn_cosine(),

@@ -38,7 +38,19 @@ from lucene_ray.index.manifest import (
     segment_dir,
 )
 
-_COMPAT_KEYS = ("key_type", "positions", "offsets", "index_sort")
+_COMPAT_KEYS = (
+    "key_type",
+    "positions",
+    "offsets",
+    "index_sort",
+    # merge assumes uniform term-hash part counts across readers
+    # (merge.py uses readers[0].n_parts for all); refuse mixed counts
+    # at adoption time rather than corrupting a later tiered merge
+    "num_buckets",
+    # mixed vector-bearing/vector-less merges would silently drop the
+    # vector sidecars; refuse at adoption time
+    "vector_col",
+)
 
 
 def _check_compat(dest_cfg_json: dict, src_cfg_json: dict, src: str) -> None:
@@ -76,8 +88,19 @@ def _adopt_one(
     so a crashed import leaves no half-segment (resume = rerun)."""
     dst = segment_dir(dest_index_dir, new_seg_id)
     if os.path.exists(os.path.join(dst, "meta.json")):
+        # Idempotency: reuse a pre-existing segment dir ONLY if it is the
+        # same adoption (same source, same rebased docid base). A retry
+        # after the destination changed (e.g. a merge ran between
+        # attempts) must rebuild, or a stale meta with an overlapping
+        # base_docid would break global docid uniqueness.
         with open(os.path.join(dst, "meta.json")) as f:
-            return json.load(f)
+            existing = json.load(f)
+        lin = existing.get("lineage") or {}
+        if lin.get("imported_from") == os.path.abspath(
+            src_seg_dir
+        ) and int(existing.get("base_docid", -1)) == int(new_base):
+            return existing
+        shutil.rmtree(dst)
     tmp = dst + f".tmp{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)

@@ -623,17 +623,35 @@ def _finalize_merge(
             points_meta[f_] = info
     vectors_meta = None
     vec_crc: Dict[str, int] = {}
+    if any(r.meta.get("vectors") for r in readers) and not all(
+        r.meta.get("vectors") for r in readers
+    ):
+        # Mirror the offsets mixed-merge guard: silently dropping the
+        # vector sidecars would make knn_search_index skip those docs.
+        raise ValueError(
+            "merge: mixed vector-bearing and vector-less segments "
+            f"({[bool(r.meta.get('vectors')) for r in readers]}); "
+            "rebuild the vector-less segments (or addIndexes with a "
+            "matching vector_col) before merging"
+        )
     if all(r.meta.get("vectors") for r in readers):
         # index-resident vectors: concatenate source segments' float32
         # vectors in docid order and REBUILD the merged graph — the
         # HnswGraphMerger role (``Lucene99HnswVectorsFormat`` merges by
         # re-adding vectors; the deterministic hash-leveled build makes
         # our rebuild bit-reproducible)
-        mats = [
-            _ShardGraph.load(os.path.join(r.seg_dir, VECTORS_FILE)).v
+        graphs = [
+            _ShardGraph.load(os.path.join(r.seg_dir, VECTORS_FILE))
             for r in readers
         ]
-        vm = np.concatenate(mats)
+        # prefer the raw (un-normalized) float32 vectors so the merged
+        # graph's exact-fallback path keeps scoring bit-identically to
+        # brute force; pre-raw-format segments fall back to normalized
+        mats = [
+            (g.raw if g.raw is not None else g.v.astype(np.float32))
+            for g in graphs
+        ]
+        vm = np.concatenate(mats).astype(np.float64)
         if old_of_new is not None:
             vm = vm[old_of_new]
         blob = build_graph_bytes(vm, np.arange(len(vm), dtype=np.int64))

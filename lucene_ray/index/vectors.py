@@ -73,6 +73,11 @@ class _ShardGraph:
         # quantize through float32 (the persisted dtype, like Lucene's
         # float vectors) so a saved+loaded graph scores identically
         self.v = _normalize(vectors.astype(np.float64)).astype(np.float32).astype(np.float64)
+        # raw (un-normalized) float32 vectors — the exact-fallback path
+        # (``KnnFloatVectorQuery.java`` visitedLimit → exact scan) scores
+        # from these with the identical float64 expression brute-force
+        # ``knn_cosine`` uses, so gate-exact results hash-match its oracle
+        self.raw = vectors.astype(np.float32)
         self.ids = vec_ids.astype(np.int64)
         self.levels = _levels_for(self.ids)
         self.max_level = -1
@@ -272,12 +277,52 @@ class _ShardGraph:
         res.sort(key=lambda t: (-t[0], t[1]))
         return res[:k]
 
+    def exact_topk(
+        self,
+        qm: np.ndarray,
+        k: int,
+        accept: np.ndarray = None,
+        tie: np.ndarray = None,
+    ) -> List[List[Tuple[int, int]]]:
+        """Exact per-shard top-k — the ``KnnFloatVectorQuery.java``
+        visitedLimit-exceeded fallback, scored bit-identically to
+        brute-force ``knn_cosine``: float64 normalize of the RAW float32
+        vectors, one GEMM against the normalized query matrix, then
+        ``floor(sim*1e4 + 0.5)`` basis points. → per query row of ``qm``,
+        a list of (bp, row_index) cut and ordered by (bp desc, tie asc)
+        — the FINAL ordering, so the cut can never drop a global winner.
+
+        ``tie``: per-row tie-break values (global ids); defaults to
+        ``self.ids``. ``accept``: optional bool row mask.
+        """
+        emb = (self.raw if self.raw is not None else self.v).astype(
+            np.float64
+        )
+        ties = self.ids if tie is None else np.asarray(tie, dtype=np.int64)
+        rows = np.arange(len(emb))
+        if accept is not None:
+            rows = rows[accept]
+            if len(rows) == 0:
+                return [[] for _ in range(qm.shape[0])]
+            emb = emb[rows]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ qm.T  # (n_rows, n_queries)
+        out: List[List[Tuple[int, int]]] = []
+        for qi in range(qm.shape[0]):
+            bp = np.floor(sims[:, qi] * 10000 + 0.5).astype(np.int64)
+            order = np.lexsort((ties[rows], -bp))[: min(k, len(rows))]
+            out.append([(int(bp[j]), int(rows[j])) for j in order])
+        return out
+
     def save(self, path: str) -> None:
         arrs: Dict[str, np.ndarray] = {
             "v": self.v.astype(np.float32),
             "ids": self.ids,
             "meta": np.array([self.entry, self.max_level], np.int64),
         }
+        if self.raw is not None:
+            arrs["raw"] = self.raw
         for l, (nb, c) in enumerate(zip(self.nbrs, self.cnt)):
             arrs[f"nbrs{l}"] = nb
             arrs[f"cnt{l}"] = c
@@ -290,6 +335,7 @@ class _ShardGraph:
         z = np.load(path)
         g = cls.__new__(cls)
         g.v = z["v"].astype(np.float64)
+        g.raw = z["raw"] if "raw" in z else None  # pre-raw-format graphs
         g.ids = z["ids"]
         g.entry, g.max_level = (int(x) for x in z["meta"])
         g.nbrs, g.cnt = [], []
@@ -311,6 +357,8 @@ def graph_to_bytes(g: _ShardGraph) -> bytes:
         "ids": g.ids,
         "meta": np.array([g.entry, g.max_level], np.int64),
     }
+    if g.raw is not None:
+        arrs["raw"] = g.raw
     for l, (nb, c) in enumerate(zip(g.nbrs, g.cnt)):
         arrs[f"nbrs{l}"] = nb
         arrs[f"cnt{l}"] = c

@@ -224,7 +224,7 @@ prior as (
 ),
 docscore as (
   select d.doc_id, p.lang,
-         p.plp + coalesce(sum(l.lp), 0) as score
+         cast(p.plp + coalesce(sum(l.lp), 0) as bigint) as score
   from documents d
   cross join prior p
   left join tok t on t.doc_id = d.doc_id

@@ -1125,7 +1125,7 @@ chunks as (
 mins as (select chunk, min(key) as mk from chunks group by chunk)
 select c.doc_id,
        count(*) as n_chunks,
-       sum(case when c.key = mins.mk then 1 else 0 end) as n_kept,
+       cast(sum(case when c.key = mins.mk then 1 else 0 end) as bigint) as n_kept,
        coalesce(array_to_string(
          list(c.chunk order by c.idx) filter (where c.key = mins.mk), ' '
        ), '') as kept_text

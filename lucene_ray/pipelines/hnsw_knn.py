@@ -70,7 +70,7 @@ def build_hnsw(sf_dir: str) -> str:
 
     emb = _emb_path(sf_dir)
     tag = hashlib.sha1(
-        f"hnsw:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{M}:"
+        f"hnsw:v2:{os.path.abspath(emb)}:{os.path.getmtime(emb)}:{M}:"
         f"{EF_CONSTRUCTION}:{SHARD_ROWS}".encode()
     ).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, f"hnsw_{tag}")
@@ -102,9 +102,17 @@ def build_hnsw(sf_dir: str) -> str:
     return idx_dir
 
 
-def hnsw_knn(sf_dir: str, ef: int = EF_SEARCH):
+def hnsw_knn(sf_dir: str, ef: int = EF_SEARCH, gate_exact: bool = False):
     """→ (qid, rank, vec_id, sim_bp) like ``knn_cosine`` — per-shard
-    graph search fanned out as one task per shard, tiny driver merge."""
+    graph search fanned out as one task per shard, tiny driver merge.
+
+    ``gate_exact``: force every shard down the exact-scan fallback
+    (``KnnFloatVectorQuery.java``'s visitedLimit-exceeded path, scored
+    bit-identically to brute-force ``knn_cosine``) so the result is
+    provably brute-force-identical and the driver can hash-match it
+    against ``sql_knn_cosine``. The approximate graph path (default)
+    carries the bench; recall vs brute force is pinned in
+    ``tests/test_hnsw_knn.py``."""
     import ray
     import ray.data
 
@@ -122,6 +130,13 @@ def hnsw_knn(sf_dir: str, ef: int = EF_SEARCH):
         out_s: List[int] = []
         for name in b.column("shard").to_pylist():
             g = _ShardGraph.load(os.path.join(idx_dir, name))
+            if gate_exact:
+                for qi, hits in enumerate(g.exact_topk(qm, KNN_K)):
+                    for bp, row in hits:
+                        out_q.append(qi)
+                        out_v.append(int(g.ids[row]))
+                        out_s.append(bp)
+                continue
             for qi in range(qm.shape[0]):
                 for sim, row in g.search(qm[qi], KNN_K, ef):
                     out_q.append(qi)
@@ -157,12 +172,19 @@ def hnsw_knn(sf_dir: str, ef: int = EF_SEARCH):
 
 
 def knn_hnsw(sf_dir: str):
-    """Driver-gate entry (rows-only: HNSW is approximate by design;
-    recall vs brute force is pinned in tests/test_hnsw_knn.py)."""
-    return hnsw_knn(sf_dir)
+    """Driver-gate entry — runs in gate-exact mode (the Lucene exact-
+    fallback path, provably brute-force-identical) so it hash-matches
+    ``sql_knn_cosine``; the approximate graph path stays on for the
+    bench and the recall tests in tests/test_hnsw_knn.py."""
+    return hnsw_knn(sf_dir, gate_exact=True)
 
 
-def hnsw_knn_filtered(sf_dir: str, lang: str = "en", ef: int = EF_SEARCH):
+def hnsw_knn_filtered(
+    sf_dir: str,
+    lang: str = "en",
+    ef: int = EF_SEARCH,
+    gate_exact: bool = False,
+):
     """Filtered HNSW — ``KnnFloatVectorQuery``'s filter evaluated DURING
     graph traversal (`core/search/KnnFloatVectorQuery.java`: acceptOrds
     bitset + visitedLimit fallback to exact), vs ``knn_filtered``'s
@@ -205,6 +227,15 @@ def hnsw_knn_filtered(sf_dir: str, lang: str = "en", ef: int = EF_SEARCH):
             )
             if not accept.any():
                 continue
+            if gate_exact:
+                for qi, hits in enumerate(
+                    g.exact_topk(qm, KNN_K, accept=accept)
+                ):
+                    for bp, row in hits:
+                        out_q.append(qi)
+                        out_v.append(int(g.ids[row]))
+                        out_s.append(bp)
+                continue
             for qi in range(qm.shape[0]):
                 for sim, row in g.search_filtered(qm[qi], KNN_K, ef, accept):
                     out_q.append(qi)
@@ -240,6 +271,7 @@ def hnsw_knn_filtered(sf_dir: str, lang: str = "en", ef: int = EF_SEARCH):
 
 
 def knn_hnsw_filtered(sf_dir: str):
-    """Driver-gate entry (rows-only; recall + exact-fallback equivalence
-    pinned in tests/test_hnsw_knn.py)."""
-    return hnsw_knn_filtered(sf_dir)
+    """Driver-gate entry — gate-exact mode (exact scan over the accepted
+    rows, the visitedLimit fallback) so it hash-matches
+    ``sql_knn_filtered``; approximate traversal stays for bench/tests."""
+    return hnsw_knn_filtered(sf_dir, gate_exact=True)

@@ -144,13 +144,15 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif ft == 1:
             for x in range(ch, stride):  # serial dependency within the row
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+                # arithmetic in Python int: a uint8 scalar add would
+                # overflow-warn before the & 0xFF masks it
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
         elif ft == 2:
-            line += prev
+            line += prev  # array add wraps mod 256 — the PNG "Up" filter
         elif ft == 3:
             for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ft == 4:
             for x in range(stride):
                 a = int(line[x - ch]) if x >= ch else 0
@@ -159,7 +161,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 p = a + b - c
                 pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+                line[x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = line

@@ -67,7 +67,7 @@ def build_vector_index(sf_dir: str) -> str:
     """Build (or reuse) the vector-resident index; returns its dir."""
     src = _joined_input(sf_dir)
     tag = hashlib.sha1(
-        f"vecidx:{src}:{os.path.getmtime(src)}:{VEC_CONFIG.rows_per_segment}".encode()
+        f"vecidx:v2:{src}:{os.path.getmtime(src)}:{VEC_CONFIG.rows_per_segment}".encode()
     ).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, f"vecidx_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
@@ -77,12 +77,15 @@ def build_vector_index(sf_dir: str) -> str:
 
 def knn_index_resident(sf_dir: str):
     """Driver-gate entry: the standard KNN query set against the
-    index's own per-segment vectors+graphs (rows-only: graph search is
-    approximate; recall and the deleted-doc mask are pinned in
-    tests/test_vector_index.py). Output schema matches ``knn_hnsw``."""
+    index's own per-segment vectors+graphs, in gate-exact mode (the
+    ``KnnFloatVectorQuery.java`` visitedLimit exact-fallback per leaf,
+    provably brute-force-identical) so it hash-matches
+    ``sql_knn_cosine``. The approximate graph path and the deleted-doc
+    mask stay pinned in tests/test_vector_index.py. Output schema
+    matches ``knn_hnsw``."""
     idx = build_vector_index(sf_dir)
     q = _load_queries(sf_dir)
-    res = knn_search_index(idx, q, k=KNN_K)
+    res = knn_search_index(idx, q, k=KNN_K, exact=True)
     qids = np.asarray([QUERY_VEC_IDS[i] for i in res.column("qi").to_pylist()])
     return pa.table(
         {

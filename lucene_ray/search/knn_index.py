@@ -35,12 +35,29 @@ def _search_segment(
     k: int,
     ef: int,
     n_docs: int,
+    exact: bool = False,
 ) -> List[Tuple[int, int, int]]:
     """→ [(qi, global_docid, sim_bp)] — one segment's top-k per query,
-    deleted docs masked out during graph traversal."""
+    deleted docs masked out during graph traversal.
+
+    ``exact``: force the visitedLimit-exceeded exact-scan fallback
+    (``KnnFloatVectorQuery.java``) — per-leaf exact top-k over live
+    docs, scored bit-identically to brute-force ``knn_cosine``, so the
+    merged result is provably brute-force-identical."""
     g = _ShardGraph.load(os.path.join(seg_dir, VECTORS_FILE))
     deleted = load_deleted(seg_dir, n_docs)
     out: List[Tuple[int, int, int]] = []
+    if exact:
+        accept = None
+        if deleted is not None and deleted.any():
+            accept = ~deleted.astype(bool)
+        rows_tie = np.arange(len(g.ids), dtype=np.int64)  # docid order
+        for qi, hits in enumerate(
+            g.exact_topk(qm, k, accept=accept, tie=rows_tie)
+        ):
+            for bp, row in hits:
+                out.append((qi, base_docid + int(row), bp))
+        return out
     if deleted is not None and deleted.any():
         accept = ~deleted.astype(bool)
         for qi in range(qm.shape[0]):
@@ -62,6 +79,7 @@ def knn_search_index(
     query_matrix: np.ndarray,
     k: int = 10,
     ef: int = EF_SEARCH,
+    exact: bool = False,
 ) -> pa.Table:
     """→ (qi, rank, docid, key, sim_bp) global top-k per query row of
     ``query_matrix`` (unnormalized vectors accepted)."""
@@ -80,7 +98,9 @@ def knn_search_index(
 
     @ray.remote(num_cpus=1)
     def seg_task(sdir: str, base: int, n_docs: int):
-        return _search_segment(sdir, base, ray.get(q_ref), k, ef, n_docs)
+        return _search_segment(
+            sdir, base, ray.get(q_ref), k, ef, n_docs, exact=exact
+        )
 
     futs = [
         seg_task.remote(
@@ -111,7 +131,10 @@ def knn_search_index(
             out_sim.append(s)
     # resolve keys through per-segment docmaps (only segments that
     # contributed hits are touched)
-    keys = np.empty(len(out_doc), dtype=np.int64)
+    # key-type-agnostic: resolve through the Arrow column's native type
+    # (int or string keys both work); ≤ k×n_queries rows reach here
+    keys: List[object] = [None] * len(out_doc)
+    key_type = pa.int64()
     doc_arr = np.asarray(out_doc, dtype=np.int64)
     for s in man.segments:
         base, n = int(s["base_docid"]), int(s["n_docs"])
@@ -122,13 +145,16 @@ def knn_search_index(
         dm = pq.read_table(
             os.path.join(sdir, "docmap.parquet"), columns=["key"]
         ).column("key")
-        keys[mask] = np.asarray(dm, dtype=np.int64)[doc_arr[mask] - base]
+        key_type = dm.type
+        vals = dm.take(pa.array(doc_arr[mask] - base)).to_pylist()
+        for pos, v in zip(np.flatnonzero(mask), vals):
+            keys[pos] = v
     return pa.table(
         {
             "qi": pa.array(out_q, pa.int32()),
             "rank": pa.array(out_rank, pa.int32()),
             "docid": pa.array(out_doc, pa.int64()),
-            "key": pa.array(keys, pa.int64()),
+            "key": pa.array(keys, key_type),
             "sim_bp": pa.array(out_sim, pa.int64()),
         }
     )

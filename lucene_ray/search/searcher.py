@@ -42,7 +42,6 @@ from lucene_ray.codecs.spi import format_for_name
 from lucene_ray.codecs.smallfloat import LENGTH_TABLE_INT
 from lucene_ray.search.bm25 import BM25Similarity, idf as bm25_idf
 from lucene_ray.search.expressions import Expression
-from lucene_ray.search.expressions import Expression
 from lucene_ray.search.similarities import similarity_for_name
 from lucene_ray.search.wand import block_gmax, wand_topk, window_gmax
 from lucene_ray.search.intervals import (

@@ -93,6 +93,11 @@ def main():
                             g, w.astype(got[c].dtype)
                         ):
                             ok_vals = False
+                    elif got[c].dtype != want[c].dtype:
+                        # the driver's value-hash is dtype-sensitive
+                        # (e.g. DuckDB HUGEINT→float64 vs engine int64)
+                        ok_vals = False
+                        print(f"  col {c}: dtype {got[c].dtype} vs {want[c].dtype}")
                     elif not (g == w).all():
                         ok_vals = False
             except Exception:
