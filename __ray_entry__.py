@@ -58,74 +58,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import vector_index as vix
 
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
-    # first ~50 entries per round. Round-3 ordering puts the 30 entries that
-    # have never received a driver row first, then the 15 last checked in
-    # round 1, then the 50 that went green (rows+schema+hash) in round 2 —
-    # those keep pytest + the oracle harness as regression cover.
+    # first ~50 entries per round. Round-4 ordering: (a) the five rows red
+    # in round 3 (now fixed: BIGINT oracle casts, HNSW gate-exact mode),
+    # (b) new round-4 operators, (c) everything whose last driver row is
+    # round 2 or earlier (round-robin refresh), then (d) the 45 green in
+    # round 3, ending with entries whose oracle is shared by an in-window
+    # sibling — those keep pytest + the oracle harness as cover.
     return {
-        # --- never driver-checked before round 3 ---
-        "bm25_topk_sharded": sq.bm25_topk_sharded,
-        "grouped_boolean_search": sq.grouped_boolean_search,
-        "synonym_graph_search": sq.synonym_graph_search,
-        "highlight_offsets": hl.highlight_offsets,
-        "multi_phrase_search": sq.multi_phrase_search,
-        "sloppy_phrase_search": sq.sloppy_phrase_search,
-        "dismax_topk": sq.dismax_topk,
-        "constant_score_topk": sq.constant_score_topk,
-        "term_in_set": sq.term_in_set,
-        "span_near_search": sq.span_near_search,
-        "doc_fingerprints": fingerprint.doc_fingerprints,
-        "gopher_quality": co.gopher_quality,
-        "sample_hash": co.sample_hash,
-        "sample_stratified": co.sample_stratified,
-        "length_quantiles": co.length_quantiles,
-        "collocations": co.collocations,
-        "decontaminate": co.decontaminate,
-        "lm_perplexity": lm_score.lm_perplexity,
-        "repetition_stats": co.repetition_stats,
-        "token_counts": co.token_counts,
-        "knn_filtered": knn.knn_filtered,
-        "knn_ivf": ivf_knn.knn_ivf,
-        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
+        # --- red in round 3, fixed this round ---
+        "span_dedup": dedup.span_dedup,
+        "nb_classify": classify.nb_classify,
         "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_hnsw_filtered": hnsw_knn.knn_hnsw_filtered,
         "knn_index_resident": vix.knn_index_resident,
-        "knn_quantized": quantized_knn.knn_quantized,
-        "dedup_components": dedup.dedup_components,
-        "span_dedup": dedup.span_dedup,
-        "curate_corpus": curate.curate_corpus,
-        "curation_report": curate.curation_report,
-        "image_decode": mm.image_decode,
-        "percolate_docs": percolate.percolate_docs,
-        "nb_classify": classify.nb_classify,
-        "knn_classify": classify.knn_classify,
-        "events_hopping": ev.hopping_window_stats,
-        # --- last checked in round 1 (15) ---
-        "phrase_search": sq.phrase_search,
-        "term_stats": co.term_stats,
-        "collection_stats": co.collection_stats,
-        "doc_norms": co.doc_norms,
-        "dedup_exact": co.dedup_exact,
-        "lang_counts": co.lang_counts,
-        "text_quality": co.text_quality,
-        "knn_cosine": knn.knn_cosine,
-        "knn_lsh": lsh_knn.lsh_knn,
-        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
-        "simhash_pairs": dedup.simhash_pairs,
-        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
-        "embedding_near_dup": dedup.embedding_near_dup,
-        "events_window": ev.tumbling_window_stats,
+        # --- last driver row: round 1 ---
         "events_sessionize": ev.sessionize,
-        # --- green (rows+schema+hash) in round 2 (50) ---
-        "bm25_topk": sq.bm25_topk,
-        "bm25_topk_shuffle": sq.bm25_topk_shuffle,
-        "bm25_topk_multireader": sq.bm25_topk_multireader,
+        # --- last driver row: round 2 ---
         "bm25_topk_deleted": sq.bm25_topk_deleted,
         "pretokenized_topk": sq.pretokenized_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
         "html_bm25_topk": sq.html_bm25_topk,
         "hit_count": sq.hit_count,
-        "explain_score": sq.explain_score,
         "term_vectors": sq.term_vectors,
         "bm25_disjunction": sq.bm25_disjunction,
         "bm25_conjunction": sq.bm25_conjunction,
@@ -139,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_string": sq.sort_by_string,
         "interval_ordered": sq.interval_ordered,
         "interval_or": sq.interval_or,
-        "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "facet_ranges": sq.facet_ranges,
@@ -166,6 +118,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": sugg.suggest_complete,
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
+        # --- green in round 3 (regression tier) ---
+        "bm25_topk_sharded": sq.bm25_topk_sharded,
+        "grouped_boolean_search": sq.grouped_boolean_search,
+        "synonym_graph_search": sq.synonym_graph_search,
+        "highlight_offsets": hl.highlight_offsets,
+        "multi_phrase_search": sq.multi_phrase_search,
+        "sloppy_phrase_search": sq.sloppy_phrase_search,
+        "dismax_topk": sq.dismax_topk,
+        "constant_score_topk": sq.constant_score_topk,
+        "term_in_set": sq.term_in_set,
+        "span_near_search": sq.span_near_search,
+        "doc_fingerprints": fingerprint.doc_fingerprints,
+        "gopher_quality": co.gopher_quality,
+        "sample_hash": co.sample_hash,
+        "sample_stratified": co.sample_stratified,
+        "length_quantiles": co.length_quantiles,
+        "collocations": co.collocations,
+        "decontaminate": co.decontaminate,
+        "lm_perplexity": lm_score.lm_perplexity,
+        "repetition_stats": co.repetition_stats,
+        "token_counts": co.token_counts,
+        "knn_filtered": knn.knn_filtered,
+        "knn_ivf": ivf_knn.knn_ivf,
+        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
+        "knn_quantized": quantized_knn.knn_quantized,
+        "dedup_components": dedup.dedup_components,
+        "curate_corpus": curate.curate_corpus,
+        "curation_report": curate.curation_report,
+        "image_decode": mm.image_decode,
+        "percolate_docs": percolate.percolate_docs,
+        "knn_classify": classify.knn_classify,
+        "events_hopping": ev.hopping_window_stats,
+        "phrase_search": sq.phrase_search,
+        "term_stats": co.term_stats,
+        "collection_stats": co.collection_stats,
+        "doc_norms": co.doc_norms,
+        "dedup_exact": co.dedup_exact,
+        "lang_counts": co.lang_counts,
+        "text_quality": co.text_quality,
+        "knn_cosine": knn.knn_cosine,
+        "knn_lsh": lsh_knn.lsh_knn,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        "events_window": ev.tumbling_window_stats,
+        # --- oracle shared with an in-window sibling ---
+        "bm25_topk": sq.bm25_topk,
+        "bm25_topk_shuffle": sq.bm25_topk_shuffle,
+        "bm25_topk_multireader": sq.bm25_topk_multireader,
+        "explain_score": sq.explain_score,
+        "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
         "more_like_this_tv": mlt.more_like_this_tv,
     }
 
