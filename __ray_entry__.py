@@ -64,7 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round 2 or earlier (round-robin refresh), then (d) the 45 green in
     # round 3, ending with entries whose oracle is shared by an in-window
     # sibling — those keep pytest + the oracle harness as cover.
+    from lucene_ray.pipelines import facet_multi as fm
+
     return {
+        # --- new in round 4 ---
+        "facet_multivalued": fm.facet_multivalued,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -190,7 +194,11 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import suggest as sugg
     from lucene_ray.pipelines import vector_index as vix
 
+    from lucene_ray.pipelines import facet_multi as fm
+
     return {
+        # --- new in round 4 ---
+        "facet_multivalued": fm.sql_facet_multivalued(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),

@@ -2443,6 +2443,14 @@ class IndexSearcher:
         expressed over the segment doc-values column: per segment,
         gather the match set's DV values and count; sum across segments.
 
+        A list-typed DV column is the SORTED_SET / SORTED_NUMERIC role
+        (``core/index/DocValuesType.java:25-51``,
+        ``lucene/facet/.../SortedSetDocValuesFacetCounts.java``): each
+        matching doc contributes every value of its per-doc SET once
+        (values are deduplicated at index time, the
+        ``SortedSetDocValuesWriter`` ord-dedup semantics), so the count
+        for a value is the number of matching docs carrying it.
+
         → table (value, n) sorted by (n desc, value asc)."""
         import pyarrow.compute as pc
 
@@ -2458,6 +2466,12 @@ class IndexSearcher:
             if len(r.docids) == 0:
                 continue
             vals = seg.dv(facet_field).take(pa.array(r.docids.astype(np.int64)))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if pa.types.is_list(vals.type) or pa.types.is_large_list(
+                vals.type
+            ):
+                vals = pc.list_flatten(vals)
             vc = pc.value_counts(vals)
             for item in vc:
                 v = item["values"].as_py()
