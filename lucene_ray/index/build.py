@@ -122,6 +122,8 @@ def build_partition(
     cols += [c for c in config.keyword_cols if c not in cols]
     cols += [c for c in config.dv_cols if c not in cols]
     cols += [c for c in config.feature_cols if c not in cols]
+    if config.payloads and config.payload_col not in cols:
+        cols.append(config.payload_col)
     if config.vector_col and config.vector_col not in cols:
         cols.append(config.vector_col)
     tbl = read_partition(
@@ -149,9 +151,14 @@ def build_partition(
     if config.pretokenized:
         # TokenStreamColumn path (``core/document/column/
         # TokenStreamColumn.java:23-37``): caller-supplied tokens go
-        # straight to the inverter, no analyzer
+        # straight to the inverter, no analyzer; an aligned payload
+        # column rides along (PayloadAttribute role)
         inv = invert_token_lists(
-            tbl.column(config.text_col), with_positions=config.positions
+            tbl.column(config.text_col),
+            with_positions=config.positions,
+            payloads=(
+                tbl.column(config.payload_col) if config.payloads else None
+            ),
         )
     else:
         texts = tbl.column(config.text_col).to_pylist()

@@ -136,6 +136,15 @@ class IndexConfig:
     # ``search_sorted`` when the query sort matches. The field must be in
     # ``dv_cols``.
     index_sort: Optional[Tuple[str, str]] = None
+    # payloads — per-position payload bytes (the payload half of the
+    # ``.pay`` stream, ``Lucene104PostingsFormat.java:17-80``;
+    # ``core/analysis/tokenattributes/PayloadAttribute.java``). Supplied
+    # through the pretokenized ``TokenStreamColumn`` path as an aligned
+    # ``payload_col`` (``list<binary>``, one entry per token) — the
+    # columnar analogue of ``DelimitedPayloadTokenFilter`` output.
+    # Requires ``pretokenized`` + ``positions``.
+    payloads: bool = False
+    payload_col: Optional[str] = None
     # store_term_vectors — per-doc (term, freq) row store for the default
     # text field (the ``TermVectorsFormat`` role,
     # ``core/codecs/lucene90/Lucene90TermVectorsFormat.java``): written
@@ -157,6 +166,19 @@ class IndexConfig:
                 f"pretokenized column {self.text_col!r} is inverted-index-"
                 "only; it cannot also be a keyword/dv/feature column"
             )
+        if self.payloads:
+            if not (self.pretokenized and self.positions):
+                raise ValueError(
+                    "payloads require pretokenized=True and positions=True "
+                    "(caller-supplied token streams carry the payload column)"
+                )
+            if not self.payload_col:
+                raise ValueError("payloads=True requires payload_col")
+            if self.keyword_cols or self.extra_text_cols or self.feature_cols:
+                raise ValueError(
+                    "payloads currently cover the default text field only "
+                    "(no keyword/extra-text/feature fields in the same index)"
+                )
         missing = set(self.point_cols) - set(self.dv_cols)
         if missing:
             # points are a sidecar over the doc-values column store
@@ -210,6 +232,8 @@ class IndexConfig:
             "vector_col": self.vector_col,
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
+            "payloads": self.payloads,
+            "payload_col": self.payload_col,
             "postings_format": self.postings_format,
             "per_field_formats": [list(p) for p in self.per_field_formats],
             "index_sort": list(self.index_sort) if self.index_sort else None,
@@ -239,6 +263,8 @@ class IndexConfig:
             vector_col=d.get("vector_col"),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),
+            payloads=d.get("payloads", False),
+            payload_col=d.get("payload_col"),
             postings_format=d.get("postings_format", "ray104"),
             per_field_formats=tuple(
                 tuple(p) for p in d.get("per_field_formats", ())

@@ -227,6 +227,11 @@ def merge_bucket(
         raise ValueError(
             "cannot merge offset-bearing segments with offset-less ones"
         )
+    with_pay = all(bool(r.meta.get("payloads")) for r in readers)
+    if any(bool(r.meta.get("payloads")) for r in readers) and not with_pay:
+        raise ValueError(
+            "cannot merge payload-bearing segments with payload-less ones"
+        )
     checksums: Dict[str, int] = {}
 
     def put(name: str, data: bytes):
@@ -266,7 +271,8 @@ def merge_bucket(
             heapq.heappush(heap, (terms_list[0], ri, 0))
     rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
             "pos_off": [], "pos_len": [],
-            "off_off": [], "off_slen": [], "off_llen": []}
+            "off_off": [], "off_slen": [], "off_llen": [],
+            "pay_off": [], "pay_llen": [], "pay_blen": []}
     # k-way merge collecting concatenated pair arrays; the expensive
     # re-encode happens ONCE per bucket via the batched encoders
     ids_buf: List[np.ndarray] = []
@@ -277,6 +283,10 @@ def merge_bucket(
     # the SAME reorder gather as positions under an index sort
     offs_buf: List[np.ndarray] = []
     offl_buf: List[np.ndarray] = []
+    # payloads: per-occurrence byte lengths share the positions framing;
+    # the raw bytes concatenate in the same occurrence order
+    payl_buf: List[np.ndarray] = []
+    payb_buf: List[np.ndarray] = []
     term_starts = [0]
     pos_starts = [0]
     npairs = 0
@@ -296,6 +306,8 @@ def merge_bucket(
         g_pos: List[np.ndarray] = []
         g_offs: List[np.ndarray] = []
         g_offl: List[np.ndarray] = []
+        g_payl: List[np.ndarray] = []
+        g_payb: List[np.ndarray] = []
         fmt_name = readers[0].fmt_for_key(term)
         for gri, gi in group:
             t = iters[gri][1]
@@ -342,6 +354,19 @@ def merge_bucket(
                     else:  # keyword-field term: DOCS-only, no offsets
                         g_offs.append(np.empty(0, np.uint32))
                         g_offl.append(np.empty(0, np.uint32))
+                if with_pay:
+                    ymm = readers[gri]._pay_mm[b]
+                    yo = int(t["pay_off"][gi])
+                    yl = int(t["pay_llen"][gi])
+                    yb = int(t["pay_blen"][gi])
+                    if yl or yb:
+                        g_payl.append(decode_uint_blocks(ymm[yo : yo + yl]))
+                        g_payb.append(
+                            np.asarray(ymm[yo + yl : yo + yl + yb])
+                        )
+                    else:
+                        g_payl.append(np.empty(0, np.uint32))
+                        g_payb.append(np.empty(0, np.uint8))
         if new_of_old is None:
             # unsorted: rebase offsets are disjoint increasing ranges, so
             # plain concatenation in reader order stays docid-sorted
@@ -350,6 +375,8 @@ def merge_bucket(
             pos_buf.extend(g_pos)
             offs_buf.extend(g_offs)
             offl_buf.extend(g_offl)
+            payl_buf.extend(g_payl)
+            payb_buf.extend(g_payb)
             npairs += sum(len(x) for x in g_ids)
             npos += sum(len(x) for x in g_pos)
         else:
@@ -375,6 +402,9 @@ def merge_bucket(
                     if with_off:
                         offs_buf.append(np.empty(0, np.uint32))
                         offl_buf.append(np.empty(0, np.uint32))
+                    if with_pay:
+                        payl_buf.append(np.empty(0, np.uint32))
+                        payb_buf.append(np.empty(0, np.uint8))
                 else:
                     run_starts = np.cumsum(lens) - lens
                     sel_starts = run_starts[order]
@@ -398,6 +428,33 @@ def merge_bucket(
                         )
                         offs_buf.append(offs_c[gather])
                         offl_buf.append(offl_c[gather])
+                    if with_pay:
+                        payl_c = (
+                            np.concatenate(g_payl)
+                            if len(g_payl) > 1
+                            else g_payl[0]
+                        )
+                        payb_c = (
+                            np.concatenate(g_payb)
+                            if len(g_payb) > 1
+                            else g_payb[0]
+                        )
+                        # reorder variable-length payloads with the same
+                        # occurrence permutation: expand to a byte-level
+                        # gather via per-occurrence byte starts
+                        lens64 = payl_c.astype(np.int64)
+                        bstarts = np.cumsum(lens64) - lens64
+                        sel_bs = bstarts[gather]
+                        sel_bl = lens64[gather]
+                        nbytes = int(sel_bl.sum())
+                        bgather = np.repeat(sel_bs, sel_bl) + (
+                            np.arange(nbytes, dtype=np.int64)
+                            - np.repeat(
+                                np.cumsum(sel_bl) - sel_bl, sel_bl
+                            )
+                        )
+                        payl_buf.append(payl_c[gather])
+                        payb_buf.append(payb_c[bgather])
         term_starts.append(npairs)
         pos_starts.append(npos)
         rows["term"].append(term)
@@ -455,12 +512,33 @@ def merge_bucket(
         fr = np.array(pos_starts, dtype=np.int64)
         off_s_blobs = encode_uint_blocks_batch(big_offs, fr)
         off_l_blobs = encode_uint_blocks_batch(big_offl, fr)
+    pay_l_blobs = None
+    big_payb = pay_byte_bounds = None
+    if with_pay and rows["term"]:
+        big_payl = (
+            np.concatenate(payl_buf).astype(np.uint32)
+            if payl_buf
+            else np.empty(0, np.uint32)
+        )
+        big_payb = (
+            np.concatenate(payb_buf)
+            if payb_buf
+            else np.empty(0, np.uint8)
+        )
+        frp = np.array(pos_starts, dtype=np.int64)
+        pay_l_blobs = encode_uint_blocks_batch(big_payl, frp)
+        pay_byte_bounds = np.concatenate(
+            ([0], np.cumsum(big_payl, dtype=np.int64))
+        )
+        pay_starts_frame = frp
     post_parts: List[bytes] = []
     pos_parts: List[bytes] = []
     off_parts: List[bytes] = []
+    pay_parts: List[bytes] = []
     post_off = 0
     pos_off = 0
     off_off = 0
+    pay_off = 0
     for ti in range(len(rows["term"])):
         blob = blobs[ti]
         rows["post_off"].append(post_off)
@@ -488,11 +566,28 @@ def merge_bucket(
             rows["off_off"].append(0)
             rows["off_slen"].append(0)
             rows["off_llen"].append(0)
+        if pay_l_blobs is not None:
+            lb = pay_l_blobs[ti]
+            b0 = int(pay_byte_bounds[pay_starts_frame[ti]])
+            b1 = int(pay_byte_bounds[pay_starts_frame[ti + 1]])
+            raw = big_payb[b0:b1].tobytes()
+            rows["pay_off"].append(pay_off)
+            rows["pay_llen"].append(len(lb))
+            rows["pay_blen"].append(len(raw))
+            pay_parts.append(lb)
+            pay_parts.append(raw)
+            pay_off += len(lb) + len(raw)
+        else:
+            rows["pay_off"].append(0)
+            rows["pay_llen"].append(0)
+            rows["pay_blen"].append(0)
     put(f"part_{b:04d}.postings.bin", b"".join(post_parts))
     if with_pos:
         put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
     if with_off:
         put(f"part_{b:04d}.offsets.bin", b"".join(off_parts))
+    if with_pay:
+        put(f"part_{b:04d}.payloads.bin", b"".join(pay_parts))
     tcols = {
         "term": pa.array(rows["term"], pa.large_string()),
         "df": pa.array(rows["df"], pa.int64()),
@@ -506,6 +601,10 @@ def merge_bucket(
         tcols["off_off"] = pa.array(rows["off_off"], pa.int64())
         tcols["off_slen"] = pa.array(rows["off_slen"], pa.int64())
         tcols["off_llen"] = pa.array(rows["off_llen"], pa.int64())
+    if with_pay:
+        tcols["pay_off"] = pa.array(rows["pay_off"], pa.int64())
+        tcols["pay_llen"] = pa.array(rows["pay_llen"], pa.int64())
+        tcols["pay_blen"] = pa.array(rows["pay_blen"], pa.int64())
     terms_tbl = pa.table(tcols)
     pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
     return {
@@ -695,6 +794,7 @@ def _finalize_merge(
         "n_parts": readers[0].n_parts,
         "positions": bool(readers[0].meta["positions"]),
         "offsets": all(bool(r.meta.get("offsets")) for r in readers),
+        "payloads": all(bool(r.meta.get("payloads")) for r in readers),
         "postings_formats": readers[0].meta.get("postings_formats"),
         "key_type": readers[0].meta["key_type"],
         "kw_stats": kw_stats,

@@ -245,6 +245,14 @@ class InvertedBatch:
     # end − start (small values pack tighter than absolute ends)
     off_starts: Optional[np.ndarray] = None  # uint32
     off_lens: Optional[np.ndarray] = None  # uint32
+    # per-position payload bytes (the remaining ``.pay`` stream role:
+    # ``Lucene104PostingsFormat.java:17-80`` payloads,
+    # ``core/analysis/tokenattributes/PayloadAttribute.java``): variable
+    # byte strings aligned 1:1 with ``positions`` / ``pos_starts`` —
+    # ``pay_lens`` per-occurrence byte counts, ``pay_bytes`` the flat
+    # concatenation in the same term-major order
+    pay_lens: Optional[np.ndarray] = None  # uint32
+    pay_bytes: Optional[np.ndarray] = None  # uint8
 
 
 def invert_texts(
@@ -303,7 +311,9 @@ def invert_texts(
     )
 
 
-def invert_token_lists(tokens, with_positions: bool) -> InvertedBatch:
+def invert_token_lists(
+    tokens, with_positions: bool, payloads=None
+) -> InvertedBatch:
     """Invert CALLER-SUPPLIED token streams — the fork's
     ``TokenStreamColumn`` ingestion path (``core/document/column/
     package-info.java:30-50``: "caller-supplied token streams for
@@ -311,7 +321,13 @@ def invert_token_lists(tokens, with_positions: bool) -> InvertedBatch:
     a ``list<string>`` Arrow column of pre-analyzed tokens per document,
     inverted verbatim with dense positions 0..len-1 and no analyzer in
     the loop. Null lists index as empty documents; null tokens are
-    rejected. The token flattening is zero-copy Arrow."""
+    rejected. The token flattening is zero-copy Arrow.
+
+    ``payloads``: an optional ``list<binary>`` column aligned 1:1 with
+    ``tokens`` — the ``PayloadAttribute`` of a caller-supplied token
+    stream (``core/analysis/tokenattributes/PayloadAttribute.java``;
+    the columnar analogue of ``DelimitedPayloadTokenFilter`` output).
+    Requires ``with_positions``."""
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
     if not isinstance(tokens, (pa.ListArray, pa.LargeListArray)):
@@ -326,7 +342,22 @@ def invert_token_lists(tokens, with_positions: bool) -> InvertedBatch:
     flat = tokens.flatten()
     if flat.null_count:
         raise ValueError("pre-tokenized input must not contain null tokens")
-    return _invert_flat(flat, lengths, None, n_docs, with_positions)
+    flat_payloads = None
+    if payloads is not None:
+        if not with_positions:
+            raise ValueError("payloads require positions")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        flat_payloads = payloads.flatten()
+        if len(flat_payloads) != len(flat):
+            raise ValueError(
+                f"payload column misaligned: {len(flat_payloads)} payloads "
+                f"for {len(flat)} tokens"
+            )
+    return _invert_flat(
+        flat, lengths, None, n_docs, with_positions,
+        flat_payloads=flat_payloads,
+    )
 
 
 def _invert_flat(
@@ -336,6 +367,7 @@ def _invert_flat(
     n_docs: int,
     with_positions: bool,
     flat_offsets: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    flat_payloads: Optional[pa.Array] = None,
 ) -> InvertedBatch:
     """Shared inversion core over a flat token stream in document order
     (``all_terms`` flat Arrow array or object ndarray, ``doc_lengths``
@@ -380,6 +412,12 @@ def _invert_flat(
             doc_lengths=doc_lengths,
             off_starts=np.empty(0, np.uint32) if flat_offsets else None,
             off_lens=np.empty(0, np.uint32) if flat_offsets else None,
+            pay_lens=(
+                np.empty(0, np.uint32) if flat_payloads is not None else None
+            ),
+            pay_bytes=(
+                np.empty(0, np.uint8) if flat_payloads is not None else None
+            ),
         )
 
     codes = codes_first.astype(np.int64)
@@ -453,6 +491,26 @@ def _invert_flat(
         off_starts = flat_offsets[0][perm]
         off_lens = flat_offsets[1][perm]
 
+    pay_lens = pay_bytes = None
+    if flat_payloads is not None:
+        # reorder variable-length payload bytes to term-major occurrence
+        # order with one Arrow take (C++ var-len gather); the rebuilt
+        # array's offsets are contiguous, so its data buffer IS the flat
+        # term-major byte stream
+        permuted = flat_payloads.take(pa.array(perm))
+        if isinstance(permuted, pa.ChunkedArray):
+            permuted = permuted.combine_chunks()
+        if permuted.null_count:
+            raise ValueError("payload column must not contain null entries")
+        offs = np.frombuffer(permuted.buffers()[1], dtype=np.int32)[
+            permuted.offset : permuted.offset + len(permuted) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(
+            permuted.buffers()[2] or b"", dtype=np.uint8
+        )
+        pay_lens = np.diff(offs).astype(np.uint32)
+        pay_bytes = data[offs[0] : offs[-1]].copy()
+
     return InvertedBatch(
         terms=(
             sorted_terms_arr
@@ -467,6 +525,8 @@ def _invert_flat(
         doc_lengths=doc_lengths,
         off_starts=off_starts,
         off_lens=off_lens,
+        pay_lens=pay_lens,
+        pay_bytes=pay_bytes,
     )
 
 
@@ -894,6 +954,22 @@ def write_segment(
         all_off_len_blobs = encode_uint_blocks_batch(
             inv.off_lens, inv.pos_starts
         )
+    # payloads (the remaining .pay stream role): per-occurrence byte
+    # LENGTHS share the positions framing (FOR-packed), the raw bytes
+    # ride verbatim; per term the part file holds [lens blob][raw bytes]
+    with_payloads = bool(
+        getattr(config, "payloads", False)
+        and inv.pay_lens is not None
+        and n_terms
+    )
+    all_pay_len_blobs = pay_byte_bounds = None
+    if with_payloads:
+        all_pay_len_blobs = encode_uint_blocks_batch(
+            inv.pay_lens, inv.pos_starts
+        )
+        pay_byte_bounds = np.concatenate(
+            ([0], np.cumsum(inv.pay_lens, dtype=np.int64))
+        )
     buckets = (
         np.array([config.term_bucket(t) for t in term_strs], dtype=np.int32)
         if config.num_buckets > 1
@@ -906,13 +982,16 @@ def write_segment(
         idx = np.flatnonzero(buckets == b)
         rows = {"term": [], "df": [], "ttf": [], "post_off": [], "post_len": [],
                 "pos_off": [], "pos_len": [],
-                "off_off": [], "off_slen": [], "off_llen": []}
+                "off_off": [], "off_slen": [], "off_llen": [],
+                "pay_off": [], "pay_llen": [], "pay_blen": []}
         post_parts: List[bytes] = []
         pos_parts: List[bytes] = []
         off_parts: List[bytes] = []
+        pay_parts: List[bytes] = []
         post_off = 0
         pos_off = 0
         off_off = 0
+        pay_off = 0
         for ti in idx:
             s, e = inv.term_starts[ti], inv.term_starts[ti + 1]
             tfs = inv.pair_tfs[s:e]
@@ -947,6 +1026,21 @@ def write_segment(
                 rows["off_off"].append(0)
                 rows["off_slen"].append(0)
                 rows["off_llen"].append(0)
+            if with_payloads:
+                lb = all_pay_len_blobs[ti]
+                b0 = int(pay_byte_bounds[inv.pos_starts[ti]])
+                b1 = int(pay_byte_bounds[inv.pos_starts[ti + 1]])
+                raw = inv.pay_bytes[b0:b1].tobytes()
+                rows["pay_off"].append(pay_off)
+                rows["pay_llen"].append(len(lb))
+                rows["pay_blen"].append(len(raw))
+                pay_parts.append(lb)
+                pay_parts.append(raw)
+                pay_off += len(lb) + len(raw)
+            else:
+                rows["pay_off"].append(0)
+                rows["pay_llen"].append(0)
+                rows["pay_blen"].append(0)
             if FIELD_SEP not in term_strs[ti]:  # text-field stats only
                 sum_df += int(e - s)
                 sum_ttf += ttf
@@ -956,6 +1050,8 @@ def write_segment(
             put(f"part_{b:04d}.positions.bin", b"".join(pos_parts))
         if with_offsets:
             put(f"part_{b:04d}.offsets.bin", b"".join(off_parts))
+        if with_payloads:
+            put(f"part_{b:04d}.payloads.bin", b"".join(pay_parts))
         tcols = {
             "term": pa.array(rows["term"], pa.large_string()),
             "df": pa.array(rows["df"], pa.int64()),
@@ -969,6 +1065,10 @@ def write_segment(
             tcols["off_off"] = pa.array(rows["off_off"], pa.int64())
             tcols["off_slen"] = pa.array(rows["off_slen"], pa.int64())
             tcols["off_llen"] = pa.array(rows["off_llen"], pa.int64())
+        if with_payloads:
+            tcols["pay_off"] = pa.array(rows["pay_off"], pa.int64())
+            tcols["pay_llen"] = pa.array(rows["pay_llen"], pa.int64())
+            tcols["pay_blen"] = pa.array(rows["pay_blen"], pa.int64())
         terms_tbl = pa.table(tcols)
         pq.write_table(terms_tbl, os.path.join(tmp_dir, f"part_{b:04d}.terms.parquet"))
 
@@ -988,6 +1088,7 @@ def write_segment(
         "n_parts": config.num_buckets,
         "positions": config.positions,
         "offsets": with_offsets,
+        "payloads": with_payloads,
         "postings_formats": fmt_map,  # None == all-ray104 (back-compat)
         "key_type": str(keys.type),
         "index_sort": list(config.index_sort) if config.index_sort else None,
@@ -1033,6 +1134,12 @@ class TermInfo:
     off_off: int = 0
     off_slen: int = 0
     off_llen: int = 0
+    # payload stream (.pay role, payload bytes): [pay_off,
+    # pay_off+pay_llen) = per-occurrence byte-length blob (FOR-packed,
+    # positions framing), then pay_blen raw payload bytes
+    pay_off: int = 0
+    pay_llen: int = 0
+    pay_blen: int = 0
     # postings-format NAME for this term's field, resolved from segment
     # meta (``PerFieldPostingsFormat`` read path — the recorded name
     # picks the decoder, ``PerFieldPostingsFormat.java:64-69``)
@@ -1063,6 +1170,7 @@ class SegmentReader:
         self._post_mm: List[np.ndarray] = []
         self._pos_mm: List[Optional[np.ndarray]] = []
         self._off_mm: List[Optional[np.ndarray]] = []
+        self._pay_mm: List[Optional[np.ndarray]] = []
         for b in range(self.n_parts):
             pbin = os.path.join(seg_dir, f"part_{b:04d}.postings.bin")
             self._post_mm.append(
@@ -1084,6 +1192,15 @@ class SegmentReader:
                 self._off_mm.append(np.memmap(offf, dtype=np.uint8, mode="r"))
             else:
                 self._off_mm.append(None)
+            payf = os.path.join(seg_dir, f"part_{b:04d}.payloads.bin")
+            if (
+                self.meta.get("payloads")
+                and os.path.exists(payf)
+                and os.path.getsize(payf)
+            ):
+                self._pay_mm.append(np.memmap(payf, dtype=np.uint8, mode="r"))
+            else:
+                self._pay_mm.append(None)
         # live docs: highest-generation tombstone bitmap (None = all live)
         self.deleted: Optional[np.ndarray] = load_deleted(seg_dir, self.n_docs)
         # per-field postings-format names from segment meta
@@ -1147,6 +1264,9 @@ class SegmentReader:
                 off_off=int(t["off_off"][lo]) if "off_off" in t else 0,
                 off_slen=int(t["off_slen"][lo]) if "off_off" in t else 0,
                 off_llen=int(t["off_llen"][lo]) if "off_off" in t else 0,
+                pay_off=int(t["pay_off"][lo]) if "pay_off" in t else 0,
+                pay_llen=int(t["pay_llen"][lo]) if "pay_off" in t else 0,
+                pay_blen=int(t["pay_blen"][lo]) if "pay_off" in t else 0,
             )
         return None
 
@@ -1175,6 +1295,12 @@ class SegmentReader:
             pos_len=int(t["pos_len"][i]),
             part=b,
             fmt=self.fmt_for_key(term) if self._formats else "ray104",
+            off_off=int(t["off_off"][i]) if "off_off" in t else 0,
+            off_slen=int(t["off_slen"][i]) if "off_off" in t else 0,
+            off_llen=int(t["off_llen"][i]) if "off_off" in t else 0,
+            pay_off=int(t["pay_off"][i]) if "pay_off" in t else 0,
+            pay_llen=int(t["pay_llen"][i]) if "pay_off" in t else 0,
+            pay_blen=int(t["pay_blen"][i]) if "pay_off" in t else 0,
         )
 
     def _buckets_for_prefix(self, key_prefix: str):
@@ -1366,6 +1492,29 @@ class SegmentReader:
         )
         return starts, starts + lens
 
+    def payloads_for(self, info: TermInfo) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-position payload bytes for a term (the payload half of the
+        ``.pay`` stream, ``Lucene104PostingsFormat.java:17-80``):
+        → ``(lens uint32, raw uint8)`` — ``lens`` aligned 1:1 with
+        :meth:`positions`, ``raw`` the concatenated payload bytes in the
+        same order. Slice occurrence ``i``'s payload as
+        ``raw[cum[i]:cum[i+1]]`` with ``cum = cumsum(lens)``."""
+        mm = self._pay_mm[info.part]
+        if mm is None or (info.pay_llen == 0 and info.pay_blen == 0):
+            raise ValueError("segment has no payloads")
+        lens = decode_uint_blocks(
+            mm[info.pay_off : info.pay_off + info.pay_llen]
+        )
+        raw = np.asarray(
+            mm[
+                info.pay_off
+                + info.pay_llen : info.pay_off
+                + info.pay_llen
+                + info.pay_blen
+            ]
+        )
+        return lens, raw
+
     # -- norms -------------------------------------------------------------
 
     def norms_for(self, fieldname: str) -> np.ndarray:
@@ -1476,6 +1625,10 @@ class SegmentReader:
                 t["off_off"] = np.asarray(cols["off_off"], np.int64)
                 t["off_slen"] = np.asarray(cols["off_slen"], np.int64)
                 t["off_llen"] = np.asarray(cols["off_llen"], np.int64)
+            if "pay_off" in cols:  # payload-bearing segment
+                t["pay_off"] = np.asarray(cols["pay_off"], np.int64)
+                t["pay_llen"] = np.asarray(cols["pay_llen"], np.int64)
+                t["pay_blen"] = np.asarray(cols["pay_blen"], np.int64)
             self._terms[b] = t
         return t
 

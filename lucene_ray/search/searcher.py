@@ -2576,6 +2576,86 @@ class IndexSearcher:
             }
         )
 
+    def payload_topk(
+        self, term: str, k: int = 10, func: str = "max"
+    ) -> pa.Table:
+        """``PayloadScoreQuery`` with ``includeSpanScore=false``
+        (``lucene/queries/src/java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java``):
+        run the term's postings, decode each occurrence's payload as a
+        4-byte big-endian integer (``PayloadHelper`` encoding), reduce
+        per doc with ``func`` (``MaxPayloadFunction`` /
+        ``MinPayloadFunction`` / ``SumPayloadFunction``), and return the
+        top-k docs by (payload score desc, docid asc).
+
+        Vectorized per segment: one postings decode, one payload-stream
+        decode, one ``ufunc.reduceat`` at tf boundaries; only ≤ k rows
+        per segment reach the merge. → (rank, docid, key,
+        payload_score int64)."""
+        reducer = {
+            "max": np.maximum.reduceat,
+            "min": np.minimum.reduceat,
+            "sum": np.add.reduceat,
+        }.get(func)
+        if reducer is None:
+            raise ValueError(f"unknown payload function {func!r}")
+        cands: List[Tuple[int, int, int, int]] = []
+        for si, seg in enumerate(self.segments):
+            info = seg.lookup(term)
+            if info is None:
+                continue
+            ids, tfs = seg.decoded(info)
+            if len(ids) == 0:
+                continue
+            lens, raw = seg.payloads_for(info)
+            if (lens == 4).all():
+                vals = np.frombuffer(raw.tobytes(), dtype=">u4").astype(
+                    np.int64
+                )
+            else:  # variable-width payloads: per-occurrence decode
+                cum = np.concatenate(
+                    ([0], np.cumsum(lens.astype(np.int64)))
+                )
+                vals = np.array(
+                    [
+                        int.from_bytes(
+                            raw[cum[i] : cum[i + 1]].tobytes(), "big"
+                        )
+                        for i in range(len(lens))
+                    ],
+                    dtype=np.int64,
+                )
+            tf64 = tfs.astype(np.int64)
+            starts = np.cumsum(tf64) - tf64
+            agg = reducer(vals, starts)
+            if seg.deleted is not None:
+                live = ~seg.deleted[ids.astype(np.int64)].astype(bool)
+                ids, agg = ids[live], agg[live]
+                if len(ids) == 0:
+                    continue
+            order = np.lexsort((ids, -agg))[: min(k, len(ids))]
+            for j in order:
+                cands.append(
+                    (
+                        int(agg[j]),
+                        seg.base_docid + int(ids[j]),
+                        si,
+                        int(ids[j]),
+                    )
+                )
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        cands = cands[:k]
+        keys = [self.segments[si].docmap[d].as_py() for _, _, si, d in cands]
+        return pa.table(
+            {
+                "rank": pa.array(range(len(cands)), pa.int32()),
+                "docid": pa.array([c[1] for c in cands], pa.int64()),
+                "key": pa.array(keys),
+                "payload_score": pa.array(
+                    [c[0] for c in cands], pa.int64()
+                ),
+            }
+        )
+
     def drill_sideways(
         self,
         base_query,
