@@ -78,6 +78,17 @@ class _ShardGraph:
         # from these with the identical float64 expression brute-force
         # ``knn_cosine`` uses, so gate-exact results hash-match its oracle
         self.raw = vectors.astype(np.float32)
+        # int8 scalar-quantized codes (the
+        # ``Lucene99ScalarQuantizedVectorsFormat`` role: Lucene stores
+        # int8 codes in .veq AND keeps raw floats in .vec for re-rank/
+        # merge). Quantized from the SAME float64-normalized form the
+        # exact scan scores, so the error-bounded prune+re-rank in
+        # ``exact_topk_quantized`` is provably brute-force-identical.
+        self.codes = np.clip(
+            np.rint(_normalize(vectors.astype(np.float64)) * 127),
+            -127,
+            127,
+        ).astype(np.int8)
         self.ids = vec_ids.astype(np.int64)
         self.levels = _levels_for(self.ids)
         self.max_level = -1
@@ -315,6 +326,60 @@ class _ShardGraph:
             out.append([(int(bp[j]), int(rows[j])) for j in order])
         return out
 
+    def exact_topk_quantized(
+        self,
+        qm: np.ndarray,
+        k: int,
+        accept: np.ndarray = None,
+        tie: np.ndarray = None,
+    ) -> List[List[Tuple[int, int]]]:
+        """Same contract and PROVABLY same output as :meth:`exact_topk`,
+        but the full scan runs on int8 codes (one int32 GEMM — the
+        ``Lucene99ScalarQuantizedVectorsFormat`` scoring path); exact
+        float64 math touches only the error-bound survivors
+        (``quantized_knn.py`` bound: |x.y − x̂.ŷ| ≤ δ(Σ|x|+Σ|ŷ|),
+        δ=1/254, so pruning below θ−1e-4 can never drop a true top-k
+        member or flip a same-bucket tie). Falls back to the float scan
+        on pre-codes graphs."""
+        if self.codes is None:
+            return self.exact_topk(qm, k, accept=accept, tie=tie)
+        ties = self.ids if tie is None else np.asarray(tie, dtype=np.int64)
+        rows = np.arange(len(self.codes))
+        if accept is not None:
+            rows = rows[accept]
+            if len(rows) == 0:
+                return [[] for _ in range(qm.shape[0])]
+        codes = self.codes[rows]
+        # exact side: float64 normalize of the raw float32 vectors —
+        # the identical expression exact_topk / brute-force knn use
+        raw = (self.raw if self.raw is not None else self.v).astype(
+            np.float64
+        )[rows]
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = raw / norms
+        q_codes = np.clip(np.rint(qm * 127), -127, 127).astype(np.int8)
+        approx = (codes.astype(np.int32) @ q_codes.T.astype(np.int32)) / (
+            127.0 * 127.0
+        )
+        delta = 1.0 / 254.0
+        doc_l1 = np.abs(x).sum(axis=1)
+        q_l1_hat = np.abs(q_codes.astype(np.float64) / 127.0).sum(axis=1)
+        out: List[List[Tuple[int, int]]] = []
+        for qi in range(qm.shape[0]):
+            a = approx[:, qi]
+            eps = delta * (doc_l1 + q_l1_hat[qi]) + 1e-9
+            kk = min(k, len(a))
+            lower = a - eps
+            theta = np.partition(lower, len(lower) - kk)[len(lower) - kk]
+            keep = np.flatnonzero(a + eps >= theta - 1e-4)
+            sims = x[keep] @ qm[qi]
+            bp = np.floor(sims * 10000 + 0.5).astype(np.int64)
+            sub_rows = rows[keep]
+            order = np.lexsort((ties[sub_rows], -bp))[:kk]
+            out.append([(int(bp[j]), int(sub_rows[j])) for j in order])
+        return out
+
     def save(self, path: str) -> None:
         arrs: Dict[str, np.ndarray] = {
             "v": self.v.astype(np.float32),
@@ -323,6 +388,8 @@ class _ShardGraph:
         }
         if self.raw is not None:
             arrs["raw"] = self.raw
+        if self.codes is not None:
+            arrs["codes"] = self.codes
         for l, (nb, c) in enumerate(zip(self.nbrs, self.cnt)):
             arrs[f"nbrs{l}"] = nb
             arrs[f"cnt{l}"] = c
@@ -336,6 +403,7 @@ class _ShardGraph:
         g = cls.__new__(cls)
         g.v = z["v"].astype(np.float64)
         g.raw = z["raw"] if "raw" in z else None  # pre-raw-format graphs
+        g.codes = z["codes"] if "codes" in z else None  # pre-int8 graphs
         g.ids = z["ids"]
         g.entry, g.max_level = (int(x) for x in z["meta"])
         g.nbrs, g.cnt = [], []
@@ -359,6 +427,8 @@ def graph_to_bytes(g: _ShardGraph) -> bytes:
     }
     if g.raw is not None:
         arrs["raw"] = g.raw
+    if g.codes is not None:
+        arrs["codes"] = g.codes
     for l, (nb, c) in enumerate(zip(g.nbrs, g.cnt)):
         arrs[f"nbrs{l}"] = nb
         arrs[f"cnt{l}"] = c

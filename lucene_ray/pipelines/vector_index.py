@@ -67,7 +67,7 @@ def build_vector_index(sf_dir: str) -> str:
     """Build (or reuse) the vector-resident index; returns its dir."""
     src = _joined_input(sf_dir)
     tag = hashlib.sha1(
-        f"vecidx:v2:{src}:{os.path.getmtime(src)}:{VEC_CONFIG.rows_per_segment}".encode()
+        f"vecidx:v3:{src}:{os.path.getmtime(src)}:{VEC_CONFIG.rows_per_segment}".encode()
     ).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, f"vecidx_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):

@@ -52,8 +52,11 @@ def _search_segment(
         if deleted is not None and deleted.any():
             accept = ~deleted.astype(bool)
         rows_tie = np.arange(len(g.ids), dtype=np.int64)  # docid order
+        # full scan on int8 codes + error-bounded exact re-rank of the
+        # survivors (provably identical to the float scan; falls back to
+        # it on pre-int8 segments) — the scalar-quantized scoring path
         for qi, hits in enumerate(
-            g.exact_topk(qm, k, accept=accept, tie=rows_tie)
+            g.exact_topk_quantized(qm, k, accept=accept, tie=rows_tie)
         ):
             for bp, row in hits:
                 out.append((qi, base_docid + int(row), bp))
