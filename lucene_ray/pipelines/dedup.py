@@ -467,82 +467,167 @@ order by a, b
 # --------------------------------------------------------------------------
 # blocked exact n-gram Jaccard (inverted shingle join)
 # --------------------------------------------------------------------------
-def shingle_hashes64(text: str) -> np.ndarray:
-    """Sorted UNIQUE 64-bit blake2b hashes of the word-3-gram shingle set.
+_SHINGLE_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
 
-    64 bits (not crc32) because the inverted join below compares hashes
-    across a whole source's shingle vocabulary — at 32 bits the birthday
-    bound (~77k distinct) makes cross-doc collisions routine, which would
-    inflate pair intersections; at 64 bits they're ~1e-8 at 10^6 shingles.
-    """
-    return np.unique(
-        np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                - (1 << 63)  # center into int64
-                for s in shingles(text)
-            ),
-            dtype=np.int64,
-        )
+
+def shingle_hash_batch(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc unique word-3-gram shingle hashes for a batch
+    of texts → ``(doc_lengths int64[n_docs], flat sorted-unique hashes
+    int64 concatenated per doc)``.
+
+    Replaces the per-shingle ``blake2b`` Python loop: tokens are
+    dictionary-encoded (one blake2b per UNIQUE token, vocabulary-sized),
+    per-token 64-bit hashes are gathered through the codes, and each
+    shingle hash is a splitmix combine of its three token hashes —
+    all-array ops. Docs shorter than the window hash their whole token
+    list (sentinel-padded so arities can't collide), matching
+    :func:`shingles`' semantics. Engine-internal hash identity: shingle
+    string equality ⟺ hash equality up to ~2⁻⁶⁴ collisions, so Jaccard
+    over these hashes equals string-set Jaccard like the blake2b form
+    did (the hash never leaves the pipeline)."""
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.split_pattern(texts, " ")
+    lens0 = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens0 = np.nan_to_num(lens0).astype(np.int64)
+    flat0 = pc.list_flatten(toks)
+    n_docs = len(texts)
+    # drop empty tokens — str.split() semantics (an empty text must
+    # contribute no shingles, like the blake2b form / the SQL oracle)
+    doc_of0 = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)
+    nonempty = pc.not_equal(flat0, "").to_numpy(zero_copy_only=False)
+    flat = flat0.filter(pa.array(nonempty))
+    lens = np.bincount(doc_of0[nonempty], minlength=n_docs).astype(np.int64)
+    # one blake2b per unique token only
+    de = flat.dictionary_encode()
+    vocab = de.dictionary.to_pylist()
+    vh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            for t in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
     )
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = vh[codes] if len(codes) else np.empty(0, np.uint64)
+
+    def mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+        z = _splitmix64_u(a)
+        z = _splitmix64_u(z ^ b)
+        return _splitmix64_u(z ^ c)
+
+    starts = np.cumsum(lens) - lens
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    # full windows: positions i with i+2 inside the same doc
+    out_docs: List[np.ndarray] = []
+    out_hash: List[np.ndarray] = []
+    if len(th) >= 3:
+        ok = np.flatnonzero(
+            (np.arange(len(th) - 2) - starts[doc_of[: len(th) - 2]])
+            <= lens[doc_of[: len(th) - 2]] - 3
+        )
+        if len(ok):
+            out_docs.append(doc_of[ok])
+            out_hash.append(mix3(th[ok], th[ok + 1], th[ok + 2]))
+    # short docs (1 or 2 tokens): whole token list, sentinel-padded
+    one = np.flatnonzero(lens == 1)
+    if len(one):
+        s = starts[one]
+        out_docs.append(one)
+        out_hash.append(mix3(th[s], _SHINGLE_SENTINEL, _SHINGLE_SENTINEL))
+    two = np.flatnonzero(lens == 2)
+    if len(two):
+        s = starts[two]
+        out_docs.append(two)
+        out_hash.append(mix3(th[s], th[s + 1], _SHINGLE_SENTINEL))
+    if not out_docs:
+        return np.zeros(n_docs, np.int64), np.empty(0, np.int64)
+    docs_all = np.concatenate(out_docs)
+    hash_all = np.concatenate(out_hash).view(np.int64)
+    # per-doc unique + sort: one lexsort + run-length dedup
+    order = np.lexsort((hash_all, docs_all))
+    d_s, h_s = docs_all[order], hash_all[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[0] = True
+    np.logical_or(
+        d_s[1:] != d_s[:-1], h_s[1:] != h_s[:-1], out=keep[1:]
+    )
+    d_u, h_u = d_s[keep], h_s[keep]
+    set_lens = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+    return set_lens, h_u
+
+
+def _splitmix64_u(x: np.ndarray) -> np.ndarray:
+    z = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(-1)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(-1)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(-1)
+    return z ^ (z >> np.uint64(31))
 
 
 def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
     """→ (a, b, j_bp): exact trigram Jaccard ≥ ``tau`` among docs sharing
     the ``source`` blocking key.
 
-    Ray shape — **inverted shingle join**, the same plan as the SQL
-    oracle, NOT all-pairs per source (one hot source would otherwise put
-    the whole corpus in a single task):
+    Ray shape — **positional prefix-filter join** (Chaudhuri/Xiao
+    PPJoin prefix filtering), exactness-preserving and free of the
+    stop-shingle df² blowup the plain inverted-shingle join carries:
 
-    1. ``map_batches``: per doc emit one row per unique shingle hash —
-       ``(source, sh, doc_id, n)`` with ``n`` = the doc's set size;
-    2. ``groupby(source, sh).map_groups``: each posting-list bucket emits
-       its doc pairs ``(a, b, na, nb)`` — work is Σ df², concentrated on
-       shared shingles only, spread across every bucket;
-    3. ``groupby(a, b)``: COUNT = |A∩B|; Jaccard = i/(na+nb−i), filter τ,
-       ``j_bp = floor(j*10000)`` in float64 exactly like the oracle.
-
-    The known residual hot spot is stop-shingles ("of the and") whose df²
-    dominates; the exactness-preserving refinement is positional prefix
-    filtering (emit only each doc's ⌊(1−τ)·n⌋+1 globally-rarest shingles
-    for candidate generation, then verify like the MinHash pipeline).
+    1. ``map_batches``: per doc emit ``(source, sh, doc_id, n)`` via the
+       vectorized :func:`shingle_hash_batch` kernel (no per-shingle
+       Python);
+    2. ``groupby(source, sh)``: annotate every posting with its bucket's
+       df (document frequency within the source);
+    3. ``groupby(doc_id)``: keep each doc's PREFIX — its
+       ``n − ⌈τ·n⌉ + 1`` rarest shingles under the canonical
+       (df asc, sh asc) order. If J(A,B) ≥ τ then the canonically
+       smallest element of A∩B lies in both prefixes (pigeonhole), so
+       bucketing prefixes catches every qualifying pair; stop-shingles
+       (huge df) fall out of prefixes entirely;
+    4. ``groupby(source, sh)`` over prefix postings → candidate pairs
+       (work ∝ Σ prefix-df², with rarity-ordered prefixes ≪ Σ df²);
+    5. dedupe pairs, then the MinHash-style distributed exact verify:
+       candidate ids broadcast once, full shingle sets shipped only for
+       candidate docs, ``groupby(a, b)`` computes exact Jaccard and
+       applies τ. Verify width ∝ candidates, not corpus.
     """
+    import ray
     import ray.data
-    from ray.data.aggregate import Count, Max
 
     def postings(batch: pa.Table) -> pa.Table:
-        srcs, shs, ids, ns = [], [], [], []
-        for doc_id, text, src in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("text").to_pylist(),
-            batch.column("source").to_pylist(),
-        ):
-            hs = shingle_hashes64(text or "")
-            if len(hs) == 0:
-                continue
-            shs.append(hs)
-            ids.append(np.full(len(hs), int(doc_id), dtype=np.int64))
-            ns.append(np.full(len(hs), len(hs), dtype=np.int64))
-            srcs.extend([src] * len(hs))
-        if not shs:
-            return pa.table(
-                {
-                    "source": pa.array([], pa.string()),
-                    "sh": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
+        set_lens, flat = shingle_hash_batch(batch.column("text"))
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        srcs = batch.column("source")
         return pa.table(
             {
-                "source": pa.array(srcs),
-                "sh": pa.array(np.concatenate(shs)),
-                "doc_id": pa.array(np.concatenate(ids)),
-                "n": pa.array(np.concatenate(ns)),
+                "source": srcs.take(
+                    pa.array(
+                        np.repeat(np.arange(len(ids)), set_lens)
+                    )
+                ),
+                "sh": pa.array(flat),
+                "doc_id": pa.array(np.repeat(ids, set_lens)),
+                "n": pa.array(np.repeat(set_lens, set_lens)),
             }
+        )
+
+    def doc_prefix(group: pa.Table) -> pa.Table:
+        n = int(group.column("n")[0].as_py())
+        p = n - int(np.ceil(tau * n)) + 1
+        if group.num_rows <= p:
+            return group.drop_columns(["df", "n"])
+        df = np.asarray(group.column("df"), dtype=np.int64)
+        sh = np.asarray(group.column("sh"), dtype=np.int64)
+        order = np.lexsort((sh, df))[:p]
+        return group.take(pa.array(np.sort(order))).drop_columns(
+            ["df", "n"]
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -552,56 +637,165 @@ def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
                 {
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
-                    "na": pa.array([], pa.int64()),
-                    "nb": pa.array([], pa.int64()),
                 }
             )
-        order = np.argsort(np.asarray(group.column("doc_id"), dtype=np.int64))
-        ids = np.asarray(group.column("doc_id"), dtype=np.int64)[order]
-        ns = np.asarray(group.column("n"), dtype=np.int64)[order]
+        ids = np.sort(np.asarray(group.column("doc_id"), dtype=np.int64))
         ia, ib = np.triu_indices(d, k=1)
-        return pa.table(
-            {
-                "a": pa.array(ids[ia]),
-                "b": pa.array(ids[ib]),
-                "na": pa.array(ns[ia]),
-                "nb": pa.array(ns[ib]),
-            }
-        )
+        return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
 
-    def finish(batch: pa.Table) -> pa.Table:
-        i = np.asarray(batch.column("count()"), dtype=np.float64)
-        na = np.asarray(batch.column("max(na)"), dtype=np.float64)
-        nb = np.asarray(batch.column("max(nb)"), dtype=np.float64)
-        union = na + nb - i
-        jv = i / union
-        keep = np.flatnonzero(jv >= tau)
-        return pa.table(
-            {
-                "a": pa.array(
-                    np.asarray(batch.column("a"), dtype=np.int64)[keep]
-                ),
-                "b": pa.array(
-                    np.asarray(batch.column("b"), dtype=np.int64)[keep]
-                ),
-                "j_bp": pa.array(
-                    np.floor(i[keep] * 10000.0 / union[keep]).astype(np.int64)
-                ),
-            }
-        )
+    def dedup_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )
-    return (
-        ds.map_batches(postings, batch_format="pyarrow")
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    # df per (source, sh): a NATIVE vectorized aggregate (no per-group
+    # Python), then a hash join back onto the postings — both sides
+    # partition by the same key
+    df_tbl = post.groupby(["source", "sh"]).count()
+
+    def rename_df(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["source", "sh", "df"])
+
+    annotated = post.join(
+        df_tbl.map_batches(rename_df, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("source", "sh"),
+    )
+    pairs = (
+        annotated.groupby("doc_id")
+        .map_groups(doc_prefix, batch_format="pyarrow")
         .groupby(["source", "sh"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count(), Max("na"), Max("nb"))
-        .map_batches(finish, batch_format="pyarrow")
+        .map_groups(dedup_pair, batch_format="pyarrow")
     )
+    return exact_jaccard_verify(ds, pairs, tau)
+
+
+def exact_jaccard_verify(ds, pairs, tau: float):
+    """Distributed exact-Jaccard verify of candidate ``(a, b)`` pairs
+    over ``ds``'s ``(doc_id, text)`` — the MinHash pipeline's verify
+    shape (candidate-id broadcast prefilter + two hash-join shuffles),
+    with shingle sets from the vectorized :func:`shingle_hash_batch`.
+    → (a, b, j_bp) sorted by (a, b)."""
+    import ray
+    import ray.data
+
+    pairs = pairs.materialize()
+    cand: Set[int] = set()
+    for cb in pairs.iter_batches(batch_format="pyarrow"):
+        cand.update(cb.column("a").to_pylist())
+        cand.update(cb.column("b").to_pylist())
+    cand_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        cand_ids = ray.get(cand_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        sel = np.flatnonzero(np.isin(ids, cand_ids))
+        set_lens, flat = shingle_hash_batch(
+            batch.column("text").take(pa.array(sel))
+        )
+        offs = np.concatenate(([0], np.cumsum(set_lens))).astype(np.int32)
+        sh_lists = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(flat, pa.int64())
+        )
+        k = len(sel)
+        return pa.table(
+            {
+                "k": pa.array(ids[sel], pa.int64()),
+                "a": pa.array([-1] * k, pa.int64()),
+                "b": pa.array([-1] * k, pa.int64()),
+                "side": pa.array([-1] * k, pa.int32()),
+                "sh": sh_lists.cast(pa.list_(pa.int64())),
+            }
+        )
+
+    def pair_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        n = len(a)
+        return pa.table(
+            {
+                "k": pa.array(a + b, pa.int64()),
+                "a": pa.array(a + a, pa.int64()),
+                "b": pa.array(b + b, pa.int64()),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                "sh": pa.array([[]] * (2 * n), pa.list_(pa.int64())),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side"))
+        doc_rows = np.flatnonzero(sides == -1)
+        pair_rows = np.flatnonzero(sides >= 0)
+        if len(doc_rows) == 0 or len(pair_rows) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "sh": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sh = group.column("sh")[int(doc_rows[0])]
+        return pa.table(
+            {
+                "a": group.column("a").take(pair_rows),
+                "b": group.column("b").take(pair_rows),
+                "side": group.column("side").take(pair_rows),
+                "sh": pa.array(
+                    [sh.as_py()] * len(pair_rows), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side"))
+        ia = np.flatnonzero(sides == 0)
+        ib = np.flatnonzero(sides == 1)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "j_bp": pa.array([], pa.int64()),
+            }
+        )
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        sa = np.asarray(group.column("sh")[int(ia[0])].as_py(), dtype=np.int64)
+        sb = np.asarray(group.column("sh")[int(ib[0])].as_py(), dtype=np.int64)
+        if len(sa) == 0 or len(sb) == 0:
+            return empty
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union
+        if j < tau:
+            return empty
+        return pa.table(
+            {
+                "a": group.column("a").slice(0, 1),
+                "b": group.column("b").slice(0, 1),
+                "j_bp": pa.array(
+                    [int(np.floor(inter * 10000.0 / union))], pa.int64()
+                ),
+            }
+        )
+
+    docs_keyed = ds.map_batches(doc_sets, batch_format="pyarrow")
+    pairs_keyed = pairs.map_batches(pair_keys, batch_format="pyarrow")
+    attached = (
+        pairs_keyed.union(docs_keyed)
+        .groupby("k")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    out = attached.groupby(["a", "b"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    return out.sort(["a", "b"])
 
 
 def sql_ngram_jaccard_by_source(tau: float = 0.5) -> str:
@@ -746,8 +940,14 @@ def embedding_near_dup(
             }
         )
 
-    pairs_ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
-    return pairs_ds.map_batches(score_pair, batch_format="pyarrow")
+    # ~4 chunk-pairs per task (score_pair loops its batch): enough
+    # blocks to fan out wide, without one-task-per-pair scheduling
+    # overhead dominating (capped so a huge pair list still batches)
+    n_blocks = max(1, min(2048, (len(items) + 3) // 4))
+    pairs_ds = ray.data.from_items(items, override_num_blocks=n_blocks)
+    return pairs_ds.map_batches(
+        score_pair, batch_format="pyarrow", batch_size=4
+    )
 
 
 def sql_embedding_near_dup(tau: float = 0.45) -> str:

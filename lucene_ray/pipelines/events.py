@@ -86,43 +86,80 @@ group by 1, 2
 """
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800):
+def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     """→ per (user_id, session): start, n_events, duration — classic
-    sessionization via ``groupby(user).map_groups`` over ts-sorted rows."""
-    import pandas as pd
+    sessionization, hash-bucketed and fully vectorized.
+
+    Ray shape: users hash into ``n_buckets`` buckets (splitmix, stable
+    cross-process); ONE ``groupby(bucket)`` shuffle co-locates each
+    user's events; the per-bucket kernel sessionizes EVERY user in the
+    bucket with a single lexsort + run-length pass — no per-user pandas
+    group (a task's work is a whole bucket of users, so many small
+    users amortize into one Arrow kernel; one hot user costs one
+    bucket, the sessionization lower bound, not one task per user).
+    Scale ``n_buckets`` ∝ cluster width."""
     import ray.data
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        g = g.sort_values("ts")
-        # epoch ns unit-independently, fully vectorized: one astype to ns
-        # resolution then a view as int64 (the per-row .map(lambda t:
-        # t.value) was a hot-user scale risk, VERDICT r02)
-        ns = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        ts = pd.Series(ns // 1_000_000_000, index=g.index)
-        new = (ts.diff().fillna(gap_s + 1) > gap_s).cumsum()
-        sess_ns = pd.Series(ns, index=g.index)
-        out = (
-            g.assign(sess=new, _ns=sess_ns)
-            .groupby("sess")
-            .agg(
-                user_id=("user_id", "first"),
-                _first_ns=("_ns", "first"),
-                n_events=("_ns", "size"),
-                _last_ns=("_ns", "last"),
-            )
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        z = (uid.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(-1)
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(-1)
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(-1)
+        z ^= z >> np.uint64(31)
+        return b.append_column(
+            "ub", pa.array((z % np.uint64(n_buckets)).astype(np.int32))
         )
-        out["start_us"] = out["_first_ns"] // 1000  # ns→µs
-        out["dur_s"] = (out["_last_ns"] - out["_first_ns"]) // 1_000_000_000
-        return out[["user_id", "start_us", "n_events", "dur_s"]].reset_index(
-            drop=True
+
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "dur_s": pa.array([], pa.int64()),
+                }
+            )
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ns = np.asarray(
+            group.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()),
+            dtype=np.int64,
+        )
+        order = np.lexsort((ns, uid))
+        uid_s, ns_s = uid[order], ns[order]
+        sec = ns_s // 1_000_000_000
+        brk = np.empty(len(uid_s), dtype=bool)
+        brk[0] = True
+        np.logical_or(
+            uid_s[1:] != uid_s[:-1],
+            (sec[1:] - sec[:-1]) > gap_s,
+            out=brk[1:],
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(uid_s))
+        first_ns = ns_s[starts]
+        last_ns = ns_s[ends - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts]),
+                "start_us": pa.array(first_ns // 1000, pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "dur_s": pa.array(
+                    (last_ns - first_ns) // 1_000_000_000, pa.int64()
+                ),
+            }
         )
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_sessions, batch_format="pyarrow")
+    )
 
 
 def sql_sessionize(gap_s: int = 1800) -> str:

@@ -69,48 +69,48 @@ def highlight_search(sf_dir: str):
     )
     terms = {q: t for q, t in HL_QUERIES}
 
-    def passage(df):
-        import pandas as pd
+    def passage(b: pa.Table) -> pa.Table:
+        """Arrow passage kernel: per-query-term ``find_substring`` over
+        the space-padded text (0-based index of the space before the
+        token == the token's start in the unpadded text, instr − 1 in
+        SQL), clip to ±CTX chars, slice snippets."""
+        import numpy as np
+        import pyarrow.compute as pc
 
-        out = []
-        for qid, g in df.groupby("qid"):
-            t = terms[int(qid)]
-            padded = " " + g["text"] + " "
-            # 0-based index of the space before the token == 0-based
-            # start of the token in the unpadded text (instr - 1 in SQL)
-            s = padded.str.find(f" {t} ")
-            e = s + len(t)
-            n = g["text"].str.len()
-            lo = (s - CTX).clip(lower=0)
-            hi = pd.concat([e + CTX, n], axis=1).min(axis=1)
-            snip = [
-                txt[a:b]
-                for txt, a, b in zip(g["text"], lo.astype(int), hi.astype(int))
-            ]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "qid": g["qid"].astype("int32"),
-                        "doc_id": g["doc_id"],
-                        "start_off": s.astype("int64"),
-                        "end_off": e.astype("int64"),
-                        "snippet": snip,
-                    }
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "qid": pd.Series(dtype="int32"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "start_off": pd.Series(dtype="int64"),
-                    "end_off": pd.Series(dtype="int64"),
-                    "snippet": pd.Series(dtype="object"),
-                }
-            )
-        return pd.concat(out, ignore_index=True)
+        qid = np.asarray(b.column("qid"), dtype=np.int64)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(b)
+        pad = pa.array([" "] * n)
+        padded = pc.binary_join_element_wise(pad, text, pad, "")
+        tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        s = np.full(n, -1, dtype=np.int64)
+        e = np.empty(n, dtype=np.int64)
+        for q, t in terms.items():
+            rows = np.flatnonzero(qid == q)
+            if not len(rows):
+                continue
+            found = pc.find_substring(
+                padded.take(pa.array(rows)), pattern=f" {t} "
+            ).to_numpy(zero_copy_only=False)
+            s[rows] = found
+            e[rows] = found + len(t)
+        lo = np.maximum(s - CTX, 0)
+        hi = np.minimum(e + CTX, tlen.astype(np.int64))
+        texts = text.to_pylist()
+        snip = [txt[a:b_] for txt, a, b_ in zip(texts, lo, hi)]
+        return pa.table(
+            {
+                "qid": pa.array(qid, pa.int32()),
+                "doc_id": b.column("doc_id"),
+                "start_off": pa.array(s, pa.int64()),
+                "end_off": pa.array(e, pa.int64()),
+                "snippet": pa.array(snip, pa.string()),
+            }
+        )
 
-    return joined.map_batches(passage, batch_format="pandas")
+    return joined.map_batches(passage, batch_format="pyarrow")
 
 
 def highlight_offsets(sf_dir: str):

@@ -49,16 +49,55 @@ def extract_text_stage(ds, verify: bool = True):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_pages_latest(ds):
+def dedup_pages_latest(ds, n_buckets: int = 64):
     """One row per url: the latest crawl wins (ties impossible — recrawls
     get strictly later timestamps; if equal, highest text wins for
-    determinism)."""
-    import pandas as pd
+    determinism).
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["warc_ts", "text"]).tail(1)
+    Ray shape: urls hash into ``n_buckets`` (stable siphash); ONE
+    ``groupby(bucket)`` shuffle co-locates each url's crawls; the
+    per-bucket kernel is one Arrow sort by (url, warc_ts, text) + a
+    vectorized last-of-run cut — no per-url Python/pandas group. Scale
+    ``n_buckets`` ∝ cluster width."""
+    import numpy as np
+    import pyarrow as pa
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+        h = pd.util.hash_array(urls)  # stable cross-process siphash
+        return b.append_column(
+            "ub",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+        )
+
+    def keep_latest(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = group.sort_by(
+            [
+                ("url", "ascending"),
+                ("warc_ts", "ascending"),
+                ("text", "ascending"),
+            ]
+        )
+        urls = g.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        if len(urls) == 0:
+            return group.drop_columns(["ub"])
+        ne = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+        last = np.append(
+            ne.to_numpy(zero_copy_only=False), True
+        )
+        return g.take(pa.array(np.flatnonzero(last))).drop_columns(["ub"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(keep_latest, batch_format="pyarrow")
+    )
 
 
 def build_pages_index(paths: List[str], index_dir: str, work_dir: str,
