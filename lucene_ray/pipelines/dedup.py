@@ -1210,19 +1210,30 @@ order by doc_id
 # non-overlapping W-word chunk; semantics are identical: the GLOBALLY
 # FIRST occurrence (smallest (doc_id, chunk_idx)) of each distinct span
 # survives, every later occurrence is cut, and documents are rewritten
-# from their surviving spans.  Three-stage shuffle plan, no driver state:
-#   1. map_batches: chunk rows (doc_id, idx, chunk, key) — chunk strings
-#      built zero-copy from the flat token array via ListArray offsets +
-#      one binary_join kernel;
-#   2. groupby(bucket): min-key-per-span + keep flags, vectorized inside
-#      the group task (factorize + minimum.at — no per-span Python);
-#   3. groupby(doc_id): rewrite the doc from its kept chunks in order.
+# from their surviving spans.  Two-shuffle plan, no driver state:
+#   1. map_batches: chunk each doc (zero-copy ListArray offsets over the
+#      flat token array) but ship ONLY a 128-bit fingerprint per span
+#      (2 x 64-bit independent-key hashes) + (doc_id, idx) — 32 bytes/span
+#      through the wide shuffle, never the span strings;
+#   2. groupby(span bucket): min-key-per-fingerprint keep flags,
+#      vectorized (structured-array unique + minimum.at);
+#   3. groupby(doc bucket) over the UNION of keep flags and the raw text
+#      rows: re-chunk the bucket's docs locally (same deterministic
+#      kernel), align flags by (doc_id, idx), rebuild every doc in the
+#      bucket with vectorized kernels — no per-doc Python tasks.  Text
+#      strings ride only this one doc-keyed shuffle, which any plan that
+#      outputs rebuilt text must pay.
+# Bucket counts scale with the input (footer row count / target rows per
+# bucket), so task size is bounded at any corpus size.  Exactness rests
+# on 128-bit fingerprints: a false span merge needs a 2^-128 collision
+# (union-bound ~1e-13 even at 10^13 spans).
 # --------------------------------------------------------------------------
 
 _SPAN_IDX_BITS = 20  # idx < 2^20 chunks/doc; key = doc_id * 2^20 + idx
+_SPAN_FP_KEY2 = "span_dedup_fp_b2"  # 16-byte second hash key (pandas req.)
 
 
-def span_dedup(sf_dir: str, w: int = 10, n_buckets: int = 64):
+def span_dedup(sf_dir: str, w: int = 10, n_buckets: int | None = None):
     """→ (doc_id, n_chunks, n_kept, kept_text) per document, ordered by
     doc_id: ``w``-word spans deduplicated corpus-wide, first occurrence
     (by doc_id then position) kept, document text rebuilt from the
@@ -1236,13 +1247,23 @@ def span_dedup(sf_dir: str, w: int = 10, n_buckets: int = 64):
 
     M = 1 << _SPAN_IDX_BITS
 
-    def chunk_rows(b: pa.Table) -> pa.Table:
-        flat, offs = flat_words(b.column("text"))
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    if n_buckets is None:
+        # Footer-only count (no data read). ~4k docs per doc-bucket and
+        # ~16x that many spans per span-bucket keeps group tasks bounded
+        # regardless of corpus size.
+        n_docs = ds.count()
+        n_buckets = max(16, -(-n_docs // 4096))
+
+    def chunk_spans(texts: pa.ChunkedArray):
+        """Deterministic chunking shared by stage 1 and the rebuild:
+        → (chunks StringArray, doc_of, idx, per-doc chunk counts)."""
+        flat, offs = flat_words(texts)
         nt = len(flat)
         t_per_row = np.diff(offs)  # ≥1 always ('' splits to [''])
         n_chunks = (t_per_row + w - 1) // w
         total = int(n_chunks.sum())
-        doc_of = np.repeat(np.arange(len(b), dtype=np.int64), n_chunks)
+        doc_of = np.repeat(np.arange(len(n_chunks), dtype=np.int64), n_chunks)
         first = np.repeat(
             np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
         )
@@ -1253,60 +1274,110 @@ def span_dedup(sf_dir: str, w: int = 10, n_buckets: int = 64):
             pa.array(lofs, pa.int64()).cast(pa.int32()), flat
         )
         chunks = pc.binary_join(la, " ")
-        ids = np.asarray(b.column("doc_id"))[doc_of]
         if total and idx.max() >= M:
             raise ValueError(f"document exceeds 2^{_SPAN_IDX_BITS} spans")
-        bucket = (
-            pd.util.hash_array(chunks.to_numpy(zero_copy_only=False))
-            % n_buckets
-        ).astype(np.int32)
+        return chunks, doc_of, idx, n_chunks
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        """Stage 1: spans → 32-byte fingerprint rows (no strings)."""
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        chunks, doc_of, idx, _ = chunk_spans(b.column("text"))
+        cn = chunks.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(cn)
+        h2 = pd.util.hash_array(cn, hash_key=_SPAN_FP_KEY2)
         return pa.table(
             {
-                "bucket": pa.array(bucket),
-                "chunk": chunks,
-                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array((h1 % n_buckets).astype(np.int32)),
+                "fp1": pa.array(h1.view(np.int64)),
+                "fp2": pa.array(h2.view(np.int64)),
+                "doc_id": pa.array(ids[doc_of], pa.int64()),
                 "idx": pa.array(idx),
-                "key": pa.array(ids * M + idx),
+                "key": pa.array(ids[doc_of] * M + idx),
             }
         )
 
     def keep_flags(g: pa.Table) -> pa.Table:
         keys = np.asarray(g.column("key"), dtype=np.int64)
-        codes, _ = pd.factorize(g.column("chunk").to_numpy(zero_copy_only=False))
-        mins = np.full(codes.max() + 1, np.iinfo(np.int64).max, np.int64)
+        fp = np.empty(len(g), dtype=[("a", np.int64), ("b", np.int64)])
+        fp["a"] = np.asarray(g.column("fp1"))
+        fp["b"] = np.asarray(g.column("fp2"))
+        _, codes = np.unique(fp, return_inverse=True)
+        mins = np.full(int(codes.max()) + 1 if len(g) else 1,
+                       np.iinfo(np.int64).max, np.int64)
         np.minimum.at(mins, codes, keys)
+        db = np.asarray(g.column("doc_id"), dtype=np.int64) % n_buckets
         return pa.table(
             {
+                "dbucket": pa.array(db.astype(np.int32)),
                 "doc_id": g.column("doc_id"),
                 "idx": g.column("idx"),
-                "chunk": g.column("chunk"),
                 "keep": pa.array(keys == mins[codes]),
+                "text": pa.nulls(len(g), pa.string()),
+            }
+        )
+
+    def tag_text(b: pa.Table) -> pa.Table:
+        db = np.asarray(b.column("doc_id"), dtype=np.int64) % n_buckets
+        return pa.table(
+            {
+                "dbucket": pa.array(db.astype(np.int32)),
+                "doc_id": b.column("doc_id"),
+                "idx": pa.nulls(len(b), pa.int64()),
+                "keep": pa.nulls(len(b), pa.bool_()),
+                "text": b.column("text"),
             }
         )
 
     def rebuild(g: pa.Table) -> pa.Table:
-        order = np.argsort(np.asarray(g.column("idx")), kind="stable")
-        keep = np.asarray(g.column("keep"))[order]
-        chunks = g.column("chunk").take(pa.array(order)).filter(pa.array(keep))
+        """Stage 3: one doc-bucket — re-chunk the bucket's docs and apply
+        the keep mask, all-vectorized (binary_join builds every doc's
+        rebuilt text in one kernel call)."""
+        is_text = pc.is_valid(g.column("text")).to_numpy(zero_copy_only=False)
+        texts = g.filter(pa.array(is_text)).sort_by("doc_id")
+        flags = g.filter(pa.array(~is_text))
+        ids = np.asarray(texts.column("doc_id"), dtype=np.int64)
+        chunks, doc_of, idx, n_chunks = chunk_spans(texts.column("text"))
+        # Align flags to the re-chunked spans by (doc_id, idx): both sides
+        # enumerate exactly the same (doc_id, idx) set.
+        fkey = (
+            np.asarray(flags.column("doc_id"), dtype=np.int64) * M
+            + np.asarray(flags.column("idx"), dtype=np.int64)
+        )
+        order = np.argsort(fkey, kind="stable")
+        keep = np.asarray(flags.column("keep"))[order]
+        ckey = ids[doc_of] * M + idx
+        corder = np.argsort(ckey, kind="stable")
+        inv = np.empty_like(corder)
+        inv[corder] = np.arange(len(corder))
+        keep = keep[inv]  # now span-ordered (doc order, idx ascending)
+        kept_counts = np.bincount(doc_of, weights=keep, minlength=len(ids))
+        kept = chunks.filter(pa.array(keep))
+        kofs = np.concatenate(
+            [[0], np.cumsum(kept_counts, dtype=np.int64)]
+        )
+        kl = pa.ListArray.from_arrays(
+            pa.array(kofs, pa.int64()).cast(pa.int32()), kept
+        )
         return pa.table(
             {
-                "doc_id": pa.array(
-                    [g.column("doc_id")[0].as_py()], pa.int64()
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "n_kept": pa.array(
+                    kept_counts.astype(np.int64), pa.int64()
                 ),
-                "n_chunks": pa.array([len(g)], pa.int64()),
-                "n_kept": pa.array([int(keep.sum())], pa.int64()),
-                "kept_text": pa.array(
-                    [" ".join(chunks.to_pylist())], pa.string()
-                ),
+                "kept_text": pc.binary_join(kl, " "),
             }
         )
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    return (
-        ds.map_batches(chunk_rows, batch_format="pyarrow")
+    flags = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(keep_flags, batch_format="pyarrow")
-        .groupby("doc_id")
+    )
+    texts = ds.map_batches(tag_text, batch_format="pyarrow")
+    return (
+        flags.union(texts)
+        .groupby("dbucket")
         .map_groups(rebuild, batch_format="pyarrow")
         .sort("doc_id")  # oracle-only: determinism for the gate, not a production step
     )
