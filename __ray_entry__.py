@@ -66,12 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sibling — those keep pytest + the oracle harness as cover.
     from lucene_ray.pipelines import facet_multi as fm
 
+    from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import payloads as pay
 
     return {
         # --- new in round 4 ---
         "facet_multivalued": fm.facet_multivalued,
         "payload_boosted_topk": pay.payload_boosted_topk,
+        "geo_box_search": geo.geo_box_search,
+        "geo_distance_search": geo.geo_distance_search,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -199,12 +202,15 @@ def oracle_sql() -> dict[str, str]:
 
     from lucene_ray.pipelines import facet_multi as fm
 
+    from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import payloads as pay
 
     return {
         # --- new in round 4 ---
         "facet_multivalued": fm.sql_facet_multivalued(),
         "payload_boosted_topk": pay.sql_payload_boosted_topk(),
+        "geo_box_search": geo.sql_geo_box_search(),
+        "geo_distance_search": geo.sql_geo_distance_search(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),

@@ -256,6 +256,25 @@ def run_scaling() -> dict:
     lo, hi = best(8), best(32)
     t_lo, t_hi = round(work_secs(lo), 3), round(work_secs(hi), 3)
     eff = (t_lo / t_hi) / (32 / 8)
+    # Same-moment machine ceiling: a zero-coordination pure-compute
+    # fan-out (tools/bandwidth_probe.py) run in the same invocation. On a
+    # shared box, 32 "cpus" often deliver far less than 4x the compute of
+    # 8; the ceiling makes the efficiency number interpretable — any
+    # value at/above it means the engine adds no scaling loss of its own.
+    ceiling = None
+    try:
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bandwidth_probe.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=600,
+        ).stdout
+        ceiling = json.loads(probe.strip().splitlines()[-1])[
+            "machine_ceiling_efficiency"
+        ]
+    except Exception:
+        pass
     return {
         "metric": "scaling efficiency 8→32 cpus (same input, fresh sessions)",
         "sec_8": t_lo,
@@ -272,6 +291,10 @@ def run_scaling() -> dict:
         ),
         "query_efficiency": round(
             (lo["queries"]["query_workload"] / hi["queries"]["query_workload"]) / 4, 3
+        ),
+        "machine_ceiling_efficiency": ceiling,
+        "normalized_efficiency": (
+            round(min(1.0, eff / ceiling), 3) if ceiling else None
         ),
     }
 
