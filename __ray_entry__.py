@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import facet_multi as fm
 
     from lucene_ray.pipelines import geo
+    from lucene_ray.pipelines import lang_analysis as la
     from lucene_ray.pipelines import payloads as pay
 
     return {
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_boosted_topk": pay.payload_boosted_topk,
         "geo_box_search": geo.geo_box_search,
         "geo_distance_search": geo.geo_distance_search,
+        "multilingual_analysis": la.multilingual_analysis,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import facet_multi as fm
 
     from lucene_ray.pipelines import geo
+    from lucene_ray.pipelines import lang_analysis as la
     from lucene_ray.pipelines import payloads as pay
 
     return {
@@ -211,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_boosted_topk": pay.sql_payload_boosted_topk(),
         "geo_box_search": geo.sql_geo_box_search(),
         "geo_distance_search": geo.sql_geo_distance_search(),
+        "multilingual_analysis": la.sql_multilingual_analysis(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),

@@ -59,6 +59,7 @@ class Analyzer:
         term_filters: Sequence = (),
         char_filters: Sequence = (),
         graph_filters: Sequence = (),
+        pre_stop_filters: Sequence = (),
     ):
         self.tokenizer = StandardTokenizer(max_token_length)
         self.stopwords: FrozenSet[str] = frozenset(stopwords or ())
@@ -71,6 +72,11 @@ class Analyzer:
         # post-stop token filters (analysis/filters.py protocol:
         # f(term) -> term | None, None = drop with position gap)
         self.term_filters = tuple(term_filters)
+        # pre-stop pure-map filters (ElisionFilter role,
+        # ``analysis/common/.../util/ElisionFilter.java``: runs BEFORE the
+        # stop check so "l'est" elides to "est" and is then stop-dropped,
+        # matching the reference chain order)
+        self.pre_stop_filters = tuple(pre_stop_filters)
         self._maps_only = all(
             getattr(f, "pure_map", False) for f in self.term_filters
         )
@@ -84,6 +90,11 @@ class Analyzer:
         for f in self.char_filters:
             text = f(text)
         return text
+
+    def _apply_pre(self, term: str) -> str:
+        for f in self.pre_stop_filters:
+            term = f(term)
+        return term
 
     def _apply_filters(self, term: str) -> Optional[str]:
         for f in self.term_filters:
@@ -108,11 +119,15 @@ class Analyzer:
         pos = -1
         stop = self.stopwords
         filt = self.term_filters
+        pre = self.pre_stop_filters
         for t in toks:
             pos += 1
-            if t.text in stop:
+            text = t.text
+            for f in pre:
+                text = f(text)
+            if text in stop:
                 continue
-            term = self._apply_filters(t.text) if filt else t.text
+            term = self._apply_filters(text) if filt else text
             if term is None:
                 continue
             out.append((term, t.start, t.end, pos))
@@ -139,6 +154,8 @@ class Analyzer:
             text = self._apply_char(text)
         lowered = simple_lowercase(text) if self.lowercase else text
         terms = self.tokenizer.terms(lowered)
+        if self.pre_stop_filters:
+            terms = [self._apply_pre(t) for t in terms]
         if not self.stopwords and not self.term_filters:
             return self._apply_graph(terms, None)
         if not self.stopwords and self._maps_only:
@@ -214,6 +231,7 @@ class Analyzer:
         if (
             not self.stopwords
             and not self.graph_filters
+            and not self.pre_stop_filters
             and (not self.term_filters or self._maps_only)
         ):
             ascii_pos: List[int] = []
