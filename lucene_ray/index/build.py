@@ -301,6 +301,33 @@ def build_index(
         if (p["path"], p["row_start"], p["row_end"]) not in covered
     ]
 
+    # Append mode (``IndexWriter.addDocuments`` over a committed index:
+    # new input files, existing segments from OTHER files): later builds
+    # must not reuse earlier builds' seg ids or docid bases.  "Foreign"
+    # segments are those whose lineage references none of the current
+    # inputs; their doc total offsets the new docid bases — a pure
+    # function of the committed state, so a crashed append re-derives the
+    # same bases on resume (coverage itself is id-independent).
+    input_set = set(paths)
+
+    def is_foreign(m: dict) -> bool:
+        ents = lineage_entries(m)
+        hits = sum(1 for e in ents if e.get("path") in input_set)
+        if 0 < hits < len(ents):
+            raise ValueError(
+                "append over an index whose merged segment mixes current "
+                "and prior input files — force-merge or rebuild first"
+            )
+        return hits == 0
+
+    foreign = [m for m in metas if is_foreign(m)]
+    if foreign and pending:
+        seg_off = max(m["seg_id"] for m in metas) + 1
+        doc_off = sum(m["n_docs"] for m in foreign)
+        for i, p in enumerate(pending):
+            p["seg_id"] = seg_off + i
+            p["base_docid"] += doc_off
+
     if pending:
         # One plain Ray task per partition. The build is a control-plane
         # fan-out — 64-ish tiny work items whose outputs are segment
