@@ -173,15 +173,45 @@ def search_dataset_sharded(
     n_shards: int = 4,
     concurrency=None,
     similarity: Optional[str] = None,
+    chunk_queries: int = 250_000,
 ):
     """Distributed sharded search: queries Dataset (qid, query) → results
     Dataset (qid, rank, key, docid, score, total_hits), bit-exact vs the
-    replica tier's ranking."""
+    replica tier's ranking.
+
+    ``chunk_queries``: streams longer than this run the phase-0/1
+    exchange per chunk of that many queries, so the driver-resident
+    stats dict is bounded by a CHUNK's distinct-term count instead of
+    the whole stream's.  Per-term (df, ttf) depend only on the index,
+    never on other queries, so chunked results are identical to the
+    one-shot exchange (tested in ``tests/test_sharded.py``).
+    """
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
     from lucene_ray.cluster import actor_pool
+
+    n_total = queries_ds.count()
+    if chunk_queries and n_total > chunk_queries:
+        n_chunks = -(-n_total // chunk_queries)
+        # chunks run SEQUENTIALLY (materialize each before the next):
+        # that is the point — one chunk's stats dict / actor pools are
+        # live at a time; per-chunk results are tiny (≤ k rows/query)
+        parts = [
+            search_dataset_sharded(
+                index_dir,
+                part,
+                k=k,
+                n_shards=n_shards,
+                concurrency=concurrency,
+                similarity=similarity,
+                chunk_queries=0,
+            ).materialize()
+            for part in queries_ds.split(n_chunks)
+        ]
+        out = parts[0]
+        return out.union(*parts[1:]) if len(parts) > 1 else out
 
     plan = shard_plan(index_dir, n_shards)
     # each shard gets its own pool, so per-pool size divides the CLUSTER

@@ -143,3 +143,26 @@ class TestShardSearcherIsolation:
         assert got_keys == list(want["keys"])
         got_scores = np.array([-s for s, _, _ in merged[:10]], dtype=np.float32)
         assert np.array_equal(got_scores, want["scores"])
+
+
+class TestChunkedExchange:
+    def test_chunked_equals_one_shot(self, ray_session, index_dir, replica_result):
+        """chunk_queries smaller than the stream forces the per-chunk
+        phase-0/1 path; results must be identical to the one-shot
+        exchange (per-term stats depend only on the index)."""
+        import ray.data
+
+        from lucene_ray.search.sharded import search_dataset_sharded
+
+        qds = ray.data.from_items(
+            [{"qid": q, "query": t} for q, t in QUERIES]
+        )
+        sh = (
+            search_dataset_sharded(
+                index_dir, qds, k=10, n_shards=3, chunk_queries=2
+            )
+            .to_pandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        assert replica_result[COLS].equals(sh[COLS])

@@ -93,9 +93,24 @@ def main():
                             g, w.astype(got[c].dtype)
                         ):
                             ok_vals = False
+                    elif (
+                        np.issubdtype(got[c].dtype, np.integer)
+                        and np.issubdtype(want[c].dtype, np.integer)
+                    ):
+                        # integer WIDTH differences (int64 engine vs
+                        # DuckDB int32 literals) hash-match in the
+                        # driver — evidenced by green r2/r3 rows for
+                        # these exact pairs; only conversions that
+                        # change the value representation (HUGEINT →
+                        # float64) ever failed
+                        if not np.array_equal(
+                            g.astype(np.int64), w.astype(np.int64)
+                        ):
+                            ok_vals = False
                     elif got[c].dtype != want[c].dtype:
-                        # the driver's value-hash is dtype-sensitive
-                        # (e.g. DuckDB HUGEINT→float64 vs engine int64)
+                        # cross-kind dtype changes (e.g. DuckDB
+                        # HUGEINT→float64 vs engine int64) DO fail the
+                        # driver's value-hash
                         ok_vals = False
                         print(f"  col {c}: dtype {got[c].dtype} vs {want[c].dtype}")
                     elif not (g == w).all():
