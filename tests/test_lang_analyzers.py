@@ -185,3 +185,30 @@ class TestGateGoldens:
                     if j < 2:
                         parts.append("7")
                 assert " ".join(toks) == " ".join(parts), (lang, did)
+
+
+class TestFuzzSafety:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_stemmers_total(self, w):
+        # every chain is total: no exceptions, string out, on ANY input
+        for f in (
+            spanish_light_stem,
+            german_light_stem,
+            german_normalize,
+            french_light_stem,
+            cjk_width_fold,
+            make_elision_filter(),
+        ):
+            out = f(w)
+            assert isinstance(out, str)
+
+    @given(st.lists(st.text(min_size=1, max_size=4), max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_cjk_bigram_total_and_position_monotone(self, terms):
+        t, p = CJKBigramFilter().apply(terms, None)
+        assert len(t) == len(p)
+        assert all(p[i] <= p[i + 1] for i in range(len(p) - 1))
