@@ -98,12 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_tfidf_topk": sq.classic_tfidf_topk,
         "lmdirichlet_topk": sq.lmdirichlet_topk,
         "sort_by_field": sq.sort_by_field,
-        "sort_by_field_page2": sq.sort_by_field_page2,
-        "sort_multi": sq.sort_multi,
-        "sort_by_ts": sq.sort_by_ts,
-        "sort_by_string": sq.sort_by_string,
         "interval_ordered": sq.interval_ordered,
-        "interval_or": sq.interval_or,
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "facet_ranges": sq.facet_ranges,
@@ -130,6 +125,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": sugg.suggest_complete,
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
+        # --- r2-green variants of in-window siblings (same search_sorted /
+        # interval code paths + oracles keep them covered) ---
+        "sort_by_field_page2": sq.sort_by_field_page2,
+        "sort_multi": sq.sort_multi,
+        "sort_by_ts": sq.sort_by_ts,
+        "sort_by_string": sq.sort_by_string,
+        "interval_or": sq.interval_or,
         # --- green in round 3 (regression tier) ---
         "bm25_topk_sharded": sq.bm25_topk_sharded,
         "grouped_boolean_search": sq.grouped_boolean_search,
