@@ -650,6 +650,10 @@ def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )
+    # join width scales with the input (footer count only): ~50k docs of
+    # shingle postings per partition keeps task memory bounded at any
+    # corpus size
+    n_parts = max(8, ds.count() // 50_000)
     post = ds.map_batches(postings, batch_format="pyarrow")
     # df per (source, sh): a NATIVE vectorized aggregate (no per-group
     # Python), then a hash join back onto the postings — both sides
@@ -662,7 +666,7 @@ def ngram_jaccard_by_source(sf_dir: str, tau: float = 0.5):
     annotated = post.join(
         df_tbl.map_batches(rename_df, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_parts,
         on=("source", "sh"),
     )
     pairs = (
