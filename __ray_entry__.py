@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import lang_analysis as la
+    from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
 
     return {
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_search": geo.geo_box_search,
         "geo_distance_search": geo.geo_distance_search,
         "multilingual_analysis": la.multilingual_analysis,
+        "lang_id": lid.lang_id,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
 
     from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import lang_analysis as la
+    from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
 
     return {
@@ -217,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_box_search": geo.sql_geo_box_search(),
         "geo_distance_search": geo.sql_geo_distance_search(),
         "multilingual_analysis": la.sql_multilingual_analysis(),
+        "lang_id": lid.sql_lang_id(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),
