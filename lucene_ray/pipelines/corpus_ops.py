@@ -748,17 +748,22 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     uni = {r["w1"]: int(r["sum(c)"]) for r in small if r["kind"] == 0}
     n_uni = sum(int(r["sum(c)"]) for r in small if r["kind"] == 2)
     n_bi = sum(int(r["sum(c)"]) for r in small if r["kind"] == 3)
-    uni_ref = ray.put(uni)
+    # broadcast the unigram table as parallel sorted arrays: lookups in
+    # the scoring stage are one vectorized searchsorted, not a per-row
+    # dict probe
+    vocab_sorted = np.array(sorted(uni), dtype=object)
+    vocab_counts = np.array([uni[v] for v in vocab_sorted], dtype=np.int64)
+    uni_ref = ray.put((vocab_sorted, vocab_counts))
 
     def score(t: pa.Table) -> pa.Table:
-        u = ray.get(uni_ref)
+        vocab, counts = ray.get(uni_ref)
         c_ab = np.asarray(t.column("sum(c)"), dtype=np.int64)
         keep = c_ab >= min_count
         w1 = np.asarray(t.column("w1"))[keep]
         w2 = np.asarray(t.column("w2"))[keep]
         c_ab = c_ab[keep]
-        ca = np.array([u[x] for x in w1], np.int64)
-        cb = np.array([u[x] for x in w2], np.int64)
+        ca = counts[np.searchsorted(vocab, w1)]
+        cb = counts[np.searchsorted(vocab, w2)]
         num = (c_ab * n_uni * n_uni).astype(np.float64)
         den = (ca * cb * n_bi).astype(np.float64)
         pmi = np.floor(np.log(num / den) * 1_000_000 + 0.5).astype(np.int64)
