@@ -143,10 +143,12 @@ def decode_png(data: bytes) -> np.ndarray:
         if ft == 0:
             pass
         elif ft == 1:
-            for x in range(ch, stride):  # serial dependency within the row
-                # arithmetic in Python int: a uint8 scalar add would
-                # overflow-warn before the & 0xFF masks it
-                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            # Sub filter: out[x] = raw[x] + out[x-ch] is a prefix sum
+            # per channel lane — one vectorized cumsum mod 256 per lane
+            lanes = line.reshape(-1, ch)
+            line = (
+                np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
         elif ft == 2:
             line += prev  # array add wraps mod 256 — the PNG "Up" filter
         elif ft == 3:
