@@ -17,9 +17,10 @@ Ray shape — a three-stage streaming plan:
 2. ``Dataset.join`` of the hits with the stored-text table on doc_id —
    the hash-shuffle equi-join operator (highlighting needs stored
    fields, which live columnar in the source parquet);
-3. one vectorized ``map_batches``: per qid-group, ``pandas.str.find``
-   locates the padded whole-token occurrence, then snippets are sliced
-   from only the matched rows.
+3. one pure-Arrow ``map_batches``: per query term,
+   ``pyarrow.compute.find_substring`` locates the padded whole-token
+   occurrence, then snippets are sliced from only the matched rows —
+   no pandas stage anywhere in the path.
 """
 
 from __future__ import annotations
