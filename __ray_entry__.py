@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import lang_analysis as la
+    from lucene_ray.pipelines import facet_assoc as fa2
     from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
 
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_search": geo.geo_distance_search,
         "multilingual_analysis": la.multilingual_analysis,
         "lang_id": lid.lang_id,
+        "facet_associations": fa2.facet_associations,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -104,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expression_sort": sq.expression_sort,
         "facet_lang": sq.facet_lang,
         "facet_ranges": sq.facet_ranges,
-        "facet_taxonomy": sq.facet_taxonomy,
         "msm_search": sq.msm_search,
         "covering_search": sq.covering_search,
         "drill_sideways": sq.drill_sideways_facets,
@@ -116,7 +117,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_topk": sq.diversified_topk,
         "join_search": joins.join_search,
         "block_join_topk": joins.block_join_topk,
-        "block_join_total": joins.block_join_total,
         "prefix_search": sq.prefix_search,
         "term_range_search": sq.term_range_search,
         "wildcard_search": sq.wildcard_search,
@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": mlt.more_like_this,
         # --- r2-green variants of in-window siblings (same search_sorted /
         # interval code paths + oracles keep them covered) ---
+        "facet_taxonomy": sq.facet_taxonomy,
+        "block_join_total": joins.block_join_total,
         "sort_by_field_page2": sq.sort_by_field_page2,
         "sort_multi": sq.sort_multi,
         "sort_by_ts": sq.sort_by_ts,
@@ -210,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
 
     from lucene_ray.pipelines import geo
     from lucene_ray.pipelines import lang_analysis as la
+    from lucene_ray.pipelines import facet_assoc as fa2
     from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
 
@@ -221,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_search": geo.sql_geo_distance_search(),
         "multilingual_analysis": la.sql_multilingual_analysis(),
         "lang_id": lid.sql_lang_id(),
+        "facet_associations": fa2.sql_facet_associations(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),
