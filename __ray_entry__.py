@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multilingual_analysis": la.multilingual_analysis,
         "lang_id": lid.lang_id,
         "facet_associations": fa2.facet_associations,
+        "block_join_children": joins.block_join_children,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -107,7 +108,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": sq.facet_lang,
         "facet_ranges": sq.facet_ranges,
         "msm_search": sq.msm_search,
-        "covering_search": sq.covering_search,
         "drill_sideways": sq.drill_sideways_facets,
         "hybrid_fusion": sq.hybrid_fusion,
         "synonym_search": sq.synonym_search,
@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": mlt.more_like_this,
         # --- r2-green variants of in-window siblings (same search_sorted /
         # interval code paths + oracles keep them covered) ---
+        "covering_search": sq.covering_search,
         "facet_taxonomy": sq.facet_taxonomy,
         "block_join_total": joins.block_join_total,
         "sort_by_field_page2": sq.sort_by_field_page2,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "multilingual_analysis": la.sql_multilingual_analysis(),
         "lang_id": lid.sql_lang_id(),
         "facet_associations": fa2.sql_facet_associations(),
+        "block_join_children": joins.sql_block_join_children(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),

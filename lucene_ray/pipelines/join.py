@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
 import pyarrow as pa
 
 from lucene_ray.pipelines.index_cache import get_or_build_index
@@ -210,4 +211,92 @@ parents as (
 select cast(prn - 1 as int) as rank, source, n_children, total_bp,
        (total_bp // n_children)::bigint as avg_bp
 from parents where prn <= {BJ_K}
+"""
+
+
+def block_join_children(sf_dir: str):
+    """→ (source, doc_id, score): ToChildBlockJoin — the top-``BJ_K``
+    parents (by max child BM25, same selection as ``block_join_topk``)
+    fan BACK OUT to every one of their child docs, each child carrying
+    its parent's score (``join/ToChildBlockJoinQuery.java`` parent-score
+    propagation). Children are enumerated from the INDEX (a
+    constant-score ``TermInSetQuery`` over the parent keyword field),
+    not by re-reading stored fields. Ordered by (score desc, source,
+    doc_id)."""
+    from lucene_ray.search.query import TermInSetQuery
+
+    idx = get_or_build_index(sf_dir, MF_CONFIG)
+    s = IndexSearcher(idx)
+    t = s.parent_topk(BJ_CHILD_QUERY, BJ_PARENT_FIELD, k=BJ_K)
+    parents = {
+        p: float(sc)
+        for p, sc in zip(
+            t.column("parent").to_pylist(), t.column("score").to_pylist()
+        )
+    }
+    r = s.search(
+        TermInSetQuery(BJ_PARENT_FIELD, tuple(parents)),
+        k=10**9,
+        mode="exhaustive",
+    )
+    # which parent each child belongs to: read the keyword DV column of
+    # the match set (the child block's parent pointer) — one vectorized
+    # take per segment, not a per-doc point lookup
+    docids = np.asarray(r["docids"], dtype=np.int64)
+    srcs = np.empty(len(docids), dtype=object)
+    for seg in s.segments:
+        m = (docids >= seg.base_docid) & (
+            docids < seg.base_docid + seg.n_docs
+        )
+        if m.any():
+            srcs[m] = (
+                seg.dv(BJ_PARENT_FIELD)
+                .take(pa.array(docids[m] - seg.base_docid))
+                .to_pylist()
+            )
+    doc_ids = np.asarray(r["keys"], dtype=np.int64)
+    scores = np.array([parents[x] for x in srcs], dtype=np.float32)
+    order = np.lexsort((doc_ids, np.asarray(srcs, dtype=object), -scores.astype(np.float64)))
+    return pa.table(
+        {
+            "source": pa.array(np.asarray(srcs, dtype=object)[order], pa.string()),
+            "doc_id": pa.array(doc_ids[order], pa.int64()),
+            "score": pa.array(scores[order], pa.float32()),
+        }
+    )
+
+
+def sql_block_join_children() -> str:
+    """Children of the top-K parents, parent score propagated —
+    float32-exact via the ``sql_block_join_topk`` parent selection."""
+    return f"""{_PRELUDE},
+tf1 as (
+  select tok.doc_id, count(*)::bigint as tf from tok
+  where tok.term = '{BJ_CHILD_QUERY}' group by 1
+),
+df1 as (select count(distinct doc_id) as df from tok where term = '{BJ_CHILD_QUERY}'),
+sc as (
+  select tf1.doc_id,
+         w.w - w.w / (cast(1 as float) + cast(tf1.tf as float) * f.inv) as s
+  from tf1
+  cross join (
+    select cast(ln(1 + ((select doc_count from stats) - df + 0.5) / (df + 0.5))
+                as float) as w
+    from df1
+  ) w
+  join fnorm f on f.doc_id = tf1.doc_id
+),
+best as (
+  select d.source, t.s,
+         row_number() over (partition by d.source order by t.s desc, t.doc_id asc) as rn
+  from sc t join documents d using (doc_id)
+),
+parents as (
+  select source, s, row_number() over (order by s desc, source asc) as prn
+  from best where rn = 1
+)
+select p.source, d.doc_id, cast(p.s as float) as score
+from parents p join documents d on d.source = p.source
+where p.prn <= {BJ_K}
+order by score desc, p.source, d.doc_id
 """
