@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import facet_assoc as fa2
     from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
+    from lucene_ray.pipelines import range_fields as rf
 
     return {
         # --- new in round 4 ---
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lid.lang_id,
         "facet_associations": fa2.facet_associations,
         "block_join_children": joins.block_join_children,
+        "range_field_search": rf.range_field_search,
         # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
@@ -93,7 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- last driver row: round 2 ---
         "bm25_topk_deleted": sq.bm25_topk_deleted,
         "pretokenized_topk": sq.pretokenized_topk,
-        "bm25_topk_plain": sq.bm25_topk_plain,
         "html_bm25_topk": sq.html_bm25_topk,
         "hit_count": sq.hit_count,
         "term_vectors": sq.term_vectors,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": mlt.more_like_this,
         # --- r2-green variants of in-window siblings (same search_sorted /
         # interval code paths + oracles keep them covered) ---
+        "bm25_topk_plain": sq.bm25_topk_plain,
         "covering_search": sq.covering_search,
         "facet_taxonomy": sq.facet_taxonomy,
         "block_join_total": joins.block_join_total,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import facet_assoc as fa2
     from lucene_ray.pipelines import lang_id as lid
     from lucene_ray.pipelines import payloads as pay
+    from lucene_ray.pipelines import range_fields as rf
 
     return {
         # --- new in round 4 ---
@@ -227,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lid.sql_lang_id(),
         "facet_associations": fa2.sql_facet_associations(),
         "block_join_children": joins.sql_block_join_children(),
+        "range_field_search": rf.sql_range_field_search(),
         # --- never driver-checked before round 3 ---
         # sharded tier is bit-exact vs the replica tier → same oracle
         "bm25_topk_sharded": sq.sql_bm25_topk(),
