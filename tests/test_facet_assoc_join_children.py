@@ -70,3 +70,30 @@ class TestBlockJoinChildren:
             assert set(g["doc_id"].tolist()) == want_ids
             assert len(g) == len(want_ids)
             assert g["score"].nunique() == 1  # parent score propagated
+
+
+class TestRangeFields:
+    def test_matches_oracle(self, ray_session):
+        from lucene_ray.pipelines.range_fields import (
+            range_field_search,
+            sql_range_field_search,
+        )
+
+        got = range_field_search(SF).to_pandas()
+        want = _con().execute(sql_range_field_search()).df()
+        assert len(got) == len(want) > 0
+        for c in ("qid", "doc_id", "lo", "hi"):
+            assert (got[c].values == want[c].values).all(), c
+
+    def test_relation_algebra(self, ray_session):
+        # crosses = intersects − within − contains, disjointly
+        from lucene_ray.pipelines.range_fields import range_field_search
+
+        df = range_field_search(SF).to_pandas()
+        by = {q: set(g["doc_id"]) for q, g in df.groupby("qid")}
+        inter = by.get(0, set())
+        within = by.get(1, set())
+        contains = by.get(2, set())
+        crosses = by.get(3, set())
+        assert within <= inter and contains <= inter
+        assert crosses == inter - within - contains
