@@ -275,3 +275,56 @@ def resolve_filters(names: Sequence[str]) -> Tuple[TermFilter, ...]:
         else:
             raise ValueError(f"unknown token filter: {name!r}")
     return tuple(out)
+
+
+class NGramGraphFilter:
+    """``NGramTokenFilter`` role (``analysis/common/.../ngram/
+    NGramTokenFilter.java:98-140``): every codepoint n-gram of each
+    token, ``min_gram <= n <= max_gram``, emitted at the TOKEN's
+    position (pos ascending, gram size ascending within pos — the
+    reference loop order); ``preserve_original`` keeps tokens outside
+    the gram-length window. Stream-level (``Analyzer.graph_filters``
+    protocol) because output token count grows."""
+
+    def __init__(self, min_gram: int, max_gram: int,
+                 preserve_original: bool = False, edge: bool = False):
+        if min_gram < 1 or min_gram > max_gram:
+            raise ValueError("bad n-gram bounds")
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+        self.edge = edge
+
+    def _grams(self, t: str):
+        n = len(t)
+        if self.preserve_original and n < self.min_gram:
+            yield t
+            return
+        starts = (0,) if self.edge else range(n)
+        for p in starts:
+            for g in range(self.min_gram, self.max_gram + 1):
+                if p + g > n:
+                    break
+                yield t[p : p + g]
+        if self.preserve_original and n > self.max_gram:
+            # original longer than max_gram: keep it after its grams
+            yield t
+
+    def apply(self, terms, positions, offsets=None):
+        pos = list(positions) if positions is not None else list(range(len(terms)))
+        out_t, out_p, out_o = [], [], []
+        for i, t in enumerate(terms):
+            for g in self._grams(t):
+                out_t.append(g)
+                out_p.append(pos[i])
+                if offsets is not None:
+                    out_o.append(offsets[i])  # original offsets, like the reference
+        if offsets is not None:
+            return out_t, out_p, out_o
+        return out_t, out_p
+
+
+def edge_ngram_filter(min_gram: int, max_gram: int,
+                      preserve_original: bool = False) -> NGramGraphFilter:
+    """``EdgeNGramTokenFilter`` role: leading-edge grams only."""
+    return NGramGraphFilter(min_gram, max_gram, preserve_original, edge=True)

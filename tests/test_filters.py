@@ -125,3 +125,47 @@ def test_english_analyzer_chain():
     # 'the'/'are' stopped (gaps), possessive stripped, stems applied
     assert terms == ["owner", "dog", "run"]
     assert positions == [1, 2, 4]
+
+
+class TestNGramGraphFilters:
+    # ngram/NGramTokenFilter.java:98-140 + EdgeNGramTokenFilter.java
+    def test_ngram_order_and_positions(self):
+        from lucene_ray.analysis.filters import NGramGraphFilter
+
+        t, p = NGramGraphFilter(2, 3).apply(["abcd", "xy"], [0, 2])
+        assert t == ["ab", "abc", "bc", "bcd", "cd", "xy"]
+        assert p == [0, 0, 0, 0, 0, 2]  # grams keep the token's position
+
+    def test_edge_ngram(self):
+        from lucene_ray.analysis.filters import edge_ngram_filter
+
+        t, _ = edge_ngram_filter(2, 4).apply(["search"], None)
+        assert t == ["se", "sea", "sear"]
+
+    def test_preserve_original(self):
+        from lucene_ray.analysis.filters import edge_ngram_filter
+
+        t, _ = edge_ngram_filter(2, 4, preserve_original=True).apply(
+            ["a", "searching", "se"], None
+        )
+        assert t == ["a", "se", "sea", "sear", "searching", "se"]
+
+    def test_in_analyzer_chain(self):
+        from lucene_ray.analysis.analyzer import Analyzer
+        from lucene_ray.analysis.filters import edge_ngram_filter
+
+        an = Analyzer(graph_filters=(edge_ngram_filter(2, 3),))
+        terms, pos = an.analyze_fast("Hello data")
+        assert terms == ["he", "hel", "da", "dat"]
+        assert pos == [0, 0, 1, 1]
+
+    def test_offsets_are_original(self):
+        from lucene_ray.analysis.analyzer import Analyzer
+        from lucene_ray.analysis.filters import edge_ngram_filter
+
+        an = Analyzer(graph_filters=(edge_ngram_filter(2, 2),))
+        out = an.analyze("abc def")
+        assert [(o[0], o[1], o[2]) for o in out] == [
+            ("ab", 0, 3),
+            ("de", 4, 7),
+        ]
