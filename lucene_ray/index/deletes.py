@@ -93,9 +93,12 @@ def delete_by_keys(index_dir: str, keys: Iterable) -> Manifest:
         cur = load_deleted(sdir, seg.n_docs)
         new = mask if cur is None else (cur | mask)
         if cur is not None and (new == cur).all():
-            return json.dumps({"del_count": int(cur.sum())})
-        _write_deleted(sdir, new, _next_gen(sdir))
-        return json.dumps({"del_count": int(new.sum())})
+            return json.dumps(
+                {"del_count": int(cur.sum()), "del_gen": _next_gen(sdir) - 1}
+            )
+        gen = _next_gen(sdir)
+        _write_deleted(sdir, new, gen)
+        return json.dumps({"del_count": int(new.sum()), "del_gen": gen})
 
     dirs = [segment_dir(index_dir, s["seg_id"]) for s in man.segments]
     results = [json.loads(r) for r in ray.get([mark.remote(d) for d in dirs])]
@@ -103,6 +106,10 @@ def delete_by_keys(index_dir: str, keys: Iterable) -> Manifest:
     for s, r in zip(man.segments, results):
         s = dict(s)
         s["del_count"] = r["del_count"]
+        # pin the tombstone generation in the manifest so replication
+        # ships a point-in-time-consistent (manifest, tombstone) pair
+        if r["del_gen"] > 0:
+            s["del_gen"] = r["del_gen"]
         segments.append(s)
     return commit_manifest(index_dir, man.config, segments)
 

@@ -658,6 +658,7 @@ def _finalize_merge(
     # tombstones carry forward (concatenated like norms): global docids
     # are the rank tie-break contract, so merges never compact holes —
     # reclamation is a rebuild (documented in index/deletes.py)
+    merged_del_gen = None
     if any(r.deleted is not None for r in readers):
         dels = np.concatenate(
             [
@@ -670,6 +671,7 @@ def _finalize_merge(
         if old_of_new is not None:
             dels = dels[old_of_new]
         _write_deleted(tmp_dir, dels, 1)
+        merged_del_gen = 1
     dv_cols = readers[0].meta.get("dv_cols") or []
     if dv_cols:
         dvs = [
@@ -803,6 +805,7 @@ def _finalize_merge(
         "term_vectors": bool(readers[0].meta.get("term_vectors")),
         "points": points_meta,
         **({"vectors": vectors_meta} if vectors_meta else {}),
+        **({"del_gen": merged_del_gen} if merged_del_gen else {}),
         "checksums": checksums,
         "lineage": lineage,
         "merged_from": seg_ids,

@@ -348,12 +348,37 @@ def invert_token_lists(
             raise ValueError("payloads require positions")
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        flat_payloads = payloads.flatten()
-        if len(flat_payloads) != len(flat):
+        # per-doc alignment, not just total flattened length: doc A with
+        # 3 payloads for 2 tokens + doc B with 1 for 2 must be rejected,
+        # not silently attach payloads to the wrong tokens
+        plens = payloads.value_lengths().to_numpy(zero_copy_only=False)
+        plens = (
+            np.where(np.isnan(plens), 0, plens).astype(np.int64)
+            if plens.dtype.kind == "f"
+            else plens.astype(np.int64)
+        )
+        if len(plens) != n_docs or not np.array_equal(plens, lengths):
+            if len(plens) == n_docs:
+                bad = int(np.nonzero(plens != lengths)[0][0])
+                raise ValueError(
+                    f"payload column misaligned at doc {bad}: "
+                    f"{int(plens[bad])} payloads for {int(lengths[bad])} "
+                    f"tokens"
+                )
             raise ValueError(
-                f"payload column misaligned: {len(flat_payloads)} payloads "
-                f"for {len(flat)} tokens"
+                f"payload column misaligned: {len(plens)} payload lists "
+                f"for {n_docs} docs"
             )
+        flat_payloads = payloads.flatten()
+        # the term-major byte-stream rebuild assumes int32 offsets;
+        # narrow 64-bit-offset types up front (raises past 2 GiB, which
+        # a single batch must never reach anyway)
+        if pa.types.is_large_binary(flat_payloads.type) or pa.types.is_large_string(
+            flat_payloads.type
+        ):
+            flat_payloads = flat_payloads.cast(pa.binary())
+        elif pa.types.is_string(flat_payloads.type):
+            flat_payloads = flat_payloads.cast(pa.binary())
     return _invert_flat(
         flat, lengths, None, n_docs, with_positions,
         flat_payloads=flat_payloads,
@@ -502,6 +527,13 @@ def _invert_flat(
             permuted = permuted.combine_chunks()
         if permuted.null_count:
             raise ValueError("payload column must not contain null entries")
+        if not pa.types.is_binary(permuted.type):
+            # int32-offset binary is the only layout the parse below
+            # understands; anything else (large_binary etc.) must have
+            # been narrowed by the caller
+            raise TypeError(
+                f"flat payloads must be pa.binary(), got {permuted.type}"
+            )
         offs = np.frombuffer(permuted.buffers()[1], dtype=np.int32)[
             permuted.offset : permuted.offset + len(permuted) + 1
         ].astype(np.int64)
@@ -823,6 +855,58 @@ def add_extra_text_postings(
 # --------------------------------------------------------------------------
 # segment writer
 # --------------------------------------------------------------------------
+def normalize_sorted_set_dv(dv_table: pa.Table) -> pa.Table:
+    """Per-doc dedup + sort for every list-typed DV column — the
+    ``SortedSetDocValuesWriter`` role (``core/index/
+    SortedSetDocValuesWriter.java``: each document's values become a
+    sorted set of ords), applied once at segment-write time so facet
+    counting (``SortedSetDocValuesFacetCounts`` role) counts a doc once
+    per distinct value. Vectorized: one flatten + one two-key sort +
+    one adjacent-dedup mask per column, no per-row Python. Null lists
+    normalize to empty sets (Lucene: a doc without the field has no
+    ords; DuckDB ``unnest`` of NULL and [] both produce no rows)."""
+    import pyarrow.compute as pc
+
+    out = dv_table
+    for i, name in enumerate(dv_table.column_names):
+        col = dv_table.column(name)
+        if not (
+            pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+        ):
+            continue
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n_docs = len(arr)
+        parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten()
+        if len(flat) == 0:
+            new = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)), flat
+            )
+            out = out.set_column(i, name, new)
+            continue
+        order = pc.sort_indices(
+            pa.table({"p": pa.array(parent.astype(np.int64)), "v": flat}),
+            sort_keys=[("p", "ascending"), ("v", "ascending")],
+        )
+        o = order.to_numpy(zero_copy_only=False).astype(np.int64)
+        p_s = parent[o]
+        v_s = flat.take(pa.array(o))
+        eq_prev = pc.fill_null(
+            pc.equal(v_s.slice(1), v_s.slice(0, len(v_s) - 1)), False
+        ).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(v_s), dtype=bool)
+        keep[1:] = (p_s[1:] != p_s[:-1]) | ~eq_prev
+        counts = np.bincount(p_s[keep].astype(np.int64), minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        new = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)),
+            v_s.filter(pa.array(keep)),
+        )
+        out = out.set_column(i, name, new)
+    return out
+
+
 def write_segment(
     seg_dir: str,
     seg_id: int,
@@ -867,7 +951,10 @@ def write_segment(
         put(fname, extra_files[fname])
     pq.write_table(pa.table({"key": keys}), os.path.join(tmp_dir, "docmap.parquet"))
     if dv_table is not None and dv_table.num_columns:
-        # doc-values column store, row-aligned with local docids
+        # doc-values column store, row-aligned with local docids;
+        # list-typed columns get the SortedSetDocValuesWriter discipline
+        # (per-doc dedup + sort) at ingest
+        dv_table = normalize_sorted_set_dv(dv_table)
         pq.write_table(dv_table, os.path.join(tmp_dir, "dv.parquet"))
     points_meta: Dict[str, dict] = {}
     if config.point_cols and dv_table is not None:

@@ -762,8 +762,25 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
         w1 = np.asarray(t.column("w1"))[keep]
         w2 = np.asarray(t.column("w2"))[keep]
         c_ab = c_ab[keep]
-        ca = counts[np.searchsorted(vocab, w1)]
-        cb = counts[np.searchsorted(vocab, w2)]
+        # clip + verify the searchsorted hit: a bigram component absent
+        # from the unigram table must raise (as the old dict lookup
+        # did), not silently read a neighboring vocab entry's count
+        if len(vocab) == 0:
+            if len(w1):
+                raise KeyError("bigram components with empty unigram vocab")
+            ca = cb = np.empty(0, np.int64)
+        else:
+            p1 = np.minimum(np.searchsorted(vocab, w1), len(vocab) - 1)
+            p2 = np.minimum(np.searchsorted(vocab, w2), len(vocab) - 1)
+            good = (vocab[p1] == w1) & (vocab[p2] == w2)
+            if not np.all(good):
+                bad = np.concatenate([w1[~good], w2[~good]])
+                raise KeyError(
+                    f"bigram component(s) missing from unigram vocab: "
+                    f"{sorted(set(bad.tolist()))[:5]}"
+                )
+            ca = counts[p1]
+            cb = counts[p2]
         num = (c_ab * n_uni * n_uni).astype(np.float64)
         den = (ca * cb * n_bi).astype(np.float64)
         pmi = np.floor(np.log(num / den) * 1_000_000 + 0.5).astype(np.int64)

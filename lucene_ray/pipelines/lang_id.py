@@ -16,9 +16,10 @@ Plan shape (100-TB ready):
 
 Only integers flow into scores, so the DuckDB oracle (substr-based
 trigram extraction + the same windowed top-T + the same dot product)
-matches hash-exactly.  ASCII corpus assumption: byte == codepoint; a
-non-ASCII batch falls back to a per-doc codepoint path with identical
-semantics (SQL ``substr`` is codepoint-based).
+matches hash-exactly.  Trigram identity is a 21-bit-per-codepoint pack
+(injective + order-preserving vs UTF-8 binary collation), so parity
+holds for any Unicode corpus; non-ASCII batches take a vectorized
+UTF-32 view of the same kernel.
 """
 from __future__ import annotations
 
@@ -36,38 +37,34 @@ def _docs_path(sf_dir: str) -> str:
 
 
 def _trigram_codes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (codes uint32, doc_of int64) for every char trigram of every
-    text. Vectorized over the whole batch: one byte buffer, one sliding
-    window, separator windows masked out."""
+    """→ (codes int64, doc_of int64) for every char trigram of every
+    text. Vectorized over the whole batch: one codepoint buffer, one
+    sliding window, separator windows masked out.
+
+    ``code = cp0<<42 | cp1<<21 | cp2`` — Unicode codepoints fit in 21
+    bits, so the pack is injective over codepoint triples AND
+    order-preserving (numeric code order == codepoint order == DuckDB's
+    UTF-8 binary string collation), giving exact SQL ``substr`` parity
+    for ANY corpus, not just ASCII."""
     if not texts:
-        return np.empty(0, np.uint32), np.empty(0, np.int64)
-    if all(t.isascii() for t in texts):
-        joined = ("\x00".join(texts)).encode()
-        b = np.frombuffer(joined, dtype=np.uint8)
-        if len(b) < 3:
-            w = np.empty((0, 3), np.uint8)
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(b, 3)
-        ok = (w != 0).all(axis=1)
-        codes = (
-            w[:, 0].astype(np.uint32) << 16
-            | w[:, 1].astype(np.uint32) << 8
-            | w[:, 2].astype(np.uint32)
-        )[ok]
-        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
-        starts = np.cumsum(lens + 1) - (lens + 1)  # +1 for separators
-        n_tri = np.maximum(lens - 2, 0)
-        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), n_tri)
-        return codes, doc_of
-    # non-ASCII fallback: codepoint trigrams per doc (SQL substr parity)
-    out_c: List[int] = []
-    out_d: List[int] = []
-    for i, t in enumerate(texts):
-        for j in range(len(t) - 2):
-            a, b2, c = ord(t[j]) & 0xFF, ord(t[j + 1]) & 0xFF, ord(t[j + 2]) & 0xFF
-            out_c.append(a << 16 | b2 << 8 | c)
-            out_d.append(i)
-    return np.asarray(out_c, np.uint32), np.asarray(out_d, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    joined = "\x00".join(texts)
+    if joined.isascii():
+        b = np.frombuffer(joined.encode(), dtype=np.uint8).astype(np.int64)
+    else:
+        b = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+    if len(b) < 3:
+        w = np.empty((0, 3), np.int64)
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(b, 3)
+    ok = (w != 0).all(axis=1)
+    codes = (w[:, 0] << 42 | w[:, 1] << 21 | w[:, 2])[ok]
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    n_tri = np.maximum(lens - 2, 0)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), n_tri)
+    return codes, doc_of
 
 
 def _train_profiles(sf_dir: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
@@ -81,13 +78,33 @@ def _train_profiles(sf_dir: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         langs = b.column("lang").to_pylist()
         codes, doc_of = _trigram_codes(b.column("text").to_pylist())
         lang_codes, lang_idx = np.unique(np.asarray(langs), return_inverse=True)
-        key = lang_idx[doc_of].astype(np.int64) << 32 | codes.astype(np.int64)
-        uk, cnt = np.unique(key, return_counts=True)
+        # codes use 63 bits → can't pack (lang, code) into one int64;
+        # one np.unique per language present in the batch (≤ #langs).
+        tri_lang = lang_idx[doc_of] if len(doc_of) else doc_of
+        out_lang: List[np.ndarray] = []
+        out_tri: List[np.ndarray] = []
+        out_cnt: List[np.ndarray] = []
+        for li, lang in enumerate(lang_codes):
+            uk, cnt = np.unique(codes[tri_lang == li], return_counts=True)
+            out_lang.append(np.full(len(uk), lang, dtype=object))
+            out_tri.append(uk)
+            out_cnt.append(cnt.astype(np.int64))
         return pa.table(
             {
-                "lang": pa.array(lang_codes[(uk >> 32).astype(np.int64)]),
-                "tri": pa.array((uk & 0xFFFFFFFF).astype(np.int64)),
-                "cnt": pa.array(cnt.astype(np.int64)),
+                "lang": pa.array(
+                    np.concatenate(out_lang) if out_lang else [],
+                    pa.string(),
+                ),
+                "tri": pa.array(
+                    np.concatenate(out_tri)
+                    if out_tri
+                    else np.empty(0, np.int64)
+                ),
+                "cnt": pa.array(
+                    np.concatenate(out_cnt)
+                    if out_cnt
+                    else np.empty(0, np.int64)
+                ),
             }
         )
 

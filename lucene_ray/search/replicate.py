@@ -42,13 +42,27 @@ __all__ = ["PrimaryNode", "ReplicaNode"]
 
 def _segment_files(index_dir: str, man: Manifest) -> Dict[str, int]:
     """relpath → crc32 (or -1 when the file carries no recorded
-    checksum) for every file the manifest's generation references."""
+    checksum) for every file the manifest's generation references.
+
+    Point-in-time discipline: non-tombstone segment files are write-once
+    (created with the segment, never touched again), so the live listing
+    equals the manifest's set for them. Tombstones are GENERATIONAL and
+    a commit can land between ``load_manifest`` and this listing — so
+    the tombstone choice is pinned to the ``del_gen`` the manifest
+    recorded at commit time (``index/deletes.py``), never the highest
+    generation on disk. A manifest predating del_gen recording falls
+    back to shipping every tombstone present (replica readers then pick
+    the highest, the pre-fix behavior)."""
     out: Dict[str, int] = {}
     for seg in man.segments:
         rel = os.path.join("segments", f"seg_{seg['seg_id']:06d}")
         seg_dir = os.path.join(index_dir, rel)
         sums = seg.get("checksums") or {}
+        del_gen = seg.get("del_gen")
         for name in sorted(os.listdir(seg_dir)):
+            if name.startswith("deleted_") and name.endswith(".bits"):
+                if del_gen is not None and name != f"deleted_{del_gen:06d}.bits":
+                    continue  # newer/older generation than this commit
             out[os.path.join(rel, name)] = int(sums.get(name, -1))
     return out
 

@@ -15,11 +15,7 @@ def _brute(texts):
     for i, t in enumerate(texts):
         for j in range(len(t) - 2):
             tri = t[j : j + 3]
-            code = (
-                (ord(tri[0]) & 0xFF) << 16
-                | (ord(tri[1]) & 0xFF) << 8
-                | (ord(tri[2]) & 0xFF)
-            )
+            code = ord(tri[0]) << 42 | ord(tri[1]) << 21 | ord(tri[2])
             out.append((i, code))
     return out
 
@@ -39,6 +35,36 @@ class TestTrigramKernel:
         codes, doc_of = _trigram_codes(texts)
         got = sorted(zip(doc_of.tolist(), codes.tolist()))
         assert got == sorted(_brute(texts))
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32,
+                    max_codepoint=0x10FFFF,
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=20,
+            ),
+            max_size=6,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_brute_force_unicode(self, texts):
+        # ADVICE r4: the old non-ASCII fallback collided distinct
+        # codepoints mod 256; the 21-bit pack is injective for all of
+        # Unicode and must agree with per-char brute force
+        codes, doc_of = _trigram_codes(texts)
+        got = sorted(zip(doc_of.tolist(), codes.tolist()))
+        assert got == sorted(_brute(texts))
+
+    def test_unicode_pack_injective_and_ordered(self):
+        # distinct codepoint triples → distinct codes, and numeric code
+        # order == string order (DuckDB binary collation parity)
+        tris = ["abc", "abd", "éfg", "日本語", "ЖЗИ", "\U0010fffd\x01\x01"]
+        codes = [_trigram_codes([t])[0][0] for t in tris]
+        assert len(set(codes)) == len(tris)
+        assert [t for _, t in sorted(zip(codes, tris))] == sorted(tris)
 
     def test_separator_never_leaks(self):
         # doc boundary windows must not produce trigrams
