@@ -58,11 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import vector_index as vix
 
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
-    # first ~50 entries per round. Round-4 ordering: (a) the five rows red
-    # in round 3 (now fixed: BIGINT oracle casts, HNSW gate-exact mode),
-    # (b) new round-4 operators, (c) everything whose last driver row is
-    # round 2 or earlier (round-robin refresh), then (d) the 45 green in
-    # round 3, ending with entries whose oracle is shared by an in-window
+    # first ~50 entries per round. Round-5 ordering: (a) entries whose
+    # engine code changed this round (must re-prove green), (b) the 15
+    # entries whose last driver row was round 2 (VERDICT r4 "what's
+    # wrong" #5), (c) as many of the round-3 regression tier as fit.
+    # Below the window: the round-4-green tier (1 round old) and round-3
+    # entries whose oracle AND code path are shared by an in-window
     # sibling — those keep pytest + the oracle harness as cover.
     from lucene_ray.pipelines import facet_multi as fm
 
@@ -74,25 +75,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import range_fields as rf
 
     return {
-        # --- new in round 4 ---
-        "facet_multivalued": fm.facet_multivalued,
-        "payload_boosted_topk": pay.payload_boosted_topk,
-        "geo_box_search": geo.geo_box_search,
-        "geo_distance_search": geo.geo_distance_search,
-        "multilingual_analysis": la.multilingual_analysis,
-        "lang_id": lid.lang_id,
+        # --- engine code changed in round 5 ---
+        "facet_multivalued": fm.facet_multivalued,  # sorted-set ingest dedup
+        "payload_boosted_topk": pay.payload_boosted_topk,  # per-doc align
+        "lang_id": lid.lang_id,  # 21-bit codepoint trigram pack
+        "geo_box_search": geo.geo_box_search,  # index-resident (r5)
+        "geo_distance_search": geo.geo_distance_search,  # index-resident (r5)
+        "range_field_search": rf.range_field_search,  # index-resident (r5)
+        "multilingual_analysis": la.multilingual_analysis,  # vectorized+ru/it/pt/nl
+        "collocations": co.collocations,  # searchsorted verify
+        # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
+        "bm25_topk": sq.bm25_topk,
+        "bm25_topk_plain": sq.bm25_topk_plain,
+        "bm25_topk_shuffle": sq.bm25_topk_shuffle,
+        "bm25_topk_multireader": sq.bm25_topk_multireader,
+        "explain_score": sq.explain_score,
+        "covering_search": sq.covering_search,
+        "facet_taxonomy": sq.facet_taxonomy,
+        "block_join_total": joins.block_join_total,
+        "sort_by_field_page2": sq.sort_by_field_page2,
+        "sort_multi": sq.sort_multi,
+        "sort_by_ts": sq.sort_by_ts,
+        "sort_by_string": sq.sort_by_string,
+        "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
+        "interval_or": sq.interval_or,
+        "more_like_this_tv": mlt.more_like_this_tv,
+        # --- last driver row: round 3 (regression refresh) ---
+        "bm25_topk_sharded": sq.bm25_topk_sharded,
+        "grouped_boolean_search": sq.grouped_boolean_search,
+        "synonym_graph_search": sq.synonym_graph_search,
+        "highlight_offsets": hl.highlight_offsets,
+        "multi_phrase_search": sq.multi_phrase_search,
+        "sloppy_phrase_search": sq.sloppy_phrase_search,
+        "dismax_topk": sq.dismax_topk,
+        "constant_score_topk": sq.constant_score_topk,
+        "term_in_set": sq.term_in_set,
+        "doc_fingerprints": fingerprint.doc_fingerprints,
+        "gopher_quality": co.gopher_quality,
+        "sample_stratified": co.sample_stratified,
+        "length_quantiles": co.length_quantiles,
+        "decontaminate": co.decontaminate,
+        "lm_perplexity": lm_score.lm_perplexity,
+        "repetition_stats": co.repetition_stats,
+        "dedup_components": dedup.dedup_components,
+        "curate_corpus": curate.curate_corpus,
+        "image_decode": mm.image_decode,
+        "percolate_docs": percolate.percolate_docs,
+        "knn_classify": classify.knn_classify,
+        "events_hopping": ev.hopping_window_stats,
+        "collection_stats": co.collection_stats,
+        "dedup_exact": co.dedup_exact,
+        "text_quality": co.text_quality,
+        "knn_cosine": knn.knn_cosine,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        # ================= below the ~50-entry gate window =================
+        # --- round-3 green, oracle+path covered by an in-window sibling ---
+        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,  # PPJoin
+        # verify pattern == minhash_lsh_dedup (in window); shingle kernel
+        # pytest-covered
+        "embedding_near_dup": dedup.embedding_near_dup,  # IVF pruning ==
+        # knn_cosine scoring (in window); radius math pytest-covered
+        "knn_ivf": ivf_knn.knn_ivf,  # oracle == knn_cosine (in window)
+        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,  # oracle == knn_cosine
+        "knn_quantized": quantized_knn.knn_quantized,  # oracle == knn_cosine
+        "knn_filtered": knn.knn_filtered,  # brute path == knn_cosine
+        "knn_lsh": lsh_knn.lsh_knn,  # bucket+re-rank, pytest recall cover
+        "events_window": ev.tumbling_window_stats,  # kernel == events_hopping
+        "curation_report": curate.curation_report,  # pipeline == curate_corpus
+        "sample_hash": co.sample_hash,  # sibling sample_stratified in window
+        "phrase_search": sq.phrase_search,  # positions path == multi_phrase
+        "span_near_search": sq.span_near_search,  # intervals == interval_or
+        "simhash_pairs": dedup.simhash_pairs,  # banding == minhash (in window)
+        "doc_norms": co.doc_norms,  # smallfloat codec under every bm25 entry
+        "term_stats": co.term_stats,  # aggregate == collection_stats
+        "lang_counts": co.lang_counts,  # trivial groupby, facet_lang sibling
+        "token_counts": co.token_counts,  # tokenizer under every bm25 entry
+        # --- round-4 green (1 round old, pytest + oracle harness cover) ---
         "facet_associations": fa2.facet_associations,
         "block_join_children": joins.block_join_children,
-        "range_field_search": rf.range_field_search,
-        # --- red in round 3, fixed this round ---
         "span_dedup": dedup.span_dedup,
         "nb_classify": classify.nb_classify,
         "knn_hnsw": hnsw_knn.knn_hnsw,
         "knn_hnsw_filtered": hnsw_knn.knn_hnsw_filtered,
         "knn_index_resident": vix.knn_index_resident,
-        # --- last driver row: round 1 ---
         "events_sessionize": ev.sessionize,
-        # --- last driver row: round 2 ---
         "bm25_topk_deleted": sq.bm25_topk_deleted,
         "pretokenized_topk": sq.pretokenized_topk,
         "html_bm25_topk": sq.html_bm25_topk,
@@ -128,70 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": sugg.suggest_complete,
         "highlight_search": hl.highlight_search,
         "more_like_this": mlt.more_like_this,
-        # --- r2-green variants of in-window siblings (same search_sorted /
-        # interval code paths + oracles keep them covered) ---
-        "bm25_topk_plain": sq.bm25_topk_plain,
-        "covering_search": sq.covering_search,
-        "facet_taxonomy": sq.facet_taxonomy,
-        "block_join_total": joins.block_join_total,
-        "sort_by_field_page2": sq.sort_by_field_page2,
-        "sort_multi": sq.sort_multi,
-        "sort_by_ts": sq.sort_by_ts,
-        "sort_by_string": sq.sort_by_string,
-        "interval_or": sq.interval_or,
-        # --- green in round 3 (regression tier) ---
-        "bm25_topk_sharded": sq.bm25_topk_sharded,
-        "grouped_boolean_search": sq.grouped_boolean_search,
-        "synonym_graph_search": sq.synonym_graph_search,
-        "highlight_offsets": hl.highlight_offsets,
-        "multi_phrase_search": sq.multi_phrase_search,
-        "sloppy_phrase_search": sq.sloppy_phrase_search,
-        "dismax_topk": sq.dismax_topk,
-        "constant_score_topk": sq.constant_score_topk,
-        "term_in_set": sq.term_in_set,
-        "span_near_search": sq.span_near_search,
-        "doc_fingerprints": fingerprint.doc_fingerprints,
-        "gopher_quality": co.gopher_quality,
-        "sample_hash": co.sample_hash,
-        "sample_stratified": co.sample_stratified,
-        "length_quantiles": co.length_quantiles,
-        "collocations": co.collocations,
-        "decontaminate": co.decontaminate,
-        "lm_perplexity": lm_score.lm_perplexity,
-        "repetition_stats": co.repetition_stats,
-        "token_counts": co.token_counts,
-        "knn_filtered": knn.knn_filtered,
-        "knn_ivf": ivf_knn.knn_ivf,
-        "knn_ivf_quantized": ivf_knn.knn_ivf_quantized,
-        "knn_quantized": quantized_knn.knn_quantized,
-        "dedup_components": dedup.dedup_components,
-        "curate_corpus": curate.curate_corpus,
-        "curation_report": curate.curation_report,
-        "image_decode": mm.image_decode,
-        "percolate_docs": percolate.percolate_docs,
-        "knn_classify": classify.knn_classify,
-        "events_hopping": ev.hopping_window_stats,
-        "phrase_search": sq.phrase_search,
-        "term_stats": co.term_stats,
-        "collection_stats": co.collection_stats,
-        "doc_norms": co.doc_norms,
-        "dedup_exact": co.dedup_exact,
-        "lang_counts": co.lang_counts,
-        "text_quality": co.text_quality,
-        "knn_cosine": knn.knn_cosine,
-        "knn_lsh": lsh_knn.lsh_knn,
-        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
-        "simhash_pairs": dedup.simhash_pairs,
-        "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,
-        "embedding_near_dup": dedup.embedding_near_dup,
-        "events_window": ev.tumbling_window_stats,
-        # --- oracle shared with an in-window sibling ---
-        "bm25_topk": sq.bm25_topk,
-        "bm25_topk_shuffle": sq.bm25_topk_shuffle,
-        "bm25_topk_multireader": sq.bm25_topk_multireader,
-        "explain_score": sq.explain_score,
-        "sort_by_field_indexsorted": sq.sort_by_field_indexsorted,
-        "more_like_this_tv": mlt.more_like_this_tv,
     }
 
 

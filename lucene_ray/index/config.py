@@ -123,6 +123,19 @@ class IndexConfig:
     # filters become two binary searches over a memmapped sorted
     # (value, docid) permutation instead of an O(maxDoc) column scan.
     point_cols: Tuple[str, ...] = ()
+    # geo_cols — 2-D geo-point fields (the ``LatLonPoint`` role,
+    # ``core/document/LatLonPoint.java``): ((field, lat_col, lon_col),
+    # ...) over float64-degree ``dv_cols`` entries. Each gets a
+    # per-segment morton-sorted sidecar + block min-max directory
+    # (index/geo.py build_geo_files — the 2-D BKD write role), rebuilt
+    # through merges, queried via GeoBoxQuery / GeoDistanceQuery.
+    geo_cols: Tuple[Tuple[str, str, str], ...] = ()
+    # range_cols — interval fields (the ``IntRange``/``LongRange`` role,
+    # ``core/document/IntRange.java``): ((field, lo_col, hi_col), ...)
+    # over integer ``dv_cols`` entries. Per-segment lo-sorted sidecar +
+    # hi min-max directory (index/ranges.py), queried via
+    # RangeFieldQuery relations (``RangeFieldQuery.java:60-114``).
+    range_cols: Tuple[Tuple[str, str, str], ...] = ()
     # vector_col — a ``list<float>`` column stored IN the segment as
     # float32 vectors + a deterministic HNSW graph
     # (``KnnFloatVectorField`` + ``Lucene99HnswVectorsFormat`` role):
@@ -185,6 +198,22 @@ class IndexConfig:
             raise ValueError(
                 f"point_cols must be a subset of dv_cols; missing {sorted(missing)}"
             )
+        geo_missing = {
+            c for _, la, lo in self.geo_cols for c in (la, lo)
+        } - set(self.dv_cols)
+        if geo_missing:
+            raise ValueError(
+                f"geo_cols lat/lon columns must be in dv_cols; missing "
+                f"{sorted(geo_missing)}"
+            )
+        rng_missing = {
+            c for _, lo, hi in self.range_cols for c in (lo, hi)
+        } - set(self.dv_cols)
+        if rng_missing:
+            raise ValueError(
+                f"range_cols lo/hi columns must be in dv_cols; missing "
+                f"{sorted(rng_missing)}"
+            )
 
     def term_bucket(self, term: str) -> int:
         """Stable cross-process term→bucket routing (crc32, NOT python
@@ -229,6 +258,8 @@ class IndexConfig:
             "extra_text_cols": list(self.extra_text_cols),
             "dv_cols": list(self.dv_cols),
             "point_cols": list(self.point_cols),
+            "geo_cols": [list(g) for g in self.geo_cols],
+            "range_cols": [list(r) for r in self.range_cols],
             "vector_col": self.vector_col,
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
@@ -260,6 +291,8 @@ class IndexConfig:
             extra_text_cols=tuple(d.get("extra_text_cols", ())),
             dv_cols=tuple(d.get("dv_cols", ())),
             point_cols=tuple(d.get("point_cols", ())),
+            geo_cols=tuple(tuple(g) for g in d.get("geo_cols", ())),
+            range_cols=tuple(tuple(r) for r in d.get("range_cols", ())),
             vector_col=d.get("vector_col"),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),

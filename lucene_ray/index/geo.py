@@ -42,6 +42,7 @@ __all__ = [
     "haversin_meters",
     "circle_to_bbox",
     "GeoBlocks",
+    "build_geo_files",
 ]
 
 # GeoEncodingUtils.java: LATITUDE_DECODE = 90.0/0x1p31, LONGITUDE_DECODE
@@ -152,16 +153,35 @@ class GeoBlocks:
         lon_enc: np.ndarray,
         ids: np.ndarray,
         block_size: int = 4096,
+        presorted: bool = False,
+        directory: np.ndarray = None,
     ):
-        order = np.argsort(
-            morton_interleave(lat_enc, lon_enc), kind="stable"
-        )
-        self.lat = lat_enc[order].astype(np.int32)
-        self.lon = lon_enc[order].astype(np.int32)
-        self.ids = ids[order]
+        """``presorted=True``: arrays are already in morton order (an
+        index-resident sidecar — ``build_geo_files``); with ``directory``
+        (the stored ``(4, n_blocks)`` min-max array) construction touches
+        NO point pages, so a memmapped segment sidecar opens lazily."""
+        if presorted:
+            self.lat, self.lon, self.ids = lat_enc, lon_enc, ids
+        else:
+            order = np.argsort(
+                morton_interleave(lat_enc, lon_enc), kind="stable"
+            )
+            self.lat = lat_enc[order].astype(np.int32)
+            self.lon = lon_enc[order].astype(np.int32)
+            self.ids = ids[order]
         self.block_size = block_size
         n = len(self.ids)
-        nb = max(1, -(-n // block_size))
+        nb = -(-n // block_size)  # 0 blocks when empty
+        if directory is not None:
+            d = directory.reshape(4, nb)
+            self.blk_lat_min, self.blk_lat_max = d[0], d[1]
+            self.blk_lon_min, self.blk_lon_max = d[2], d[3]
+            return
+        if nb == 0:
+            z = np.empty(0, np.int32)
+            self.blk_lat_min = self.blk_lat_max = z
+            self.blk_lon_min = self.blk_lon_max = z
+            return
         pad = nb * block_size - n
         if pad:
             la = np.concatenate([self.lat, np.repeat(self.lat[-1:], pad)])
@@ -174,6 +194,18 @@ class GeoBlocks:
         self.blk_lat_max = la.max(axis=1)
         self.blk_lon_min = lo.min(axis=1)
         self.blk_lon_max = lo.max(axis=1)
+
+    def directory_bytes(self) -> bytes:
+        """The ``(4, n_blocks)`` int32 min-max directory, serialized —
+        the BKD inner-node role, stored so a reader never scans points."""
+        return np.stack(
+            [
+                self.blk_lat_min,
+                self.blk_lat_max,
+                self.blk_lon_min,
+                self.blk_lon_max,
+            ]
+        ).astype(np.int32).tobytes()
 
     def _candidate_mask(
         self, lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int
@@ -239,3 +271,57 @@ class GeoBlocks:
             lon,
         )
         return self.ids[cand[d <= radius_m]]
+
+
+GEO_BLOCK_SIZE = 4096
+
+
+def build_geo_files(dv_table, geo_cols):
+    """Per-segment geo-point sidecars from doc-values lat/lon degree
+    columns — the ``LatLonPoint`` write role (quantize → 2-D organize,
+    ``core/document/LatLonPoint.java`` + ``core/util/bkd/BKDWriter.java``;
+    here morton sort + stored block directory, see module docstring).
+
+    ``geo_cols``: ``((field, lat_col, lon_col), ...)``. Docs where either
+    coordinate is null are absent from the sidecar (Lucene: a doc with no
+    point for the field never matches a point query).
+
+    → ``{field: (files: {suffix: bytes}, info: dict)}`` with suffixes
+    ``lat`` / ``lon`` (int32, morton order), ``docs`` (uint32 local
+    docids), ``dir`` ((4, n_blocks) int32 min-max directory)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = {}
+    for field, lat_col, lon_col in geo_cols:
+        la_col = dv_table.column(lat_col)
+        lo_col = dv_table.column(lon_col)
+        if isinstance(la_col, pa.ChunkedArray):
+            la_col = la_col.combine_chunks()
+        if isinstance(lo_col, pa.ChunkedArray):
+            lo_col = lo_col.combine_chunks()
+        valid = np.asarray(pc.is_valid(la_col)) & np.asarray(
+            pc.is_valid(lo_col)
+        )
+        docs = np.flatnonzero(valid).astype(np.uint32)
+        la = encode_latitude(
+            np.asarray(la_col.cast(pa.float64()), dtype=np.float64)[valid]
+        )
+        lo = encode_longitude(
+            np.asarray(lo_col.cast(pa.float64()), dtype=np.float64)[valid]
+        )
+        gb = GeoBlocks(la, lo, docs, block_size=GEO_BLOCK_SIZE)
+        files = {
+            "lat": gb.lat.astype(np.int32).tobytes(),
+            "lon": gb.lon.astype(np.int32).tobytes(),
+            "docs": gb.ids.astype(np.uint32).tobytes(),
+            "dir": gb.directory_bytes(),
+        }
+        info = {
+            "n": int(len(docs)),
+            "block_size": GEO_BLOCK_SIZE,
+            "lat_col": lat_col,
+            "lon_col": lon_col,
+        }
+        out[field] = (files, info)
+    return out

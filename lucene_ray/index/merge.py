@@ -36,6 +36,8 @@ from lucene_ray.index.config import FIELD_SEP, IndexConfig
 from lucene_ray.index.deletes import _write_deleted
 from lucene_ray.index.vectors import VECTORS_FILE, _ShardGraph, build_graph_bytes
 from lucene_ray.index.points import build_point_files
+from lucene_ray.index.geo import build_geo_files
+from lucene_ray.index.ranges import build_range_files
 from lucene_ray.index.manifest import (
     Manifest,
     commit_manifest,
@@ -722,6 +724,36 @@ def _finalize_merge(
                     fh.write(blob)
                 point_crcs[name] = _zlib.crc32(blob)
             points_meta[f_] = info
+    geo_meta: Dict[str, dict] = {}
+    ranges_meta: Dict[str, dict] = {}
+    src_geo = readers[0].meta.get("geo") or {}
+    if src_geo and dv_cols:
+        # rebuild the 2-D geo-point sidecars over the merged dv table
+        # (the BKDWriter merge role for LatLonPoint, index/geo.py);
+        # lat/lon column names travel in the per-field info
+        for f_, (files, info) in build_geo_files(
+            dv_all,
+            [(f, i["lat_col"], i["lon_col"]) for f, i in sorted(src_geo.items())],
+        ).items():
+            for suffix, blob in files.items():
+                name = f"geo_{f_}.{suffix}.bin"
+                with open(os.path.join(tmp_dir, name), "wb") as fh:
+                    fh.write(blob)
+                point_crcs[name] = _zlib.crc32(blob)
+            geo_meta[f_] = info
+    src_rng = readers[0].meta.get("ranges") or {}
+    if src_rng and dv_cols:
+        # interval-field sidecars likewise rebuild from merged dv
+        for f_, (files, info) in build_range_files(
+            dv_all,
+            [(f, i["lo_col"], i["hi_col"]) for f, i in sorted(src_rng.items())],
+        ).items():
+            for suffix, blob in files.items():
+                name = f"ranges_{f_}.{suffix}.bin"
+                with open(os.path.join(tmp_dir, name), "wb") as fh:
+                    fh.write(blob)
+                point_crcs[name] = _zlib.crc32(blob)
+            ranges_meta[f_] = info
     vectors_meta = None
     vec_crc: Dict[str, int] = {}
     if any(r.meta.get("vectors") for r in readers) and not all(
@@ -804,6 +836,8 @@ def _finalize_merge(
         "dv_cols": dv_cols,
         "term_vectors": bool(readers[0].meta.get("term_vectors")),
         "points": points_meta,
+        "geo": geo_meta,
+        "ranges": ranges_meta,
         **({"vectors": vectors_meta} if vectors_meta else {}),
         **({"del_gen": merged_del_gen} if merged_del_gen else {}),
         "checksums": checksums,

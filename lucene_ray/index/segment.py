@@ -57,6 +57,8 @@ from lucene_ray.index.config import (
 )
 from lucene_ray.index.deletes import load_deleted
 from lucene_ray.index.points import build_point_files
+from lucene_ray.index.geo import GeoBlocks, build_geo_files
+from lucene_ray.index.ranges import RangeBlocks, build_range_files
 
 META_NAME = "meta.json"
 
@@ -965,6 +967,24 @@ def write_segment(
             put(f"points_{f_}.vals.bin", vb)
             put(f"points_{f_}.docs.bin", db)
             points_meta[f_] = info
+    geo_meta: Dict[str, dict] = {}
+    if getattr(config, "geo_cols", ()) and dv_table is not None:
+        # 2-D geo-point sidecars (LatLonPoint/BKD role, index/geo.py)
+        for f_, (files, info) in build_geo_files(
+            dv_table, config.geo_cols
+        ).items():
+            for suffix, blob in files.items():
+                put(f"geo_{f_}.{suffix}.bin", blob)
+            geo_meta[f_] = info
+    ranges_meta: Dict[str, dict] = {}
+    if getattr(config, "range_cols", ()) and dv_table is not None:
+        # interval-field sidecars (IntRange role, index/ranges.py)
+        for f_, (files, info) in build_range_files(
+            dv_table, config.range_cols
+        ).items():
+            for suffix, blob in files.items():
+                put(f"ranges_{f_}.{suffix}.bin", blob)
+            ranges_meta[f_] = info
 
     n_terms = len(inv.terms)
     term_strs = inv.terms.to_pylist()
@@ -1184,6 +1204,8 @@ def write_segment(
         "dv_cols": list(dv_table.column_names) if dv_table is not None else [],
         "term_vectors": bool(config.store_term_vectors),
         "points": points_meta,
+        "geo": geo_meta,
+        "ranges": ranges_meta,
         "checksums": checksums,
         "metrics": {
             "build_s": round(build_s, 4),
@@ -1296,6 +1318,8 @@ class SegmentReader:
         self._docmap: Optional[pa.Array] = None
         self._dv_cache: Dict[str, pa.Array] = {}
         self._points_cache: Dict[str, tuple] = {}
+        self._geo_cache: Dict[str, GeoBlocks] = {}
+        self._ranges_cache: Dict[str, RangeBlocks] = {}
         self._decode_cache_post: Dict[tuple, tuple] = {}
         self._decode_cache_pos: Dict[tuple, np.ndarray] = {}
         self._decode_cache_bytes = 0
@@ -1685,6 +1709,68 @@ class SegmentReader:
             )
             hit = (vals, docs, info)
             self._points_cache[field] = hit
+        return hit
+
+    def geo_index(self, field: str):
+        """Memmapped 2-D geo-point index for ``field`` (LatLonPoint/BKD
+        role, index/geo.py), or None if the segment has none. The stored
+        block directory loads eagerly (tiny); point pages fault in only
+        for blocks a query's box overlaps."""
+        info = (self.meta.get("geo") or {}).get(field)
+        if info is None:
+            return None
+        hit = self._geo_cache.get(field)
+        if hit is None:
+            if not info["n"]:
+                hit = GeoBlocks(
+                    np.empty(0, np.int32),
+                    np.empty(0, np.int32),
+                    np.empty(0, np.uint32),
+                    block_size=info["block_size"],
+                    presorted=True,
+                )
+            else:
+                p = lambda s: os.path.join(self.seg_dir, f"geo_{field}.{s}.bin")
+                hit = GeoBlocks(
+                    np.memmap(p("lat"), dtype=np.int32, mode="r"),
+                    np.memmap(p("lon"), dtype=np.int32, mode="r"),
+                    np.memmap(p("docs"), dtype=np.uint32, mode="r"),
+                    block_size=info["block_size"],
+                    presorted=True,
+                    directory=np.fromfile(p("dir"), dtype=np.int32),
+                )
+            self._geo_cache[field] = hit
+        return hit
+
+    def range_index(self, field: str):
+        """Memmapped interval-field index for ``field`` (IntRange role,
+        index/ranges.py), or None if the segment has none."""
+        info = (self.meta.get("ranges") or {}).get(field)
+        if info is None:
+            return None
+        hit = self._ranges_cache.get(field)
+        if hit is None:
+            if not info["n"]:
+                hit = RangeBlocks(
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.uint32),
+                    block_size=info["block_size"],
+                    presorted=True,
+                )
+            else:
+                p = lambda s: os.path.join(
+                    self.seg_dir, f"ranges_{field}.{s}.bin"
+                )
+                hit = RangeBlocks(
+                    np.memmap(p("lo"), dtype=np.int64, mode="r"),
+                    np.memmap(p("hi"), dtype=np.int64, mode="r"),
+                    np.memmap(p("docs"), dtype=np.uint32, mode="r"),
+                    block_size=info["block_size"],
+                    presorted=True,
+                    directory=np.fromfile(p("dir"), dtype=np.int64),
+                )
+            self._ranges_cache[field] = hit
         return hit
 
     def _part(self, b: int) -> dict:

@@ -1,6 +1,6 @@
 """Geo point queries over the documents table — the ``LatLonPoint``
 search surface (``core/document/LatLonPoint.java`` box/distance query
-factories) as Ray Data pipelines.
+factories) against a COMMITTED index.
 
 The synthetic corpus has no coordinate columns, so each doc gets a
 DETERMINISTIC position derived from ``doc_id`` by golden-ratio
@@ -14,12 +14,16 @@ then round-tripped through the reference's int32 quantization
 (`index/geo.py`: encode → decode), exactly as LatLonPoint stores and
 query refinement sees them.
 
-Each query stage builds a :class:`~lucene_ray.index.geo.GeoBlocks`
-(morton sort + block min-max directory — the 2-D BKD leaf-pruning
-equivalent) over its batch and probes it; correctness is
-scan-identical (property-tested), the structure is the 100-TB path: at
-scale the blocks are built once per partition/segment and reused
-across queries, and only boxes' overlapping blocks are ever touched.
+Index-resident path (round 5): ``pipelines/geo_index.py`` materializes
+the derived (lat, lon) degree columns once per sf_dir and builds ONE
+committed index with ``IndexConfig.geo_cols`` — each segment carries a
+morton-sorted point sidecar + stored block min-max directory (the 2-D
+BKD write role, ``core/util/bkd/BKDWriter.java``), rebuilt through
+merges.  Queries stream through the searcher actor pool as
+:class:`~lucene_ray.search.query.GeoBoxQuery` /
+:class:`GeoDistanceQuery` nodes evaluated against those sidecars
+(``LatLonPointDistanceQuery.java`` box-prune + haversine-refine
+semantics) — no per-batch structure rebuilds anywhere.
 """
 from __future__ import annotations
 
@@ -29,15 +33,19 @@ import pyarrow as pa
 from lucene_ray.index.geo import (
     LATITUDE_DECODE,
     LONGITUDE_DECODE,
-    GeoBlocks,
     decode_latitude,
     decode_longitude,
     encode_latitude,
     encode_longitude,
 )
-
-_PHI1 = 0.6180339887498949  # 1/phi
-_PHI2 = 0.7548776662466927  # plastic-number conjugate (independent scatter)
+from lucene_ray.pipelines.geo_index import (
+    PHI1 as _PHI1,
+    PHI2 as _PHI2,
+    derive_raw_latlon,
+    get_or_build_geo_index,
+)
+from lucene_ray.search.query import GeoBoxQuery, GeoDistanceQuery
+from lucene_ray.search.searcher import search_dataset
 
 # Fixed gate-query geometry (sf-independent).
 BOX = (-35.0, 20.0, -60.0, 75.0)  # min_lat, max_lat, min_lon, max_lon
@@ -45,23 +53,28 @@ CENTER = (12.0, -7.0)
 RADIUS_M = 3_200_000.0
 
 
-def _docs_path(sf_dir: str) -> str:
-    import os
-
-    return os.path.join(sf_dir, "documents.parquet")
-
-
 def derive_latlon(ids: np.ndarray):
     """doc_id → (lat_enc int32, lon_enc int32): scatter then quantize."""
-    d = ids.astype(np.float64)
-    x = d * _PHI1
-    raw_lat = (x - np.floor(x)) * 180.0 - 90.0
-    y = d * _PHI2
-    raw_lon = (y - np.floor(y)) * 360.0 - 180.0
+    raw_lat, raw_lon = derive_raw_latlon(ids)
     return encode_latitude(raw_lat), encode_longitude(raw_lon)
 
 
-def _emit(ids: np.ndarray, la: np.ndarray, lo: np.ndarray) -> pa.Table:
+def geo_query_factory(spec: str):
+    """Picklable query factory for the searcher actor pool: the query
+    column carries ``"box"`` / ``"distance"``; geometry is the fixed
+    gate constants."""
+    if spec == "box":
+        return GeoBoxQuery("loc", *BOX)
+    if spec == "distance":
+        return GeoDistanceQuery("loc", CENTER[0], CENTER[1], RADIUS_M)
+    raise ValueError(f"unknown geo query spec {spec!r}")
+
+
+def _emit_hits(b: pa.Table) -> pa.Table:
+    """searcher hits → (doc_id, lat, lon): coordinates re-derive from
+    doc_id (decoded quantized degrees), vectorized."""
+    ids = np.asarray(b.column("key").cast(pa.int64()), dtype=np.int64)
+    la, lo = derive_latlon(ids)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -71,39 +84,31 @@ def _emit(ids: np.ndarray, la: np.ndarray, lo: np.ndarray) -> pa.Table:
     )
 
 
+def _run(sf_dir: str, spec: str):
+    import ray.data
+
+    idx = get_or_build_geo_index(sf_dir)
+    qds = ray.data.from_items([{"qid": 0, "query": spec, "k": 10**9}])
+    res = search_dataset(idx, qds, query_factory=geo_query_factory)
+    return res.map_batches(_emit_hits, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
 def geo_box_search(sf_dir: str):
     """Docs whose quantized point lies in ``BOX`` → (doc_id, lat, lon)
     ordered by doc_id (``LatLonPoint.newBoxQuery`` semantics: integer
-    compare on the quantized codes, inclusive edges)."""
-    import ray.data
-
-    def stage(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        la, lo = derive_latlon(ids)
-        gb = GeoBlocks(la, lo, np.arange(len(ids)))
-        sel = np.sort(gb.box(*BOX))
-        return _emit(ids[sel], la[sel], lo[sel])
-
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
-    return ds.map_batches(stage, batch_format="pyarrow").sort("doc_id")
+    compare on the quantized codes, inclusive edges), answered by the
+    committed index's geo sidecars."""
+    return _run(sf_dir, "box")
 
 
 def geo_distance_search(sf_dir: str):
     """Docs within ``RADIUS_M`` haversine meters of ``CENTER`` →
     (doc_id, lat, lon) ordered by doc_id
     (``LatLonPoint.newDistanceQuery``: circle-bbox prune + exact refine
-    on decoded coordinates)."""
-    import ray.data
-
-    def stage(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        la, lo = derive_latlon(ids)
-        gb = GeoBlocks(la, lo, np.arange(len(ids)))
-        sel = np.sort(gb.distance(CENTER[0], CENTER[1], RADIUS_M))
-        return _emit(ids[sel], la[sel], lo[sel])
-
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
-    return ds.map_batches(stage, batch_format="pyarrow").sort("doc_id")
+    on decoded coordinates), answered by the committed index."""
+    return _run(sf_dir, "distance")
 
 
 # -- oracles ---------------------------------------------------------------

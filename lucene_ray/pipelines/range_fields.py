@@ -1,8 +1,8 @@
 """Range fields — the ``IntRange`` / ``LongRange`` document type and
-its relation queries.
+its relation queries, against a COMMITTED index.
 
 Reference semantics: ``core/document/IntRange.java`` /
-``core/document/RangeFieldQuery.java:60-114`` (QueryType INTERSECTS /
+``core/search/RangeFieldQuery.java:60-114`` (QueryType INTERSECTS /
 WITHIN / CONTAINS / CROSSES over [min, max] interval fields, 2-dim
 encoded points in the BKD tree).  One dimension here: each doc carries
 an interval ``[lo, hi]``, and a query interval ``[a, b]`` selects docs
@@ -18,61 +18,67 @@ deterministically from ``doc_id`` (pure integer arithmetic the SQL
 oracle replicates exactly): ``lo = (doc_id * 37) % 1000``,
 ``hi = lo + 1 + (doc_id * 13) % 120``.
 
-Scale shape: a vectorized integer-compare ``map_batches`` filter; at
-100 TB the same predicate runs against the 1-D point sidecar
-(``index/points.py``) on ``lo`` (sorted: ``lo <= b`` is a prefix
-slice) with the ``hi`` compare as the in-block refine — the BKD
-leaf-prune equivalent for interval fields.
+Index-resident path (round 5): ``pipelines/geo_index.py`` builds ONE
+committed index whose segments carry a lo-sorted interval sidecar +
+hi min-max block directory (``IndexConfig.range_cols``,
+index/ranges.py — the BKD leaf-prune equivalent for interval fields),
+rebuilt through merges.  Each relation streams through the searcher
+actor pool as a :class:`~lucene_ray.search.query.RangeFieldQuery`
+node: the ``lo`` constraint is a binary-search slice of the sorted
+sidecar, the ``hi`` constraint touches only directory-surviving
+blocks — never an O(maxDoc) scan, no per-batch rebuilds.
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
+
+from lucene_ray.pipelines.geo_index import (
+    derive_interval,
+    get_or_build_geo_index,
+)
+from lucene_ray.search.query import RangeFieldQuery
+from lucene_ray.search.searcher import search_dataset
 
 # query interval + relations (qid order is load-bearing for the oracle)
 Q_LO, Q_HI = 200, 420
 RELATIONS = ("intersects", "within", "contains", "crosses")
 
 
-def derive_interval(ids: np.ndarray):
-    lo = (ids * 37) % 1000
-    hi = lo + 1 + (ids * 13) % 120
-    return lo, hi
+def range_query_factory(spec: str):
+    """Picklable query factory: the query column carries the relation
+    name; the interval is the fixed gate constant."""
+    return RangeFieldQuery("iv", spec, Q_LO, Q_HI)
+
+
+def _emit_hits(b: pa.Table) -> pa.Table:
+    ids = np.asarray(b.column("key").cast(pa.int64()), dtype=np.int64)
+    lo, hi = derive_interval(ids)
+    return pa.table(
+        {
+            "qid": b.column("qid").cast(pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+        }
+    )
 
 
 def range_field_search(sf_dir: str):
     """→ (qid, doc_id, lo, hi) for each relation query, ordered by
-    (qid, doc_id). qid = index into RELATIONS."""
+    (qid, doc_id). qid = index into RELATIONS. Answered by the committed
+    index's interval sidecars."""
     import ray.data
 
-    def stage(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        lo, hi = derive_interval(ids)
-        inter = (lo <= Q_HI) & (hi >= Q_LO)
-        within = (lo >= Q_LO) & (hi <= Q_HI)
-        contains = (lo <= Q_LO) & (hi >= Q_HI)
-        crosses = inter & ~within & ~contains
-        qids, sel = [], []
-        for qi, m in enumerate((inter, within, contains, crosses)):
-            idx = np.flatnonzero(m)
-            sel.append(idx)
-            qids.append(np.full(len(idx), qi, dtype=np.int64))
-        sel = np.concatenate(sel)
-        return pa.table(
-            {
-                "qid": pa.array(np.concatenate(qids)),
-                "doc_id": pa.array(ids[sel], pa.int64()),
-                "lo": pa.array(lo[sel], pa.int64()),
-                "hi": pa.array(hi[sel], pa.int64()),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    idx = get_or_build_geo_index(sf_dir)
+    qds = ray.data.from_items(
+        [
+            {"qid": qi, "query": rel, "k": 10**9}
+            for qi, rel in enumerate(RELATIONS)
+        ]
     )
-    return ds.map_batches(stage, batch_format="pyarrow").sort(
+    res = search_dataset(idx, qds, query_factory=range_query_factory)
+    return res.map_batches(_emit_hits, batch_format="pyarrow").sort(
         ["qid", "doc_id"]
     )
 

@@ -88,6 +88,52 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class GeoBoxQuery:
+    """Geo-point box filter (``LatLonPoint.newBoxQuery``,
+    ``core/document/LatLonPoint.java``): matches docs whose quantized
+    point for ``field`` (an ``IndexConfig.geo_cols`` entry) lies inside
+    the quantized degree box, inclusive edges. Constant-score.
+    Evaluated against the segment's morton-block geo sidecar
+    (index/geo.py) — only blocks overlapping the box are touched."""
+
+    field: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class GeoDistanceQuery:
+    """Geo-point distance filter (``LatLonPoint.newDistanceQuery``,
+    ``core/search/LatLonPointDistanceQuery.java``): haversine distance
+    from (lat, lon) to the doc's DECODED quantized point <= radius_m.
+    Circle-bbox block prune + exact refine. Constant-score."""
+
+    field: str
+    lat: float
+    lon: float
+    radius_m: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RangeFieldQuery:
+    """Interval-field relation filter (``core/search/RangeFieldQuery.java:60-114``
+    QueryType over an ``IndexConfig.range_cols`` field): the doc interval
+    [lo, hi] must INTERSECTS / WITHIN / CONTAINS / CROSSES the query
+    interval [a, b], inclusive bounds. Constant-score. Evaluated against
+    the segment's lo-sorted interval sidecar (index/ranges.py)."""
+
+    field: str
+    relation: str  # intersects | within | contains | crosses
+    a: int
+    b: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """Terms starting with ``prefix`` (``core/search/PrefixQuery.java``),
     expanded against the term dictionary at evaluation and matched
@@ -735,6 +781,9 @@ _QUERY_TYPES = {
         BooleanQuery,
         MatchAllQuery,
         RangeQuery,
+        GeoBoxQuery,
+        GeoDistanceQuery,
+        RangeFieldQuery,
         PrefixQuery,
         WildcardQuery,
         FuzzyQuery,

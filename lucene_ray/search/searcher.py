@@ -64,7 +64,10 @@ from lucene_ray.search.query import (
     DisjunctionMaxQuery,
     FeatureQuery,
     FuzzyQuery,
+    GeoBoxQuery,
+    GeoDistanceQuery,
     JoinQuery,
+    RangeFieldQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -508,6 +511,10 @@ class IndexSearcher:
             )
         if isinstance(q, RangeQuery):
             return self._eval_range(q, seg_idx)
+        if isinstance(q, (GeoBoxQuery, GeoDistanceQuery)):
+            return self._eval_geo(q, seg_idx)
+        if isinstance(q, RangeFieldQuery):
+            return self._eval_range_field(q, seg_idx)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(q, seg_idx, states)
         if isinstance(q, FeatureQuery):
@@ -919,6 +926,67 @@ class IndexSearcher:
             mask = pc.is_valid(col)
         m = np.asarray(pc.fill_null(mask, False))
         ids = np.flatnonzero(m).astype(np.uint32)
+        if self.query_cache is not None:
+            self.query_cache.put(q, seg, ids)
+        return self._live(
+            seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        )
+
+    def _eval_geo(self, q, seg_idx: int) -> SegmentResult:
+        """Geo box/distance filter against the segment's morton-block
+        sidecar (``LatLonPointBox/DistanceQuery`` role): the stored block
+        directory prunes, surviving blocks refine vectorized. Match sets
+        are LRU-cached per (query, segment) like every constant-score
+        filter."""
+        seg = self.segments[seg_idx]
+        cached = (
+            self.query_cache.get(q, seg)
+            if self.query_cache is not None
+            else None
+        )
+        if cached is not None:
+            return self._live(
+                seg,
+                SegmentResult(cached, np.full(len(cached), F32(q.boost))),
+            )
+        gi = seg.geo_index(q.field)
+        if gi is None:
+            raise KeyError(
+                f"segment {seg.seg_dir} has no geo sidecar for field "
+                f"{q.field!r} (IndexConfig.geo_cols at build time)"
+            )
+        if isinstance(q, GeoBoxQuery):
+            ids = gi.box(q.min_lat, q.max_lat, q.min_lon, q.max_lon)
+        else:
+            ids = gi.distance(q.lat, q.lon, q.radius_m)
+        ids = np.sort(np.asarray(ids)).astype(np.uint32)
+        if self.query_cache is not None:
+            self.query_cache.put(q, seg, ids)
+        return self._live(
+            seg, SegmentResult(ids, np.full(len(ids), F32(q.boost)))
+        )
+
+    def _eval_range_field(self, q: RangeFieldQuery, seg_idx: int) -> SegmentResult:
+        """Interval-relation filter against the segment's lo-sorted
+        interval sidecar (``RangeFieldQuery`` role, index/ranges.py)."""
+        seg = self.segments[seg_idx]
+        cached = (
+            self.query_cache.get(q, seg)
+            if self.query_cache is not None
+            else None
+        )
+        if cached is not None:
+            return self._live(
+                seg,
+                SegmentResult(cached, np.full(len(cached), F32(q.boost))),
+            )
+        ri = seg.range_index(q.field)
+        if ri is None:
+            raise KeyError(
+                f"segment {seg.seg_dir} has no range sidecar for field "
+                f"{q.field!r} (IndexConfig.range_cols at build time)"
+            )
+        ids = ri.relate(q.relation, q.a, q.b).astype(np.uint32)
         if self.query_cache is not None:
             self.query_cache.put(q, seg, ids)
         return self._live(
