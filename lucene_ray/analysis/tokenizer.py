@@ -92,6 +92,10 @@ _LUT_LETTER = _byte_lut(
 )
 _LUT_MIDNUM = _byte_lut(b".,;'")
 _LUT_MIDLET = _byte_lut(b".:'")
+# any mid-punct candidate (union) — the batched tokenizer finds these
+# sparse positions first, then applies the digit/letter neighbor rules
+# only there instead of building full-length shifted mask arrays
+_LUT_MID = _LUT_MIDNUM | _LUT_MIDLET
 
 # --------------------------------------------------------------------------
 # Unicode word-break classification (general path)
@@ -272,7 +276,10 @@ class StandardTokenizer:
         Returns ``(terms, doc_of_term, lengths)``:
         ``terms`` Arrow large_string array of token texts in document
         order, ``doc_of_term`` int64 ndarray mapping each token to its
-        document ordinal, ``lengths`` int64[n_docs] token counts.
+        document ordinal — or ``None`` on the common no-overlong-token
+        path (computing it is pure DRAM traffic; callers that need it
+        derive it from ``lengths`` with one ``np.repeat``) — and
+        ``lengths`` int64[n_docs] token counts.
         Overlong tokens are split in place (maxTokenLength
         split-not-drop semantics, ``StandardTokenizer.java:43-80``).
         """
@@ -287,39 +294,52 @@ class StandardTokenizer:
                 np.empty(0, dtype=np.int64),
                 np.zeros(n_docs, dtype=np.int64),
             )
-        tok = _LUT_TOK[b]
+        m = _LUT_TOK[b]  # fresh gather output — safe to update in place
         # a mid-punct joins two base runs iff its immediate neighbors
-        # match its class rule (regex lookaround, vectorized)
-        is_digit = _LUT_DIGIT[b]
-        is_letter = _LUT_LETTER[b]
-        left_digit = np.zeros(n, dtype=bool)
-        left_digit[1:] = is_digit[:-1]
-        right_digit = np.zeros(n, dtype=bool)
-        right_digit[:-1] = is_digit[1:]
-        left_letter = np.zeros(n, dtype=bool)
-        left_letter[1:] = is_letter[:-1]
-        right_letter = np.zeros(n, dtype=bool)
-        right_letter[:-1] = is_letter[1:]
-        m = tok | (
-            (_LUT_MIDNUM[b] & left_digit & right_digit)
-            | (_LUT_MIDLET[b] & left_letter & right_letter)
-        )
-        starts_mask = m.copy()
-        starts_mask[1:] = m[1:] & ~m[:-1]
-        starts = np.flatnonzero(starts_mask)
+        # match its class rule (regex lookaround). Mid-punct bytes are a
+        # tiny fraction of web text, so the rule runs SPARSELY: gather
+        # the candidate positions once, test their two neighbor bytes
+        # there — no full-length shifted mask arrays (the build leg is
+        # DRAM-bandwidth-bound at 32-way task concurrency; every full-n
+        # temporary costs real scaling headroom)
+        mid = np.flatnonzero(_LUT_MID[b])
+        if len(mid):
+            mid = mid[(mid > 0) & (mid < n - 1)]
+        if len(mid):
+            mb, lb, rb = b[mid], b[mid - 1], b[mid + 1]
+            join = (_LUT_MIDNUM[mb] & _LUT_DIGIT[lb] & _LUT_DIGIT[rb]) | (
+                _LUT_MIDLET[mb] & _LUT_LETTER[lb] & _LUT_LETTER[rb]
+            )
+            m[mid[join]] = True
+        # token run boundaries in ONE flip scan (every full-length
+        # temporary in this function is measurable DRAM traffic at
+        # 32-way build concurrency): positions where m changes state
+        # alternate between run starts and run ends
+        x = m.view(np.int8)
+        bounds = np.flatnonzero(x[1:] != x[:-1]) + 1
+        if m[0]:
+            starts = np.concatenate([np.zeros(1, np.int64), bounds[1::2]])
+            ends = bounds[0::2]
+        else:
+            starts = bounds[0::2]
+            ends = bounds[1::2]
+        if len(ends) < len(starts):  # trailing run reaches the buffer end
+            ends = np.append(ends, n)
         if len(starts) == 0:
             return (
                 pa.array([], pa.large_string()),
                 np.empty(0, dtype=np.int64),
                 np.zeros(n_docs, dtype=np.int64),
             )
-        ends_mask = m.copy()
-        ends_mask[:-1] = m[:-1] & ~m[1:]
-        ends = np.flatnonzero(ends_mask) + 1
         lens = ends - starts
-        doc_of_term = np.cumsum(b == 0, dtype=np.int64)[starts]
+        # doc attribution via the (sparse) NUL separator positions — a
+        # full-length cumsum here measured 131 ms on a 4 MB batch, the
+        # single largest DRAM-traffic item in the whole build task
+        nul_pos = np.flatnonzero(b == 0)
+        doc_of_term = None
         maxlen = self.max_token_length
         if int(lens.max()) > maxlen:
+            doc_of_term = np.searchsorted(nul_pos, starts).astype(np.int64)
             # overlong tokens split into maxlen-sized chunks IN PLACE
             # (maxTokenLength split-not-drop). Chunk slices stay
             # contiguous sub-ranges of the original spans, so the
@@ -340,7 +360,22 @@ class StandardTokenizer:
             len(lens),
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)],
         )
-        lengths = np.bincount(doc_of_term, minlength=n_docs)
+        if doc_of_term is not None:  # overlong path: per-token docs exist
+            lengths = np.bincount(doc_of_term, minlength=n_docs)
+        else:
+            # per-doc counts straight from the separator positions: token
+            # spans never cross a NUL, so #tokens before nul_pos[k] is the
+            # cumulative count of docs 0..k
+            cuts = np.searchsorted(starts, nul_pos)
+            lengths = np.diff(
+                np.concatenate(
+                    [
+                        np.zeros(1, np.int64),
+                        cuts,
+                        np.array([len(starts)], np.int64),
+                    ]
+                )
+            )
         return terms, doc_of_term, lengths
 
     # -- ASCII fast path ---------------------------------------------------

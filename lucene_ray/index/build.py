@@ -117,6 +117,7 @@ def build_partition(
     if os.path.exists(os.path.join(sdir, "meta.json")):
         with open(os.path.join(sdir, "meta.json")) as f:
             return json.load(f)
+    t_start = time.time()
     cols = [config.key_col, config.text_col]
     cols += [c for c in config.extra_text_cols if c not in cols]
     cols += [c for c in config.keyword_cols if c not in cols]
@@ -129,6 +130,7 @@ def build_partition(
     tbl = read_partition(
         item["path"], int(item["row_start"]), int(item["row_end"]), cols
     )
+    t_read = time.time()
     if config.index_sort:
         # IndexWriterConfig.setIndexSort flush role (Sorter.java): reorder
         # the partition's rows by the sort field BEFORE inversion, so
@@ -168,6 +170,7 @@ def build_partition(
             with_positions=config.positions,
             with_offsets=getattr(config, "offsets", False),
         )
+    t_invert = time.time()
     field_norms: dict = {}
     field_stats: dict = {}
     if config.extra_text_cols:
@@ -223,6 +226,16 @@ def build_partition(
                 "path": item["path"],
                 "row_start": int(item["row_start"]),
                 "row_end": int(item["row_end"]),
+            },
+            # per-phase task wall times (profiling the build leg's
+            # scaling behavior needs read/invert split from encode+write,
+            # which write_segment reports as metrics.build_s)
+            "task_metrics": {
+                "t_read": round(t_read - t_start, 4),
+                "t_invert": round(t_invert - t_read, 4),
+                # read+invert+kw/dv/vector prep; write time is
+                # metrics.build_s (stamped inside write_segment)
+                "t_prep": round(time.time() - t_start, 4),
             },
             **vec_meta,
         },
