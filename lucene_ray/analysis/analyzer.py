@@ -202,6 +202,51 @@ class Analyzer:
         mapped = pa.array(vocab, enc.dictionary.type)
         return mapped.take(enc.indices)
 
+    def _filter_flat(self, terms, doc_lengths):
+        """Vocabulary-level pre-stop maps + stop drops + pure-map term
+        filters over a flat token array in document order — the batched
+        equivalent of ``analyze_fast``'s per-token loop: each DISTINCT
+        surface form is processed exactly once, token-level work is one
+        boolean gather + one take. Stop drops leave position gaps
+        (``StopFilter`` posinc semantics). → ``(terms, doc_lengths,
+        positions | None)``."""
+        if not (self.stopwords or self.pre_stop_filters):
+            return self._remap_flat(terms), doc_lengths, None
+        if len(terms) == 0:
+            return terms, doc_lengths, None
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(terms)
+        vocab = enc.dictionary.to_pylist()
+        if self.pre_stop_filters:
+            vocab = [self._apply_pre(t) for t in vocab]
+        stop_lut = np.fromiter(
+            (t in self.stopwords for t in vocab), bool, len(vocab)
+        )
+        if self.term_filters:
+            vocab = [self._apply_filters(t) for t in vocab]
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mapped = pa.array(vocab, pa.large_string())
+        if not stop_lut.any():
+            return mapped.take(pa.array(idx)), doc_lengths, None
+        keep = ~stop_lut[idx]
+        n_docs = len(doc_lengths)
+        tok_starts = np.cumsum(doc_lengths) - doc_lengths
+        pos_all = (
+            np.arange(len(idx), dtype=np.int64)
+            - np.repeat(tok_starts, doc_lengths)
+        ).astype(np.uint32)
+        doc_of_tok = np.repeat(
+            np.arange(n_docs, dtype=np.int64), doc_lengths
+        )
+        new_lengths = np.bincount(
+            doc_of_tok[keep], minlength=n_docs
+        ).astype(np.int64)
+        out_terms = mapped.take(pa.array(idx[keep]))
+        return out_terms, new_lengths, pos_all[keep]
+
     # -- batched hot path: whole document batches ---------------------------
 
     def analyze_flat(self, texts):
@@ -223,15 +268,20 @@ class Analyzer:
         n = len(texts)
         if self.char_filters:
             texts = [self._apply_char(t) for t in texts]
-        # pure-map filter chains (stemming, folding) keep the vectorized
-        # path: tokens flow through unchanged-length, then one
-        # dictionary-encode remaps each DISTINCT term exactly once
-        # (vocabulary-level filtering) and a single Arrow take rebuilds
-        # the stream. Dropping filters fall to the per-doc chain.
+        # pure-map filter chains (stemming, folding, elision) keep the
+        # vectorized path — WITH or WITHOUT a stop set: tokens flow
+        # through unchanged-length, then one dictionary-encode processes
+        # each DISTINCT term exactly once (vocabulary-level pre-stop
+        # maps + stop membership + term maps, ``_filter_flat``) and a
+        # single Arrow take rebuilds the stream; stop drops leave
+        # position gaps. Dropping term filters and graph filters fall
+        # to the per-doc chain.
         if (
-            not self.stopwords
-            and not self.graph_filters
-            and not self.pre_stop_filters
+            not self.graph_filters
+            and all(
+                getattr(f, "pure_map", False)
+                for f in self.pre_stop_filters
+            )
             and (not self.term_filters or self._maps_only)
         ):
             ascii_pos: List[int] = []
@@ -262,7 +312,7 @@ class Analyzer:
                         doc_lengths = np.zeros(n, dtype=np.int64)
                         doc_lengths[ascii_pos] = lengths_a
                         if not other_pos:
-                            return self._remap_flat(terms_a), doc_lengths, None
+                            return self._filter_flat(terms_a, doc_lengths)
                         # interleave the (rare) non-ASCII docs: tokenize
                         # them per-doc, then scatter both groups into one
                         # flat array by final offset (no np.split fan-out)
@@ -317,7 +367,7 @@ class Analyzer:
                             else terms_a
                         )
                         terms = combined.take(pa.array(src))
-                        return self._remap_flat(terms), doc_lengths, None
+                        return self._filter_flat(terms, doc_lengths)
             elif not other_pos:
                 return (
                     np.empty(0, dtype=object),

@@ -272,9 +272,29 @@ def resolve_filters(names: Sequence[str]) -> Tuple[TermFilter, ...]:
         elif name.startswith("length:"):
             _, lo, hi = name.split(":")
             out.append(make_length_filter(int(lo), int(hi)))
+        elif name in _LANG_STEM_NAMES:
+            # language stems live in analysis/lang.py (imported lazily:
+            # lang.py imports the Analyzer, which resolves filters here)
+            from lucene_ray.analysis import lang as _lang
+
+            out.append(getattr(_lang, _LANG_STEM_NAMES[name]))
         else:
             raise ValueError(f"unknown token filter: {name!r}")
     return tuple(out)
+
+
+# registry names for the per-language stem/normalization maps (the
+# TokenFilterFactory SPI names, lower-cased like the reference's)
+_LANG_STEM_NAMES = {
+    "frenchlightstem": "french_light_stem",
+    "germanlightstem": "german_light_stem",
+    "germannormalization": "german_normalize",
+    "spanishlightstem": "spanish_light_stem",
+    "russianlightstem": "russian_light_stem",
+    "italianlightstem": "italian_light_stem",
+    "portugueselightstem": "portuguese_light_stem",
+    "dutchstem": "dutch_snowball_stem",
+}
 
 
 class NGramGraphFilter:

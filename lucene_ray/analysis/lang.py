@@ -36,12 +36,20 @@ __all__ = [
     "german_normalize",
     "german_light_stem",
     "french_light_stem",
+    "russian_light_stem",
+    "italian_light_stem",
+    "portuguese_light_stem",
+    "dutch_snowball_stem",
     "make_elision_filter",
     "cjk_width_fold",
     "CJKBigramFilter",
     "SpanishAnalyzer",
     "GermanAnalyzer",
     "FrenchAnalyzer",
+    "RussianAnalyzer",
+    "ItalianAnalyzer",
+    "PortugueseAnalyzer",
+    "DutchAnalyzer",
     "CJKAnalyzer",
     "analyzer_for_lang",
 ]
@@ -318,6 +326,329 @@ def make_elision_filter(articles=FRENCH_ARTICLES):
     return elide
 
 
+# -- Russian ---------------------------------------------------------------
+
+# suffix groups of Dolamic & Savoy's Russian light stemmer
+# (``ru/RussianLightStemmer.java``: "Indexing and Searching Strategies
+# for the Russian Language", implemented from the published rule list)
+_RU_LEN6 = ("иями", "оями")
+_RU_LEN5 = (
+    "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+    "ери", "ими", "ого", "ому", "ыми", "оев",
+)
+_RU_LEN4 = (
+    "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+    "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+    "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми",
+)
+_RU_SINGLE = frozenset("аеиоуйыяь")
+
+
+def russian_light_stem(term: str) -> str:
+    """``RussianLightStemmer.stem``: case-ending removal + ь/и/нн
+    normalization."""
+    s = term
+    n = len(s)
+    # removeCase: longest-first suffix groups, then single vowels
+    if n > 6 and s.endswith(_RU_LEN6):
+        s = s[:-4]
+    elif n > 5 and s.endswith(_RU_LEN5):
+        s = s[:-3]
+    elif n > 4 and s.endswith(_RU_LEN4):
+        s = s[:-2]
+    elif n > 3 and s[-1] in _RU_SINGLE:
+        s = s[:-1]
+    # normalize
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            s = s[:-1]
+        elif s[-1] == "н" and s[-2] == "н":
+            s = s[:-1]
+    return s
+
+
+russian_light_stem.pure_map = True  # type: ignore[attr-defined]
+
+
+# -- Italian ---------------------------------------------------------------
+
+_IT_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii"
+)
+
+
+def italian_light_stem(term: str) -> str:
+    """``ItalianLightStemmer.stem`` (Savoy CLEF-2001): words shorter
+    than 6 pass through; accent fold; final-vowel removal with the
+    i/h digraph doubling rule."""
+    if len(term) < 6:
+        return term
+    s = term.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+italian_light_stem.pure_map = True  # type: ignore[attr-defined]
+
+
+# -- Portuguese --------------------------------------------------------------
+
+_PT_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic"
+)
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """``PortugueseLightStemmer.removeSuffix`` (Savoy UniNE): plural /
+    adverb suffix rewrites, ordered longest-specific first."""
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    """``PortugueseLightStemmer.normFeminine``: -a feminine forms map
+    to the masculine base."""
+    n = len(s)
+    if n > 7 and (
+        s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")
+    ):
+        return s[:-1] + "o"
+    if n > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(term: str) -> str:
+    """``PortugueseLightStemmer.stem``: suffix removal → feminine
+    normalization → final-vowel strip → accent fold (incl. ç → c)."""
+    if len(term) < 4:
+        return term
+    s = _pt_remove_suffix(term)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
+portuguese_light_stem.pure_map = True  # type: ignore[attr-defined]
+
+
+# -- Dutch (Snowball) --------------------------------------------------------
+
+_NL_FOLD = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+_NL_VOWELS = frozenset("aeiouyè")
+
+
+def _nl_mark(word: str) -> list:
+    """Snowball Dutch prelude: fold accents, then mark consonantal
+    i/y as upper-case I/Y (initial y; y after a vowel; i between
+    vowels)."""
+    s = list(word.translate(_NL_FOLD))
+    n = len(s)
+    for k in range(n):
+        c = s[k]
+        if c == "y" and (k == 0 or s[k - 1] in _NL_VOWELS):
+            s[k] = "Y"
+        elif (
+            c == "i"
+            and 0 < k < n - 1
+            and s[k - 1] in _NL_VOWELS
+            and s[k + 1] in _NL_VOWELS
+        ):
+            s[k] = "I"
+    return s
+
+
+def _nl_regions(s: list):
+    """Standard R1/R2 (first non-vowel after a vowel …), with the
+    Dutch adjustment that R1 starts no earlier than position 3."""
+    n = len(s)
+
+    def after_vc(start: int) -> int:
+        i = start
+        while i < n and s[i] not in _NL_VOWELS:
+            i += 1
+        while i < n and s[i] in _NL_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = after_vc(0)
+    r2 = after_vc(r1)
+    if r1 < 3:
+        r1 = 3
+    return r1, r2
+
+
+def _nl_undouble(s: list) -> list:
+    if len(s) >= 2 and "".join(s[-2:]) in ("kk", "dd", "tt"):
+        return s[:-1]
+    return s
+
+
+def _nl_valid_s_ending(s: list) -> bool:
+    return len(s) > 0 and s[-1] not in _NL_VOWELS and s[-1] != "j"
+
+
+def _nl_valid_en_ending(s: list) -> bool:
+    return (
+        len(s) > 0
+        and s[-1] not in _NL_VOWELS
+        and "".join(s[-3:]) != "gem"
+    )
+
+
+def dutch_snowball_stem(term: str) -> str:
+    """Snowball Dutch stemmer (the ``nl/DutchAnalyzer.java:156``
+    ``SnowballFilter(DutchStemmer)`` role), implemented from the
+    published algorithm (snowballstem.org Dutch): prelude i/y marking,
+    R1/R2 with the ≥3 adjustment, suffix steps 1–3b, vowel undoubling,
+    postlude."""
+    if not term:
+        return term
+    s = _nl_mark(term)
+    r1, r2 = _nl_regions(s)
+
+    def in_r1(suf_len: int) -> bool:
+        return len(s) - suf_len >= r1
+
+    def in_r2(suf_len: int) -> bool:
+        return len(s) - suf_len >= r2
+
+    w = lambda: "".join(s)
+
+    # step 1 — longest matching of heden/ene/en/se/s
+    if w().endswith("heden"):
+        if in_r1(5):
+            s = s[:-5] + list("heid")
+    elif w().endswith("ene"):
+        if in_r1(3) and _nl_valid_en_ending(s[:-3]):
+            s = _nl_undouble(s[:-3])
+    elif w().endswith("en"):
+        if in_r1(2) and _nl_valid_en_ending(s[:-2]):
+            s = _nl_undouble(s[:-2])
+    elif w().endswith("se"):
+        if in_r1(2) and _nl_valid_s_ending(s[:-2]):
+            s = s[:-2]
+    elif w().endswith("s"):
+        if in_r1(1) and _nl_valid_s_ending(s[:-1]):
+            s = s[:-1]
+
+    # step 2 — delete final e if in R1 and preceded by a non-vowel
+    e_found = False
+    if (
+        s
+        and s[-1] == "e"
+        and in_r1(1)
+        and len(s) >= 2
+        and s[-2] not in _NL_VOWELS
+    ):
+        e_found = True
+        s = _nl_undouble(s[:-1])
+
+    # step 3a — heid
+    if w().endswith("heid") and in_r2(4) and (len(s) < 5 or s[-5] != "c"):
+        s = s[:-4]
+        if w().endswith("en") and in_r1(2) and _nl_valid_en_ending(s[:-2]):
+            s = _nl_undouble(s[:-2])
+
+    # step 3b — d-suffixes (longest matching)
+    ww = w()
+    if ww.endswith("end") or ww.endswith("ing"):
+        if in_r2(3):
+            s = s[:-3]
+            if (
+                "".join(s[-2:]) == "ig"
+                and len(s) - 2 >= r2
+                and (len(s) < 3 or s[-3] != "e")
+            ):
+                s = s[:-2]
+            else:
+                s = _nl_undouble(s)
+    elif ww.endswith("ig"):
+        if in_r2(2) and (len(s) < 3 or s[-3] != "e"):
+            s = s[:-2]
+    elif ww.endswith("lijk"):
+        if in_r1(4):
+            s = s[:-4]
+            # then repeat step 2
+            if (
+                s
+                and s[-1] == "e"
+                and len(s) - 1 >= r1
+                and len(s) >= 2
+                and s[-2] not in _NL_VOWELS
+            ):
+                s = _nl_undouble(s[:-1])
+    elif ww.endswith("baar"):
+        if in_r1(4):
+            s = s[:-4]
+    elif ww.endswith("bar"):
+        if in_r1(3) and e_found:
+            s = s[:-3]
+
+    # step 4 — undouble vowel: C V V D with D != I, V in aa/ee/oo/uu
+    if len(s) >= 4:
+        c, v1, v2, d = s[-4], s[-3], s[-2], s[-1]
+        if (
+            c not in _NL_VOWELS
+            and d not in _NL_VOWELS
+            and d != "I"
+            and v1 == v2
+            and v1 in "aeou"
+        ):
+            s = s[:-2] + [d]
+
+    # postlude
+    return "".join(s).replace("I", "i").replace("Y", "y")
+
+
+dutch_snowball_stem.pure_map = True  # type: ignore[attr-defined]
+
+
+# ItalianAnalyzer.DEFAULT_ARTICLES (it/ItalianAnalyzer.java:48-54)
+ITALIAN_ARTICLES = frozenset(
+    ["c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d"]
+)
+
+
 # -- CJK -------------------------------------------------------------------
 
 
@@ -438,6 +769,47 @@ CJK_STOP = frozenset(
     such that the their then there these they this to was will with"""
     .split()
 )
+RUSSIAN_STOP = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у
+    же вы за бы по только ее мне было вот от меня еще нет о из ему
+    теперь когда даже ну вдруг ли если уже или ни быть был него до вас
+    нибудь опять уж вам ведь там потом себя ничего ей может они тут где
+    есть надо ней для мы тебя их чем была сам чтоб без будто чего раз
+    тоже себе под будет ж тогда кто этот"""
+    .split()
+)
+ITALIAN_STOP = frozenset(
+    """ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+    dagli dall dagl dalla dalle di del dello dei degli dell degl della
+    delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+    sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi
+    loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro
+    nostra nostri nostre vostro vostra vostri vostre mi ti ci vi lo la
+    li le gli ne il un uno una ma ed se perché anche come dov dove che
+    chi cui non più quale quanto quanti quanta quante quello quelli
+    quella quelle questo questi questa queste si tutto tutti a c e i l
+    o ho hai ha abbiamo avete hanno è sono sei siamo siete sia"""
+    .split()
+)
+PORTUGUESE_STOP = frozenset(
+    """de a o que e do da em um para é com não uma os no se na por mais
+    as dos como mas foi ao ele das tem à seu sua ou ser quando muito há
+    nos já está eu também só pelo pela até isso ela entre era depois
+    sem mesmo aos ter seus quem nas me esse eles estão você tinha foram
+    essa num nem suas meu às minha têm numa pelos elas havia seja qual
+    será nós tenho lhe deles essas esses pelas este fosse dele"""
+    .split()
+)
+DUTCH_STOP = frozenset(
+    """de en van ik te dat die in een hij het niet zijn is was op aan
+    met als voor had er maar om hem dan zou of wat mijn men dit zo door
+    over ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft
+    hebben deze u want nog zal me zij nu ge geen omdat iets worden
+    toch al waren veel meer doen toen moet ben zonder kan hun dus
+    alles onder ja eens hier wie werd altijd doch wordt wezen kunnen
+    ons zelf tegen na reeds wil kon niets uw iemand geweest andere"""
+    .split()
+)
 
 
 class SpanishAnalyzer(Analyzer):
@@ -475,6 +847,56 @@ class FrenchAnalyzer(Analyzer):
         )
 
 
+class RussianAnalyzer(Analyzer):
+    """Russian chain: Standard → LowerCase → Stop → RussianLightStem —
+    the ``ru/RussianLightStemFilterFactory`` configuration (the
+    analyzer default in ``ru/RussianAnalyzer.java:109-115`` plugs the
+    Snowball stemmer instead; the light stemmer is the UniNE variant
+    this module standardizes on across languages)."""
+
+    def __init__(self, stopwords=RUSSIAN_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords, term_filters=(russian_light_stem,), **kw
+        )
+
+
+class ItalianAnalyzer(Analyzer):
+    """``it/ItalianAnalyzer.java:123-130``: Standard → Elision(DEFAULT_
+    ARTICLES) → LowerCase → Stop → ItalianLightStem."""
+
+    def __init__(self, stopwords=ITALIAN_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords,
+            pre_stop_filters=(make_elision_filter(ITALIAN_ARTICLES),),
+            term_filters=(italian_light_stem,),
+            **kw,
+        )
+
+
+class PortugueseAnalyzer(Analyzer):
+    """``pt/PortugueseAnalyzer.java:113-119``: Standard → LowerCase →
+    Stop → PortugueseLightStem."""
+
+    def __init__(self, stopwords=PORTUGUESE_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords,
+            term_filters=(portuguese_light_stem,),
+            **kw,
+        )
+
+
+class DutchAnalyzer(Analyzer):
+    """``nl/DutchAnalyzer.java:150-157``: Standard → LowerCase → Stop →
+    Snowball(Dutch) (the default empty stem-override dict omitted)."""
+
+    def __init__(self, stopwords=DUTCH_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords,
+            term_filters=(dutch_snowball_stem,),
+            **kw,
+        )
+
+
 class CJKAnalyzer(Analyzer):
     """``cjk/CJKAnalyzer.java:92-99``: Standard → CJKWidth → LowerCase
     → CJKBigram → Stop (stop list is English words, so filtering before
@@ -493,6 +915,10 @@ _LANG_REGISTRY = {
     "es": SpanishAnalyzer,
     "de": GermanAnalyzer,
     "fr": FrenchAnalyzer,
+    "ru": RussianAnalyzer,
+    "it": ItalianAnalyzer,
+    "pt": PortugueseAnalyzer,
+    "nl": DutchAnalyzer,
     "zh": CJKAnalyzer,
     "ja": CJKAnalyzer,
     "ko": CJKAnalyzer,

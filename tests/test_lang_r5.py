@@ -1,0 +1,226 @@
+"""Round-5 language additions: ru/it/pt/nl stems (hand-traced against
+the published Savoy-UniNE / CLEF / classic-Snowball algorithms),
+analyzer chains, the widened multilingual goldens, the vectorized
+stopword-bearing flat path, and the memoized gate batch path."""
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.analyzer import EnglishAnalyzer
+from lucene_ray.analysis.filters import resolve_filters
+from lucene_ray.analysis.lang import (
+    CJKAnalyzer,
+    DutchAnalyzer,
+    FrenchAnalyzer,
+    GermanAnalyzer,
+    ItalianAnalyzer,
+    PortugueseAnalyzer,
+    RussianAnalyzer,
+    SpanishAnalyzer,
+    analyzer_for_lang,
+    dutch_snowball_stem,
+    italian_light_stem,
+    portuguese_light_stem,
+    russian_light_stem,
+)
+from lucene_ray.pipelines.lang_analysis import (
+    _GOLD,
+    _K,
+    LANGS,
+    VOCAB,
+    MultilingualAnalyze,
+    probe_text,
+)
+
+
+class TestRussianLight:
+    # Dolamic & Savoy rules (ru/RussianLightStemmer.java)
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("книгами", "книг"),      # -ами case group
+            ("фамилиями", "фамил"),   # -иями 4-char group
+            ("красный", "красн"),     # -ый
+            ("большой", "больш"),     # -ой
+            ("россии", "росс"),       # vowel strip + и normalize
+            ("информация", "информац"),  # -ия
+            ("системы", "систем"),    # single vowel ы
+            ("стол", "стол"),         # too short for single-vowel strip? (n=4>3, л not vowel)
+            ("иностранный", "иностран"),  # -ый then нн → н
+        ],
+    )
+    def test_stem(self, w, s):
+        assert russian_light_stem(w) == s
+
+
+class TestItalianLight:
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("libro", "libro"),       # len<6 passes through
+            ("ragazzi", "ragazz"),
+            ("ragazza", "ragazz"),
+            ("tecnologie", "tecnolog"),  # -ie
+            ("amiche", "amic"),       # -he
+            ("università", "universit"),  # fold + -a
+            ("vecchio", "vecch"),     # -io
+            ("famiglia", "famigl"),   # -ia
+        ],
+    )
+    def test_stem(self, w, s):
+        assert italian_light_stem(w) == s
+
+
+class TestPortugueseLight:
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("livros", "livr"),
+            ("canções", "canca"),       # -ões → -ão, vowel strip, fold
+            ("informações", "informaca"),
+            ("nacionais", "nacional"),  # -ais → -al
+            ("homens", "homem"),        # -ns → -m
+            ("papéis", "papel"),        # -éis → -el
+            ("portuguesa", "portugues"),  # feminine -esa → -ês
+            ("meninas", "menin"),
+            ("rápidos", "rapid"),
+            ("bom", "bom"),             # len<4 passes
+        ],
+    )
+    def test_stem(self, w, s):
+        assert portuguese_light_stem(w) == s
+
+
+class TestDutchSnowball:
+    # classic (pre-3.0) Snowball Dutch, hand-traced per the published
+    # algorithm; the reference's generated DutchStemmer.java is the
+    # REVISED Snowball-3.0 algorithm (documented scoping in lang.py)
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("boeken", "boek"),
+            ("gekken", "gek"),          # en + kk undouble
+            ("kinderen", "kinder"),
+            ("lichamelijk", "licham"),  # lijk + repeat step 2
+            ("lichamelijke", "licham"),
+            ("appels", "appel"),        # valid s-ending
+            ("maan", "man"),            # step-4 vowel undouble
+            ("vergaderingen", "vergader"),  # en then ing in R2
+            ("gemeenten", "gemeent"),   # gem- guard does not block (gemeent != gem)
+            ("gemeen", "gemen"),        # en blocked (vowel before), step 4 fires
+            ("huizen", "huiz"),
+            ("gebouwen", "gebouw"),
+            ("hopeloosheid", "hopelos"),  # heid in R2 + step-4 undouble
+            ("loyaal", "loyal"),        # y marking + step 4
+        ],
+    )
+    def test_stem(self, w, s):
+        assert dutch_snowball_stem(w) == s
+
+
+class TestChains:
+    def test_registry_routes(self):
+        assert isinstance(analyzer_for_lang("ru"), RussianAnalyzer)
+        assert isinstance(analyzer_for_lang("it"), ItalianAnalyzer)
+        assert isinstance(analyzer_for_lang("pt"), PortugueseAnalyzer)
+        assert isinstance(analyzer_for_lang("nl"), DutchAnalyzer)
+
+    def test_filter_registry_names(self):
+        fns = resolve_filters(
+            ("russianlightstem", "italianlightstem",
+             "portugueselightstem", "dutchstem")
+        )
+        assert fns[0]("книгами") == "книг"
+        assert fns[3]("boeken") == "boek"
+
+    def test_italian_elision_and_stop(self):
+        an = ItalianAnalyzer()
+        toks, _ = an.analyze_fast("l'amico della famiglia")
+        assert toks == ["amico", "famigl"]
+
+    def test_russian_stop(self):
+        an = RussianAnalyzer()
+        toks, pos = an.analyze_fast("что новости")
+        assert toks == ["новост"] and list(pos) == [1]
+
+
+class TestFlatStopwordPath:
+    """analyze_flat keeps stopword-bearing pure-map chains vectorized;
+    output must equal the per-doc chain, positions included."""
+
+    @pytest.mark.parametrize(
+        "an",
+        [
+            EnglishAnalyzer(),
+            FrenchAnalyzer(),
+            GermanAnalyzer(),
+            SpanishAnalyzer(),
+            RussianAnalyzer(),
+            ItalianAnalyzer(),
+            PortugueseAnalyzer(),
+            DutchAnalyzer(),
+            CJKAnalyzer(),
+        ],
+        ids=lambda a: type(a).__name__,
+    )
+    def test_flat_equals_perdoc(self, an):
+        import random
+
+        rng = random.Random(11)
+        words = [
+            "the", "running", "databases", "a", "of", "merge", "query",
+            "l'avion", "les", "de", "boeken", "della", "para", "что",
+            "1,234", "u.s.a", "x" * 300, "straße",
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(0, 10)))
+            for _ in range(150)
+        ] + ["", "только русские слова", "中文 信息"]
+        terms, lens, pos = an.analyze_flat(texts)
+        tl = (
+            terms.to_pylist()
+            if hasattr(terms, "to_pylist")
+            else [str(t) for t in terms]
+        )
+        off = 0
+        for i, t in enumerate(texts):
+            want_t, want_p = an.analyze_fast(t)
+            L = int(lens[i])
+            assert tl[off : off + L] == list(want_t), (i, t)
+            if pos is not None:
+                wp = want_p if want_p is not None else list(range(L))
+                assert [int(x) for x in pos[off : off + L]] == [
+                    int(x) for x in wp
+                ], (i, t)
+            off += L
+
+
+class TestGateGoldens:
+    def test_vocab_gold_aligned(self):
+        assert set(VOCAB) == set(_GOLD) == set(LANGS)
+        for lang in VOCAB:
+            assert len(VOCAB[lang]) == len(_GOLD[lang])
+
+    def test_engine_matches_goldens_per_word(self):
+        # every vocab word alone (separated probe) analyzes to its golden
+        for lang in LANGS:
+            an = analyzer_for_lang(lang)
+            for w, g in zip(VOCAB[lang], _GOLD[lang]):
+                toks, _ = an.analyze_fast(w)
+                assert " ".join(toks) == g, (lang, w, toks, g)
+
+    def test_memoized_batch_equals_perdoc(self):
+        import pyarrow as pa
+
+        stage = MultilingualAnalyze()
+        ids = np.arange(0, 400, dtype=np.int64)
+        out = stage(pa.table({"doc_id": pa.array(ids)}))
+        terms = out.column("terms").to_pylist()
+        plangs = out.column("plang").to_pylist()
+        counts = out.column("n_terms").to_pylist()
+        for i, did in enumerate(ids):
+            lang = LANGS[did % len(LANGS)]
+            an = analyzer_for_lang(lang)
+            toks, _ = an.analyze_fast(probe_text(int(did), lang))
+            assert plangs[i] == lang
+            assert terms[i] == " ".join(toks), (did, lang)
+            assert counts[i] == len(toks)
