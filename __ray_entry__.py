@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_search": rf.range_field_search,  # index-resident (r5)
         "multilingual_analysis": la.multilingual_analysis,  # vectorized+ru/it/pt/nl
         "collocations": co.collocations,  # searchsorted verify
+        "highlight_ranked": hl.highlight_ranked,  # NEW r5: passage-ranked
         # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_boolean_search": sq.sql_grouped_boolean_search(),
         "synonym_graph_search": sq.sql_synonym_graph_search(),
         "highlight_offsets": hl.sql_highlight_offsets(),
+        "highlight_ranked": hl.sql_highlight_ranked(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "dismax_topk": sq.sql_dismax_topk(),
