@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
     from lucene_ray.pipelines import vector_index as vix
+    from lucene_ray.pipelines import byte_knn as bknn
 
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # first ~50 entries per round. Round-5 ordering: (a) entries whose
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multilingual_analysis": la.multilingual_analysis,  # vectorized+ru/it/pt/nl
         "collocations": co.collocations,  # searchsorted verify
         "highlight_ranked": hl.highlight_ranked,  # NEW r5: passage-ranked
+        "knn_byte": bknn.knn_byte,  # NEW r5: KnnByteVectorField
         # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
@@ -213,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import search_queries as sq
     from lucene_ray.pipelines import suggest as sugg
     from lucene_ray.pipelines import vector_index as vix
+    from lucene_ray.pipelines import byte_knn as bknn
 
     from lucene_ray.pipelines import facet_multi as fm
 
@@ -241,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_graph_search": sq.sql_synonym_graph_search(),
         "highlight_offsets": hl.sql_highlight_offsets(),
         "highlight_ranked": hl.sql_highlight_ranked(),
+        "knn_byte": bknn.sql_knn_byte(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "dismax_topk": sq.sql_dismax_topk(),

@@ -28,7 +28,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.analysis.analyzer import Analyzer, analyzer_for_config
-from lucene_ray.index.vectors import VECTORS_FILE, build_graph_bytes
+from lucene_ray.index.vectors import (
+    BYTE_VECTORS_FILE,
+    VECTORS_FILE,
+    build_byte_vector_bytes,
+    build_graph_bytes,
+)
 from lucene_ray.index.config import IndexConfig
 from lucene_ray.index.manifest import (
     Manifest,
@@ -202,7 +207,23 @@ def build_partition(
         keys = keys.combine_chunks()
     extra_files = None
     vec_meta = {}
-    if config.vector_col:
+    if config.vector_col and config.vector_encoding == "byte":
+        # byte vectors (KnnByteVectorField role): store the signed
+        # bytes verbatim as a flat checksummed sidecar; scoring is the
+        # exact integer dot product (index/vectors.py byte_dot_topk)
+        varr = tbl.column(config.vector_col).combine_chunks()
+        codes = np.asarray(varr.values, dtype=np.int8).reshape(
+            len(varr), -1
+        )
+        extra_files = {BYTE_VECTORS_FILE: build_byte_vector_bytes(codes)}
+        vec_meta = {
+            "vectors": {
+                "dim": int(codes.shape[1]),
+                "count": int(len(varr)),
+                "encoding": "byte",
+            }
+        }
+    elif config.vector_col:
         # index-resident vectors (KnnFloatVectorField role): build this
         # segment's HNSW graph over the partition's vectors, keyed by
         # LOCAL docid, and ship it as a checksummed segment sidecar

@@ -142,6 +142,16 @@ class IndexConfig:
     # ``vectors.hnsw.npz`` beside postings, rebuilt at merge, searched
     # via ``search.knn_index.knn_search_index`` with live-doc masking.
     vector_col: Optional[str] = None
+    # vector_encoding — ``VectorEncoding`` role
+    # (``core/index/VectorEncoding.java``): "float32" stores float
+    # vectors + a deterministic HNSW graph (``KnnFloatVectorField``);
+    # "byte" accepts a ``list<int8>`` vector_col and stores the signed
+    # bytes verbatim in a flat per-segment sidecar
+    # (``core/document/KnnByteVectorField.java`` + the
+    # ``Lucene99FlatVectorsFormat`` role), scored by the raw integer
+    # dot product (``VectorUtil.dotProductScore``: 0.5 + dot/(dim·2^15))
+    # via exact per-segment scans.
+    vector_encoding: str = "float32"
     # index sort (``IndexWriterConfig.setIndexSort`` / ``Sorter.java``):
     # ("field", "asc"|"desc") — docids within every segment follow this
     # NUMERIC doc-values field, at build (rows sorted pre-inversion) and
@@ -214,6 +224,11 @@ class IndexConfig:
                 f"range_cols lo/hi columns must be in dv_cols; missing "
                 f"{sorted(rng_missing)}"
             )
+        if self.vector_encoding not in ("float32", "byte"):
+            raise ValueError(
+                f"vector_encoding must be float32|byte, got "
+                f"{self.vector_encoding!r}"
+            )
 
     def term_bucket(self, term: str) -> int:
         """Stable cross-process term→bucket routing (crc32, NOT python
@@ -261,6 +276,7 @@ class IndexConfig:
             "geo_cols": [list(g) for g in self.geo_cols],
             "range_cols": [list(r) for r in self.range_cols],
             "vector_col": self.vector_col,
+            "vector_encoding": self.vector_encoding,
             "feature_cols": list(self.feature_cols),
             "pretokenized": self.pretokenized,
             "payloads": self.payloads,
@@ -294,6 +310,7 @@ class IndexConfig:
             geo_cols=tuple(tuple(g) for g in d.get("geo_cols", ())),
             range_cols=tuple(tuple(r) for r in d.get("range_cols", ())),
             vector_col=d.get("vector_col"),
+            vector_encoding=d.get("vector_encoding", "float32"),
             feature_cols=tuple(d.get("feature_cols", ())),
             pretokenized=d.get("pretokenized", False),
             payloads=d.get("payloads", False),

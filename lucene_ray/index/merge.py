@@ -34,7 +34,14 @@ import pyarrow as pa
 
 from lucene_ray.index.config import FIELD_SEP, IndexConfig
 from lucene_ray.index.deletes import _write_deleted
-from lucene_ray.index.vectors import VECTORS_FILE, _ShardGraph, build_graph_bytes
+from lucene_ray.index.vectors import (
+    BYTE_VECTORS_FILE,
+    VECTORS_FILE,
+    _ShardGraph,
+    build_byte_vector_bytes,
+    build_graph_bytes,
+    load_byte_vectors,
+)
 from lucene_ray.index.points import build_point_files
 from lucene_ray.index.geo import build_geo_files
 from lucene_ray.index.ranges import build_range_files
@@ -767,7 +774,37 @@ def _finalize_merge(
             "rebuild the vector-less segments (or addIndexes with a "
             "matching vector_col) before merging"
         )
-    if all(r.meta.get("vectors") for r in readers):
+    if all(
+        (r.meta.get("vectors") or {}).get("encoding") == "byte"
+        for r in readers
+    ) and any(r.meta.get("vectors") for r in readers):
+        # byte vectors (KnnByteVectorField): flat codes concatenate in
+        # docid order (and remap under an index sort) — no graph rebuild
+        mats = [
+            load_byte_vectors(os.path.join(r.seg_dir, BYTE_VECTORS_FILE))
+            for r in readers
+        ]
+        codes = np.concatenate(mats)
+        if old_of_new is not None:
+            codes = codes[old_of_new]
+        blob = build_byte_vector_bytes(codes)
+        with open(os.path.join(tmp_dir, BYTE_VECTORS_FILE), "wb") as fh:
+            fh.write(blob)
+        vec_crc[BYTE_VECTORS_FILE] = _zlib.crc32(blob)
+        vectors_meta = {
+            "dim": int(codes.shape[1]),
+            "count": int(len(codes)),
+            "encoding": "byte",
+        }
+    elif any(
+        (r.meta.get("vectors") or {}).get("encoding") == "byte"
+        for r in readers
+    ):
+        raise ValueError(
+            "merge: mixed byte- and float-vector segments; rebuild to a "
+            "single vector_encoding before merging"
+        )
+    elif all(r.meta.get("vectors") for r in readers):
         # index-resident vectors: concatenate source segments' float32
         # vectors in docid order and REBUILD the merged graph — the
         # HnswGraphMerger role (``Lucene99HnswVectorsFormat`` merges by

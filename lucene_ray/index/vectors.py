@@ -440,3 +440,51 @@ def graph_to_bytes(g: _ShardGraph) -> bytes:
 def build_graph_bytes(matrix: np.ndarray, ids: np.ndarray) -> bytes:
     """vectors (n, dim) + int64 ids → serialized per-segment graph."""
     return graph_to_bytes(_ShardGraph(matrix, ids))
+
+
+# -- byte vectors (KnnByteVectorField) ---------------------------------------
+
+BYTE_VECTORS_FILE = "vectors.byte.npz"
+
+
+def build_byte_vector_bytes(codes: np.ndarray) -> bytes:
+    """Signed-byte vectors (n, dim) → serialized flat per-segment
+    sidecar — the ``KnnByteVectorField`` storage role
+    (``core/document/KnnByteVectorField.java``; flat codes like the
+    ``Lucene99FlatVectorsFormat``: byte similarity needs no re-rank
+    floats, the codes ARE the exact representation)."""
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    buf = io.BytesIO()
+    np.savez(buf, codes=codes)
+    return buf.getvalue()
+
+
+def load_byte_vectors(path: str) -> np.ndarray:
+    """→ int8 (n, dim) codes, row == segment-local docid."""
+    return np.load(path)["codes"]
+
+
+def byte_dot_topk(
+    codes: np.ndarray,
+    q_codes: np.ndarray,
+    k: int,
+    accept: np.ndarray = None,
+) -> List[List[Tuple[int, int]]]:
+    """Exact byte-vector top-k per query — ``KnnByteVectorQuery``'s
+    scoring over DOT_PRODUCT byte similarity: raw integer dot product
+    (monotone with ``VectorUtil.dotProductScore`` for a fixed dim), one
+    int32 GEMM per batch, ordered (dot desc, row asc). → per query,
+    [(dot, row_index)]."""
+    rows = np.arange(len(codes), dtype=np.int64)
+    if accept is not None:
+        rows = rows[accept]
+        if len(rows) == 0:
+            return [[] for _ in range(q_codes.shape[0])]
+        codes = codes[accept]
+    dots = codes.astype(np.int32) @ q_codes.T.astype(np.int32)
+    out: List[List[Tuple[int, int]]] = []
+    for qi in range(q_codes.shape[0]):
+        d = dots[:, qi].astype(np.int64)
+        order = np.lexsort((rows, -d))[: min(k, len(rows))]
+        out.append([(int(d[j]), int(rows[j])) for j in order])
+    return out

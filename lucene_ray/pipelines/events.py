@@ -86,7 +86,7 @@ group by 1, 2
 """
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
+def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = None):
     """→ per (user_id, session): start, n_events, duration — classic
     sessionization, hash-bucketed and fully vectorized.
 
@@ -97,7 +97,11 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     group (a task's work is a whole bucket of users, so many small
     users amortize into one Arrow kernel; one hot user costs one
     bucket, the sessionization lower bound, not one task per user).
-    Scale ``n_buckets`` ∝ cluster width."""
+
+    ``n_buckets=None`` derives the count from the parquet FOOTER row
+    count (~64k events per bucket task, min 16 — the span_dedup
+    discipline, ``dedup.py``), so a 100-TB event table shards into
+    corpus-proportional tasks instead of corpus/64."""
     import ray.data
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -155,6 +159,10 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
+    if n_buckets is None:
+        # footer-only count (no data read): ~64k events per bucket task
+        n_rows = ds.count()
+        n_buckets = max(16, -(-n_rows // 65536))
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")

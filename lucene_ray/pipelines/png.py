@@ -152,18 +152,39 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ft == 2:
             line += prev  # array add wraps mod 256 — the PNG "Up" filter
         elif ft == 3:
-            for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
-                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            # Average filter: out[x] = raw[x] + (out[x-ch] + prev[x])>>1
+            # has a true pixel-to-pixel dependence, but all ``ch`` lanes
+            # of a pixel are independent — one numpy vector op per PIXEL
+            # (not per byte), with the int64 lane views hoisted out
+            lanes = line.reshape(-1, ch).astype(np.int64)
+            pl = prev.reshape(-1, ch).astype(np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for i in range(len(lanes)):
+                left = (lanes[i] + ((left + pl[i]) >> 1)) & 0xFF
+                lanes[i] = left
+            line = lanes.astype(np.uint8).reshape(-1)
         elif ft == 4:
-            for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
-                line[x] = (int(line[x]) + pred) & 0xFF
+            # Paeth filter: same lane-wise pixel recurrence; b/c rows
+            # (up, up-left) are pure prev-row data, precomputed whole-row
+            lanes = line.reshape(-1, ch).astype(np.int64)
+            pl = prev.reshape(-1, ch).astype(np.int64)
+            plc = np.zeros_like(pl)  # prev[x-ch] per pixel
+            plc[1:] = pl[:-1]
+            left = np.zeros(ch, dtype=np.int64)
+            for i in range(len(lanes)):
+                b_, c_ = pl[i], plc[i]
+                p = left + b_ - c_
+                pa_ = np.abs(p - left)
+                pb_ = np.abs(p - b_)
+                pc_ = np.abs(p - c_)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_),
+                    left,
+                    np.where(pb_ <= pc_, b_, c_),
+                )
+                left = (lanes[i] + pred) & 0xFF
+                lanes[i] = left
+            line = lanes.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = line

@@ -25,7 +25,14 @@ import pyarrow as pa
 
 from lucene_ray.index.deletes import load_deleted
 from lucene_ray.index.manifest import load_manifest, segment_dir
-from lucene_ray.index.vectors import EF_SEARCH, VECTORS_FILE, _ShardGraph
+from lucene_ray.index.vectors import (
+    BYTE_VECTORS_FILE,
+    EF_SEARCH,
+    VECTORS_FILE,
+    _ShardGraph,
+    byte_dot_topk,
+    load_byte_vectors,
+)
 
 
 def _search_segment(
@@ -77,6 +84,94 @@ def _search_segment(
     return out
 
 
+def knn_search_index_byte(
+    index_dir: str, q_codes: np.ndarray, k: int = 10
+) -> pa.Table:
+    """KNN over INDEX-RESIDENT BYTE vectors — ``KnnByteVectorQuery``
+    against segments built with ``vector_encoding="byte"``: per-leaf
+    exact integer-dot-product top-k over live docs (one int32 GEMM per
+    segment — byte similarity's flat scoring path), TopDocs.merge
+    ordering (dot desc, global docid asc). → (qi, rank, docid, key,
+    dot). Same Ray shape as :func:`knn_search_index`: one task per
+    segment, query codes broadcast once."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.int8)
+    q_ref = ray.put(q_codes)
+
+    @ray.remote(num_cpus=1)
+    def seg_task(sdir: str, base: int, n_docs: int):
+        codes = load_byte_vectors(os.path.join(sdir, BYTE_VECTORS_FILE))
+        deleted = load_deleted(sdir, n_docs)
+        accept = None
+        if deleted is not None and deleted.any():
+            accept = ~deleted.astype(bool)
+        out = []
+        for qi, hits in enumerate(
+            byte_dot_topk(codes, ray.get(q_ref), k, accept=accept)
+        ):
+            for dot, row in hits:
+                out.append((qi, base + int(row), dot))
+        return out
+
+    futs = [
+        seg_task.remote(
+            s.get("dir") or segment_dir(index_dir, int(s["seg_id"])),
+            int(s["base_docid"]),
+            int(s["n_docs"]),
+        )
+        for s in man.segments
+        if (s.get("vectors") or {}).get("encoding") == "byte"
+    ]
+    rows: List[Tuple[int, int, int]] = []
+    for part in ray.get(futs):
+        rows.extend(part)
+    out_q: List[int] = []
+    out_rank: List[int] = []
+    out_doc: List[int] = []
+    out_dot: List[int] = []
+    for qi in range(q_codes.shape[0]):
+        cand = sorted(
+            ((s, d) for (q, d, s) in rows if q == qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (s, d) in enumerate(cand):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_doc.append(d)
+            out_dot.append(s)
+    keys: List[object] = [None] * len(out_doc)
+    key_type = pa.int64()
+    doc_arr = np.asarray(out_doc, dtype=np.int64)
+    for s in man.segments:
+        base, n = int(s["base_docid"]), int(s["n_docs"])
+        mask = (doc_arr >= base) & (doc_arr < base + n)
+        if not mask.any():
+            continue
+        sdir = s.get("dir") or segment_dir(index_dir, int(s["seg_id"]))
+        dm = pq.read_table(
+            os.path.join(sdir, "docmap.parquet"), columns=["key"]
+        ).column("key")
+        key_type = dm.type
+        vals = dm.take(pa.array(doc_arr[mask] - base)).to_pylist()
+        for pos, v in zip(np.flatnonzero(mask), vals):
+            keys[pos] = v
+    return pa.table(
+        {
+            "qi": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "docid": pa.array(out_doc, pa.int64()),
+            "key": pa.array(keys, key_type),
+            "dot": pa.array(out_dot, pa.int64()),
+        }
+    )
+
+
 def knn_search_index(
     index_dir: str,
     query_matrix: np.ndarray,
@@ -113,6 +208,7 @@ def knn_search_index(
         )
         for s in man.segments
         if s.get("vectors")
+        and (s.get("vectors") or {}).get("encoding") != "byte"
     ]
     rows: List[Tuple[int, int, int]] = []
     for part in ray.get(futs):
