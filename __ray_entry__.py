@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": co.collocations,  # searchsorted verify
         "highlight_ranked": hl.highlight_ranked,  # NEW r5: passage-ranked
         "knn_byte": bknn.knn_byte,  # NEW r5: KnnByteVectorField
+        "lmjelinekmercer_topk": sq.lmjelinekmercer_topk,  # NEW r5
         # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": sq.sql_bm25_topk_filtered(),
         "classic_tfidf_topk": sq.sql_classic_tfidf_topk(),
         "lmdirichlet_topk": sq.sql_lmdirichlet_topk(),
+        "lmjelinekmercer_topk": sq.sql_lmjelinekmercer_topk(),
         "sort_by_field": sq.sql_sort_by_field(),
         "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_multi": sq.sql_sort_multi(),

@@ -292,6 +292,13 @@ def lmdirichlet_topk(sf_dir: str):
     return _run(sf_dir, TERM_QUERIES, similarity="lmdirichlet")
 
 
+def lmjelinekmercer_topk(sf_dir: str):
+    """Same term workload under LMJelinekMercerSimilarity (λ=0.25):
+    double JM-smoothed LM score, clamped at 0, narrowed to float32
+    (``LMJelinekMercerSimilarity.java:67-74``)."""
+    return _run(sf_dir, TERM_QUERIES, similarity="lmjelinekmercer")
+
+
 def bm25_topk_shuffle(sf_dir: str):
     """Same query set over an index built by the groupby-term SHUFFLE build
     with head-term salting (index.shuffle_build) — must match the same
@@ -1412,6 +1419,47 @@ tscore as (
                     / (2000.0 * ((t.ttf + 1.0)
                        / ((select sum_ttf from stats) + 1.0))))
            + ln(2000.0 / (cast(nt.dec as double) + 2000.0)),
+           0.0) as float) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join ttfs t on t.term = q.term
+  join docnorm dn on dn.doc_id = tf.doc_id
+  join nt on nt.b = dn.nb
+),
+ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_lmjelinekmercer_topk() -> str:
+    """Jelinek-Mercer oracle: double math, λ=0.25 (exact float), clamp
+    at 0, single narrow to float32 — association mirrors the engine:
+    ((1-λ)·tf/dl) / (λ·p)."""
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {_qterms_values(TERM_QUERIES)}
+),
+tf as (
+  select q.qid, q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+ttfs as (
+  select term, count(*)::bigint as ttf from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.doc_id,
+         cast(greatest(
+           ln(1.0 + (0.75 * cast(tf.tf as double) / cast(nt.dec as double))
+                    / (0.25 * ((t.ttf + 1.0)
+                       / ((select sum_ttf from stats) + 1.0)))),
            0.0) as float) as s
   from tf
   join qterms q on q.qid = tf.qid and q.ti = tf.ti

@@ -241,6 +241,65 @@ class LMDirichletSimilarity(Similarity):
 
 
 @dataclass
+class LMJelinekMercerScorer:
+    """double-math Jelinek-Mercer-smoothed LM score
+    (``LMJelinekMercerSimilarity.java:67-74``): boost * log(1 +
+    ((1-λ)·freq/docLen) / (λ·p)), clamped at 0 and narrowed to float32
+    by ``SimilarityBase.BasicSimScorer.score``."""
+
+    boost: float  # double
+    lam: float  # double (λ)
+    collection_prob: float  # double
+    doc_len_table: np.ndarray  # float64[256] decoded lengths
+
+    def score(self, freqs: np.ndarray, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=F64)
+        dl = self.doc_len_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        s = self.boost * np.log(
+            1.0
+            + ((1.0 - self.lam) * f / dl)
+            / (self.lam * self.collection_prob)
+        )
+        return np.maximum(s, 0.0).astype(F32)
+
+    def max_score(self, max_freq: float, best_norm_byte: int | None = None) -> np.float32:
+        nb = (
+            int(np.argmin(self.doc_len_table))
+            if best_norm_byte is None
+            else best_norm_byte
+        )
+        return F32(self.score(np.array([max_freq], F64), np.array([nb], np.uint8))[0])
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    name = "lmjelinekmercer"
+
+    def __init__(self, lam: float = 0.25):
+        # λ ∈ (0, 1] (LMJelinekMercerSimilarity.java:53-57); default
+        # 0.25 here (exactly representable — the oracle embeds the same
+        # constant)
+        if math.isnan(lam) or lam <= 0 or lam > 1:
+            raise ValueError("lambda must be in the range (0 .. 1]")
+        self.lam = float(F32(lam))
+
+    def scorer(
+        self,
+        boost: float,
+        doc_count: int,
+        sum_total_term_freq: int,
+        doc_freq: int,
+        total_term_freq: int = 0,
+    ) -> LMJelinekMercerScorer:
+        p = (total_term_freq + 1.0) / (sum_total_term_freq + 1.0)
+        return LMJelinekMercerScorer(
+            boost=float(F32(boost)),
+            lam=self.lam,
+            collection_prob=p,
+            doc_len_table=np.asarray(LENGTH_TABLE, dtype=F64),
+        )
+
+
+@dataclass
 class ConstScorer:
     weight: np.float32
 
@@ -286,6 +345,7 @@ SIMILARITIES = {
     "classic": ClassicSimilarity,
     "tfidf": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
     "boolean": BooleanSimilarity,
 }
 

@@ -98,6 +98,18 @@ def naive_lmd(cm, term, doc, boost=1.0, mu=2000.0):
     return F32(max(s, 0.0))
 
 
+def naive_jm(cm, term, doc, boost=1.0, lam=0.25):
+    freq = cm["docs"][doc].count(term)
+    if freq == 0:
+        return None
+    p = (cm["ttf"][term] + 1.0) / (cm["sum_ttf"] + 1.0)
+    dl = float(LENGTH_TABLE[cm["nb"][doc]])
+    s = float(F32(boost)) * math.log(
+        1.0 + ((1.0 - lam) * freq / dl) / (lam * p)
+    )
+    return F32(max(s, 0.0))
+
+
 TERMS = ["data", "the", "merge", "spark"]
 
 
@@ -168,6 +180,27 @@ class TestLMDirichlet:
     def test_mu_validation(self):
         with pytest.raises(ValueError):
             LMDirichletSimilarity(mu=float("nan"))
+
+
+class TestLMJelinekMercer:
+    def test_term_scores_match_naive(self, index_dir, corpus_model):
+        from lucene_ray.search.similarities import LMJelinekMercerSimilarity
+
+        s = IndexSearcher(
+            index_dir, similarity=LMJelinekMercerSimilarity()
+        )
+        for term in TERMS:
+            r = s.search(term, k=10**9, mode="exhaustive")
+            assert len(r["keys"]) > 0
+            for doc, score in zip(r["keys"], r["scores"]):
+                assert score == naive_jm(corpus_model, term, doc), (term, doc)
+
+    def test_lambda_validation(self):
+        from lucene_ray.search.similarities import LMJelinekMercerSimilarity
+
+        for bad in (0.0, -0.5, 1.5, float("nan")):
+            with pytest.raises(ValueError):
+                LMJelinekMercerSimilarity(lam=bad)
 
 
 class TestBoolean:
