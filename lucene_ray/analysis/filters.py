@@ -239,6 +239,67 @@ def english_possessive(term: str) -> str:
 english_possessive.pure_map = True  # type: ignore[attr-defined]
 
 
+def make_truncate_filter(n: int) -> TermFilter:
+    """``TruncateTokenFilter`` role (codepoint mode,
+    ``miscellaneous/TruncateTokenFilter.java``): fixed prefix of ``n``
+    codepoints — F5 prefix truncation is a published stemming method
+    for Turkish."""
+    if n < 1:
+        raise ValueError("truncate length must be >= 1")
+
+    def truncate(term: str) -> str:
+        return term[:n]
+
+    truncate.pure_map = True  # type: ignore[attr-defined]
+    return truncate
+
+
+def reverse_token(term: str) -> str:
+    """``ReverseStringFilter`` role (``reverse/ReverseStringFilter.java``):
+    codepoint-order reversal (the reference keeps surrogate pairs
+    intact, which Python's codepoint slicing does by construction);
+    classic trick enabling leading-wildcard queries on a reversed
+    field."""
+    return term[::-1]
+
+
+reverse_token.pure_map = True  # type: ignore[attr-defined]
+
+
+def decimal_digit(term: str) -> str:
+    """``DecimalDigitFilter`` role (``core/DecimalDigitFilter.java``):
+    fold non-Latin decimal digits (Unicode Nd outside ASCII) to their
+    0-9 equivalents."""
+    if term.isascii():
+        return term
+    import unicodedata
+
+    out = []
+    for ch in term:
+        if ord(ch) > 0x7F:
+            d = unicodedata.decimal(ch, None)
+            if d is not None:
+                out.append(chr(ord("0") + d))
+                continue
+        out.append(ch)
+    return "".join(out)
+
+
+decimal_digit.pure_map = True  # type: ignore[attr-defined]
+
+
+def apostrophe_filter(term: str) -> str:
+    """``tr/ApostropheFilter.java``: keep only the part before the
+    first apostrophe (Turkish possessive suffixes)."""
+    for i, ch in enumerate(term):
+        if ch == "'" or ch == "’":
+            return term[:i]
+    return term
+
+
+apostrophe_filter.pure_map = True  # type: ignore[attr-defined]
+
+
 def make_length_filter(lo: int, hi: int) -> TermFilter:
     """``LengthFilter`` role: keep terms with lo ≤ len ≤ hi; drops leave
     position gaps (FilteringTokenFilter semantics)."""
@@ -272,6 +333,14 @@ def resolve_filters(names: Sequence[str]) -> Tuple[TermFilter, ...]:
         elif name.startswith("length:"):
             _, lo, hi = name.split(":")
             out.append(make_length_filter(int(lo), int(hi)))
+        elif name.startswith("truncate:"):
+            out.append(make_truncate_filter(int(name.split(":")[1])))
+        elif name == "reverse":
+            out.append(reverse_token)
+        elif name == "decimaldigit":
+            out.append(decimal_digit)
+        elif name == "apostrophe":
+            out.append(apostrophe_filter)
         elif name in _LANG_STEM_NAMES:
             # language stems live in analysis/lang.py (imported lazily:
             # lang.py imports the Analyzer, which resolves filters here)

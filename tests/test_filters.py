@@ -169,3 +169,46 @@ class TestNGramGraphFilters:
             ("ab", 0, 3),
             ("de", 4, 7),
         ]
+
+
+class TestRound5Filters:
+    def test_truncate_codepoints(self):
+        from lucene_ray.analysis.filters import resolve_filters
+
+        (f,) = resolve_filters(("truncate:5",))
+        assert f("istanbullu") == "istan"
+        assert f("ab") == "ab"
+        assert f("𝒜𝒷𝒸𝒹ℯ𝒻") == "𝒜𝒷𝒸𝒹ℯ"  # codepoints, not UTF-16 units
+
+    def test_reverse(self):
+        from lucene_ray.analysis.filters import resolve_filters
+
+        (f,) = resolve_filters(("reverse",))
+        assert f("abc") == "cba"
+        assert f("a𝒜b") == "b𝒜a"  # surrogate pair survives
+
+    def test_decimal_digit(self):
+        from lucene_ray.analysis.filters import resolve_filters
+
+        (f,) = resolve_filters(("decimaldigit",))
+        assert f("٢٠٢٤") == "2024"      # Arabic-Indic
+        assert f("१२३") == "123"        # Devanagari
+        assert f("a٥b5") == "a5b5"
+        assert f("plain7") == "plain7"
+        assert f("Ⅻ") == "Ⅻ"           # Roman numeral: No/Nl, not Nd
+
+    def test_apostrophe(self):
+        from lucene_ray.analysis.filters import resolve_filters
+
+        (f,) = resolve_filters(("apostrophe",))
+        assert f("türkiye'nin") == "türkiye"
+        assert f("o’clock") == "o"
+        assert f("plain") == "plain"
+
+    def test_bad_truncate(self):
+        import pytest
+
+        from lucene_ray.analysis.filters import resolve_filters
+
+        with pytest.raises(ValueError):
+            resolve_filters(("truncate:0",))
