@@ -363,6 +363,8 @@ _LANG_STEM_NAMES = {
     "italianlightstem": "italian_light_stem",
     "portugueselightstem": "portuguese_light_stem",
     "dutchstem": "dutch_snowball_stem",
+    "swedishlightstem": "swedish_light_stem",
+    "norwegianlightstem": "norwegian_light_stem",
 }
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "italian_light_stem",
     "portuguese_light_stem",
     "dutch_snowball_stem",
+    "swedish_light_stem",
+    "norwegian_light_stem",
     "make_elision_filter",
     "cjk_width_fold",
     "CJKBigramFilter",
@@ -50,6 +52,8 @@ __all__ = [
     "ItalianAnalyzer",
     "PortugueseAnalyzer",
     "DutchAnalyzer",
+    "SwedishAnalyzer",
+    "NorwegianAnalyzer",
     "CJKAnalyzer",
     "analyzer_for_lang",
 ]
@@ -641,6 +645,72 @@ def dutch_snowball_stem(term: str) -> str:
 dutch_snowball_stem.pure_map = True  # type: ignore[attr-defined]
 
 
+# -- Swedish -----------------------------------------------------------------
+
+_SV_LEN4 = ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+_SV_LEN2 = ("ar", "er", "or", "en", "at", "te", "et")
+
+
+def swedish_light_stem(term: str) -> str:
+    """``SwedishLightStemmer.stem`` (Savoy, CLEF-2003 monolingual
+    tracks): possessive -s then one suffix group, longest first."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s.endswith(_SV_LEN4):
+        return s[:-4]
+    if n > 5 and (
+        s.endswith("are") or s.endswith("ast") or s.endswith("het")
+    ):
+        return s[:-3]
+    if n > 4 and s.endswith(_SV_LEN2):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+swedish_light_stem.pure_map = True  # type: ignore[attr-defined]
+
+
+# -- Norwegian (Bokmål) --------------------------------------------------------
+
+_NO_LEN4 = ("ende", "else", "este", "eren")
+_NO_LEN3 = ("ere", "est", "ene")
+_NO_LEN2 = ("er", "en", "et", "st", "te")
+
+
+def norwegian_light_stem(term: str) -> str:
+    """``NorwegianLightStemmer.stem`` with the BOKMAAL flag (the
+    ``no/NorwegianAnalyzer`` default register): possessive -s, then the
+    Bokmål suffix groups, longest first."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("heter") or s.endswith("heten")):
+        return s[:-5]
+    if n > 5 and (s.endswith("dom") or s.endswith("het")):
+        return s[:-3]
+    if n > 7 and (s.endswith("elser") or s.endswith("elsen")):
+        return s[:-5]
+    if n > 6 and s.endswith(_NO_LEN4):
+        return s[:-4]
+    if n > 5 and s.endswith(_NO_LEN3):
+        return s[:-3]
+    if n > 4 and s.endswith(_NO_LEN2):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+norwegian_light_stem.pure_map = True  # type: ignore[attr-defined]
+
+
 # ItalianAnalyzer.DEFAULT_ARTICLES (it/ItalianAnalyzer.java:48-54)
 ITALIAN_ARTICLES = frozenset(
     ["c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
@@ -800,6 +870,21 @@ PORTUGUESE_STOP = frozenset(
     será nós tenho lhe deles essas esses pelas este fosse dele"""
     .split()
 )
+SWEDISH_STOP = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till
+    är men ett om hade de av icke mig du henne då sin nu har inte hans
+    honom skulle hennes där min man ej vid kunde något från ut när
+    efter upp vi dem vad över än dig kan sina här ha mot alla under
+    någon eller allt mycket"""
+    .split()
+)
+NORWEGIAN_STOP = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke der
+    så var meg seg men ett har om vi min mitt ha hadde hun nå over da
+    ved fra du ut sin dem oss opp man kan hans hvor eller hva skal
+    selv her alle vil bli ble"""
+    .split()
+)
 DUTCH_STOP = frozenset(
     """de en van ik te dat die in een hij het niet zijn is was op aan
     met als voor had er maar om hem dan zou of wat mijn men dit zo door
@@ -897,6 +982,31 @@ class DutchAnalyzer(Analyzer):
         )
 
 
+class SwedishAnalyzer(Analyzer):
+    """Swedish chain: Standard → LowerCase → Stop → SwedishLightStem —
+    the ``sv/SwedishLightStemFilterFactory`` configuration (the
+    analyzer default plugs Snowball; this module standardizes on the
+    published Savoy light stemmers)."""
+
+    def __init__(self, stopwords=SWEDISH_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords, term_filters=(swedish_light_stem,), **kw
+        )
+
+
+class NorwegianAnalyzer(Analyzer):
+    """Norwegian (Bokmål) chain: Standard → LowerCase → Stop →
+    NorwegianLightStem — the ``no/NorwegianLightStemFilterFactory``
+    configuration, BOKMAAL flag."""
+
+    def __init__(self, stopwords=NORWEGIAN_STOP, **kw):
+        super().__init__(
+            stopwords=stopwords,
+            term_filters=(norwegian_light_stem,),
+            **kw,
+        )
+
+
 class CJKAnalyzer(Analyzer):
     """``cjk/CJKAnalyzer.java:92-99``: Standard → CJKWidth → LowerCase
     → CJKBigram → Stop (stop list is English words, so filtering before
@@ -919,6 +1029,9 @@ _LANG_REGISTRY = {
     "it": ItalianAnalyzer,
     "pt": PortugueseAnalyzer,
     "nl": DutchAnalyzer,
+    "sv": SwedishAnalyzer,
+    "no": NorwegianAnalyzer,
+    "nb": NorwegianAnalyzer,
     "zh": CJKAnalyzer,
     "ja": CJKAnalyzer,
     "ko": CJKAnalyzer,

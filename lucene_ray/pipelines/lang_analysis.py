@@ -1,10 +1,10 @@
 """Language-routed analysis over the documents table — the
-multilingual ``analysis/common`` surface (en/fr/de/es/ru/it/pt/nl/zh
-chains, round 5: +ru/it/pt/nl).
+multilingual ``analysis/common`` surface (en/fr/de/es/ru/it/pt/nl/sv/no/zh
+chains, round 5: +ru/it/pt/nl/sv/no).
 
 The synthetic corpus text is English-like in every language, so each
 doc gets a deterministic MULTILINGUAL probe: the probe LANGUAGE derives
-from ``doc_id % 9`` (so every chain is exercised regardless of the
+from ``doc_id % len(LANGS)`` (so every chain is exercised regardless of the
 corpus ``lang`` distribution) and the probe text from a fixed
 per-language vocabulary (``doc_id`` arithmetic picks the words).  The
 pipeline runs the real analyzer chain for the probe language and emits
@@ -36,9 +36,11 @@ import pyarrow as pa
 
 from lucene_ray.analysis.lang import analyzer_for_lang
 
-# probe language rotation (doc_id % 9); order is load-bearing for the
-# oracle
-LANGS = ("en", "fr", "de", "es", "ru", "it", "pt", "nl", "zh")
+# probe language rotation (doc_id % len(LANGS)); order is load-bearing
+# for the oracle
+LANGS = (
+    "en", "fr", "de", "es", "ru", "it", "pt", "nl", "sv", "no", "zh",
+)
 
 # Fixed probe vocabularies. The golden analyzed form of each word is in
 # _GOLD below; both are frozen — changing one without the other fails
@@ -79,6 +81,14 @@ VOCAB = {
     "nl": [
         "boeken", "kinderen", "lichamelijke", "gebouwen", "appels",
         "vergaderingen", "gemeenten", "huizen", "hebben", "werken",
+    ],
+    "sv": [
+        "flickorna", "böckerna", "svenska", "huset", "bilars",
+        "starkaste", "möjligheten", "lärare", "barnen", "och",
+    ],
+    "no": [
+        "husene", "bilens", "hemmeligheten", "kakene", "sovende",
+        "billigst", "finere", "kristendom", "følelsen", "ikke",
     ],
     "zh": [
         "数据库", "系统", "中文", "信息学", "计算机", "网络",
@@ -126,6 +136,14 @@ _GOLD = {
         "boek", "kinder", "licham", "gebouw", "appel", "vergader",
         "gemeent", "huiz", "", "werk",
     ],
+    "sv": [
+        "flick", "böck", "svensk", "hus", "bil", "stark", "möjlig",
+        "lär", "barn", "",
+    ],
+    "no": [
+        "hus", "bil", "hemmelig", "kak", "sov", "billig", "fin",
+        "kristen", "føl", "",
+    ],
     "zh": [
         "数据 据库", "系统", "中文", "信息 息学", "计算 算机", "网络",
         "人工 工智 智能", "大学", "图书 书馆",
@@ -145,7 +163,7 @@ def probe_text(doc_id: int, lang: str) -> str:
 class MultilingualAnalyze:
     """Actor-pool stage: all analyzer chains built once per actor, and
     every (lang, doc_id mod n_words) equivalence class analyzed once in
-    ``__init__``; ``__call__`` is nine masked numpy gathers per batch."""
+    ``__init__``; ``__call__`` is |LANGS| masked numpy gathers per batch."""
 
     def __init__(self):
         self.tables = {}
@@ -188,7 +206,7 @@ class MultilingualAnalyze:
 def multilingual_analysis(sf_dir: str):
     """→ (doc_id, plang, terms, n_terms) ordered by doc_id: the analyzed
     probe-token stream per document under its probe language's chain
-    (plang = LANGS[doc_id % 9] — all nine chains exercised)."""
+    (plang = LANGS[doc_id % len(LANGS)] — every chain exercised)."""
     import os
 
     import ray.data
@@ -229,7 +247,7 @@ with gold(lang, idx, anal) as (values
 lv(k, lang, n) as (values {lang_rows}),
 d as (
   select doc_id, lv.lang as plang, lv.n
-  from documents join lv on lv.k = documents.doc_id % 9
+  from documents join lv on lv.k = documents.doc_id % {len(LANGS)}
 )
 select d.doc_id, d.plang,
        array_to_string(list_filter([{arr}], x -> x <> ''), ' ') as terms,

@@ -117,6 +117,44 @@ class TestDutchSnowball:
         assert dutch_snowball_stem(w) == s
 
 
+class TestSwedishNorwegianLight:
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("flickorna", "flick"),     # -orna
+            ("böckerna", "böck"),       # -erna (no accent fold in sv)
+            ("huset", "hus"),           # -et
+            ("bilars", "bil"),          # possessive -s then -ar
+            ("starkaste", "stark"),     # -aste
+            ("möjligheten", "möjlig"),  # -heten
+            ("lärare", "lär"),          # -are
+            ("svenska", "svensk"),      # single -a
+        ],
+    )
+    def test_swedish(self, w, s):
+        from lucene_ray.analysis.lang import swedish_light_stem
+
+        assert swedish_light_stem(w) == s
+
+    @pytest.mark.parametrize(
+        "w,s",
+        [
+            ("husene", "hus"),          # -ene
+            ("bilens", "bil"),          # possessive -s then -en
+            ("hemmeligheten", "hemmelig"),  # -heten
+            ("sovende", "sov"),         # -ende
+            ("billigst", "billig"),     # -st (bokmål)
+            ("finere", "fin"),          # -ere
+            ("kristendom", "kristen"),  # -dom
+            ("følelsen", "føl"),        # -elsen
+        ],
+    )
+    def test_norwegian(self, w, s):
+        from lucene_ray.analysis.lang import norwegian_light_stem
+
+        assert norwegian_light_stem(w) == s
+
+
 class TestChains:
     def test_registry_routes(self):
         assert isinstance(analyzer_for_lang("ru"), RussianAnalyzer)
