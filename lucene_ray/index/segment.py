@@ -468,7 +468,13 @@ def _invert_flat(
         np.arange(n_docs, dtype=np.int64), lengths
     )
     key = rank[codes] * n_docs + docid_per_tok
-    perm = np.argsort(key, kind="stable")  # stable keeps positions in order
+    if n_terms * n_docs < (1 << 32):
+        # 4-byte radix key when (term, doc) space fits uint32 — halves
+        # the stable-sort's memory traffic (the build leg is DRAM-bound
+        # at 32-way task concurrency); order is identical
+        perm = np.argsort(key.astype(np.uint32), kind="stable")
+    else:
+        perm = np.argsort(key, kind="stable")  # stable keeps positions in order
     skey = key[perm]
 
     pair_start_mask = np.empty(len(skey), dtype=bool)
