@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_ranked": hl.highlight_ranked,  # NEW r5: passage-ranked
         "knn_byte": bknn.knn_byte,  # NEW r5: KnnByteVectorField
         "lmjelinekmercer_topk": sq.lmjelinekmercer_topk,  # NEW r5
+        "geo_distance_sort": geo.geo_distance_sort,  # NEW r5: DV distance sort
         # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_offsets": hl.sql_highlight_offsets(),
         "highlight_ranked": hl.sql_highlight_ranked(),
         "knn_byte": bknn.sql_knn_byte(),
+        "geo_distance_sort": geo.sql_geo_distance_sort(),
         "multi_phrase_search": sq.sql_multi_phrase_search(),
         "sloppy_phrase_search": sq.sql_sloppy_phrase_search(),
         "dismax_topk": sq.sql_dismax_topk(),

@@ -37,6 +37,7 @@ from lucene_ray.index.geo import (
     decode_longitude,
     encode_latitude,
     encode_longitude,
+    haversin_meters,
 )
 from lucene_ray.pipelines.geo_index import (
     PHI1 as _PHI1,
@@ -109,6 +110,101 @@ def geo_distance_search(sf_dir: str):
     (``LatLonPoint.newDistanceQuery``: circle-bbox prune + exact refine
     on decoded coordinates), answered by the committed index."""
     return _run(sf_dir, "distance")
+
+
+SORT_K = 25
+
+
+def geo_distance_sort(sf_dir: str):
+    """Top-``SORT_K`` docs NEAREST to ``CENTER`` — the
+    ``LatLonDocValuesField.newDistanceSort`` role
+    (``core/document/LatLonDocValuesField.java`` +
+    ``core/search/comparators/`` distance comparator): exact haversine
+    over the DECODED quantized coordinates, ascending, docid tie-break.
+
+    Ray shape: one task per segment over the committed index's geo
+    sidecar (all coordinates of a segment score in one vectorized
+    haversine — the doc-values comparator's exhaustive leg), per-segment
+    top-k, tiny driver merge. → (rank, doc_id, dist_cm) where dist_cm =
+    floor(meters·100 + 0.5) (the ranking itself uses the full double)."""
+    import ray
+
+    from lucene_ray.index.manifest import load_manifest, segment_dir
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.pipelines.geo_index import get_or_build_geo_index
+
+    idx = get_or_build_geo_index(sf_dir)
+    man = load_manifest(idx)
+
+    @ray.remote(num_cpus=1)
+    def seg_task(sdir: str):
+        seg = SegmentReader(sdir)
+        gi = seg.geo_index("loc")
+        d = haversin_meters(
+            decode_latitude(np.asarray(gi.lat)),
+            decode_longitude(np.asarray(gi.lon)),
+            CENTER[0],
+            CENTER[1],
+        )
+        keys = np.asarray(
+            seg.docmap.take(pa.array(np.asarray(gi.ids, dtype=np.int64)))
+        ).astype(np.int64)
+        # rank on the centimeter quantization (ties → doc_id): sub-cm
+        # distance differences must not decide order, or a last-ulp
+        # double discrepancy between engines could flip ranks
+        cm = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((keys, cm))[:SORT_K]
+        return cm[order], keys[order]
+
+    futs = [
+        seg_task.remote(
+            s.get("dir") or segment_dir(idx, int(s["seg_id"]))
+        )
+        for s in man.segments
+    ]
+    parts = ray.get(futs)
+    cm_all = np.concatenate([p[0] for p in parts])
+    k_all = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((k_all, cm_all))[:SORT_K]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "doc_id": pa.array(k_all[order], pa.int64()),
+            "dist_cm": pa.array(cm_all[order], pa.int64()),
+        }
+    )
+
+
+def sql_geo_distance_sort() -> str:
+    lat, lon = CENTER
+    return f"""
+with {_derive_cte()},
+pts as (
+  select doc_id,
+         lat_enc * {LATITUDE_DECODE!r} as lat,
+         lon_enc * {LONGITUDE_DECODE!r} as lon
+  from base
+),
+d as (
+  select doc_id,
+         2.0 * 6371008.7714 * asin(sqrt(
+           pow(sin((radians(lat) - radians({lat!r})) / 2), 2)
+           + cos(radians({lat!r})) * cos(radians(lat))
+             * pow(sin((radians(lon) - radians({lon!r})) / 2), 2)
+         )) as dist
+  from pts
+),
+r as (
+  select doc_id, cast(floor(dist * 100.0 + 0.5) as bigint) as dist_cm,
+         row_number() over (
+           order by floor(dist * 100.0 + 0.5) asc, doc_id asc
+         ) - 1 as rank
+  from d
+)
+select cast(rank as bigint) as rank, doc_id, dist_cm
+from r where rank < {SORT_K}
+order by rank
+"""
 
 
 # -- oracles ---------------------------------------------------------------

@@ -267,3 +267,28 @@ class TestDeletesAndErrors:
         s = IndexSearcher(idx)
         with pytest.raises(ValueError, match="relation"):
             s.search(RangeFieldQuery("iv", "overlaps", 1, 2), k=5)
+
+
+class TestDistanceSort:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+
+        from lucene_ray.pipelines.geo import (
+            geo_distance_sort,
+            sql_geo_distance_sort,
+        )
+
+        SF = "/root/testdata/sf0.001"
+        got = geo_distance_sort(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from "
+            f"'{SF}/documents.parquet'"
+        )
+        want = con.execute(sql_geo_distance_sort()).df()
+        assert len(got) == len(want) > 0
+        for c in ["rank", "doc_id", "dist_cm"]:
+            assert (got[c].values == want[c].values).all(), c
+        # ascending distance, dense ranks
+        assert (np.diff(got["dist_cm"].values) >= 0).all()
+        assert got["rank"].tolist() == list(range(len(got)))
