@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_byte": bknn.knn_byte,  # NEW r5: KnnByteVectorField
         "lmjelinekmercer_topk": sq.lmjelinekmercer_topk,  # NEW r5
         "geo_distance_sort": geo.geo_distance_sort,  # NEW r5: DV distance sort
+        "dfr_inl2_topk": sq.dfr_inl2_topk,  # NEW r5: DFR I(n)L2
         # --- last driver row: round 2 (rotate in, VERDICT r4 #5) ---
         "bm25_topk": sq.bm25_topk,
         "bm25_topk_plain": sq.bm25_topk_plain,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_topk": sq.sql_classic_tfidf_topk(),
         "lmdirichlet_topk": sq.sql_lmdirichlet_topk(),
         "lmjelinekmercer_topk": sq.sql_lmjelinekmercer_topk(),
+        "dfr_inl2_topk": sq.sql_dfr_inl2_topk(),
         "sort_by_field": sq.sql_sort_by_field(),
         "sort_by_field_page2": sq.sql_sort_by_field_page2(),
         "sort_multi": sq.sql_sort_multi(),

@@ -299,6 +299,14 @@ def lmjelinekmercer_topk(sf_dir: str):
     return _run(sf_dir, TERM_QUERIES, similarity="lmjelinekmercer")
 
 
+def dfr_inl2_topk(sf_dir: str):
+    """Same term workload under DFR I(n)L2
+    (``DFRSimilarity.java`` + BasicModelIn/AfterEffectL/
+    NormalizationH2(1)): double DFR score, clamp at 0, narrow to
+    float32."""
+    return _run(sf_dir, TERM_QUERIES, similarity="dfr_inl2")
+
+
 def bm25_topk_shuffle(sf_dir: str):
     """Same query set over an index built by the groupby-term SHUFFLE build
     with head-term salting (index.shuffle_build) — must match the same
@@ -1464,6 +1472,50 @@ tscore as (
   from tf
   join qterms q on q.qid = tf.qid and q.ti = tf.ti
   join ttfs t on t.term = q.term
+  join docnorm dn on dn.doc_id = tf.doc_id
+  join nt on nt.b = dn.nb
+),
+ranked as (
+  select qid, doc_id, s as score,
+         row_number() over (partition by qid order by s desc, doc_id asc) as rn
+  from tscore
+)
+select cast(qid as int) as qid, cast(rn - 1 as int) as rank, doc_id,
+       cast(score as float) as score
+from ranked where rn <= {K}
+"""
+
+
+def sql_dfr_inl2_topk() -> str:
+    """DFR I(n)L2 oracle: double math (log2 = ln/ln(2), the
+    reference's SimilarityBase.log2), clamp at 0, single narrow to
+    float32; boost and the L after-effect factor are exact 1.0
+    multiplies and omitted."""
+    return f"""{_PRELUDE},
+qterms(qid, ti, term, occur) as (
+  values {_qterms_values(TERM_QUERIES)}
+),
+tf as (
+  select q.qid, q.ti, tok.doc_id, count(*)::bigint as tf
+  from qterms q join tok on tok.term = q.term
+  group by 1, 2, 3
+),
+df as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from qterms) group by term
+),
+tscore as (
+  select tf.qid, tf.doc_id,
+         cast(greatest(
+           (ln(((select doc_count from stats) + 1) / (d.df + 0.5)) / ln(2))
+           * (1.0 - 1.0 / (1.0 +
+               cast(tf.tf as double)
+               * (ln(1.0 + (select sum_ttf / cast(doc_count as double)
+                            from stats) / cast(nt.dec as double)) / ln(2)))),
+           0.0) as float) as s
+  from tf
+  join qterms q on q.qid = tf.qid and q.ti = tf.ti
+  join df d on d.term = q.term
   join docnorm dn on dn.doc_id = tf.doc_id
   join nt on nt.b = dn.nb
 ),

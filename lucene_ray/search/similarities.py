@@ -299,6 +299,65 @@ class LMJelinekMercerSimilarity(Similarity):
         )
 
 
+_LOG_2 = math.log(2.0)
+
+
+@dataclass
+class DFRInL2Scorer:
+    """DFR I(n)L2 (``DFRSimilarity.java:127-130`` with ``BasicModelIn``
+    + ``AfterEffectL`` + ``NormalizationH2(c=1)``): tfn = freq ·
+    log2(1 + avgdl/dl); score = boost · log2((N+1)/(n+0.5)) ·
+    aeTimes1pTfn · (1 − 1/(1+tfn)) with aeTimes1pTfn = 1 (the L after
+    effect), clamped at 0 and narrowed to float32 by
+    ``SimilarityBase.BasicSimScorer.score``. log2 = ln/ln2, the
+    reference's ``SimilarityBase.log2``."""
+
+    boost: float  # double
+    basic_a: float  # log2((N+1)/(n+0.5)), double
+    avgdl: float  # double
+    doc_len_table: np.ndarray  # float64[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=F64)
+        dl = self.doc_len_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        tfn = f * (np.log(1.0 + self.avgdl / dl) / _LOG_2)
+        s = self.boost * (
+            self.basic_a * 1.0 * (1.0 - 1.0 / (1.0 + tfn))
+        )
+        return np.maximum(s, 0.0).astype(F32)
+
+    def max_score(self, max_freq: float, best_norm_byte: int | None = None) -> np.float32:
+        nb = (
+            int(np.argmin(self.doc_len_table))
+            if best_norm_byte is None
+            else best_norm_byte
+        )
+        return F32(self.score(np.array([max_freq], F64), np.array([nb], np.uint8))[0])
+
+
+class DFRInL2Similarity(Similarity):
+    """``DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(1))``
+    — the canonical I(n)L2 divergence-from-randomness configuration."""
+
+    name = "dfr_inl2"
+
+    def scorer(
+        self,
+        boost: float,
+        doc_count: int,
+        sum_total_term_freq: int,
+        doc_freq: int,
+        total_term_freq: int = 0,
+    ) -> DFRInL2Scorer:
+        a = math.log((doc_count + 1) / (doc_freq + 0.5)) / _LOG_2
+        return DFRInL2Scorer(
+            boost=float(F32(boost)),
+            basic_a=a,
+            avgdl=sum_total_term_freq / float(doc_count),
+            doc_len_table=np.asarray(LENGTH_TABLE, dtype=F64),
+        )
+
+
 @dataclass
 class ConstScorer:
     weight: np.float32
@@ -346,6 +405,7 @@ SIMILARITIES = {
     "tfidf": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "dfr_inl2": DFRInL2Similarity,
     "boolean": BooleanSimilarity,
 }
 

@@ -203,6 +203,36 @@ class TestLMJelinekMercer:
                 LMJelinekMercerSimilarity(lam=bad)
 
 
+def naive_dfr_inl2(cm, term, doc, boost=1.0):
+    freq = cm["docs"][doc].count(term)
+    if freq == 0:
+        return None
+    N = cm["doc_count"]
+    n = cm["df"][term]
+    avgdl = cm["sum_ttf"] / float(N)
+    dl = float(LENGTH_TABLE[cm["nb"][doc]])
+    log2 = math.log(2.0)
+    tfn = freq * (math.log(1.0 + avgdl / dl) / log2)
+    a = math.log((N + 1) / (n + 0.5)) / log2
+    s = float(F32(boost)) * (a * 1.0 * (1.0 - 1.0 / (1.0 + tfn)))
+    return F32(max(s, 0.0))
+
+
+class TestDFRInL2:
+    def test_term_scores_match_naive(self, index_dir, corpus_model):
+        from lucene_ray.search.similarities import DFRInL2Similarity
+
+        s = IndexSearcher(index_dir, similarity=DFRInL2Similarity())
+        for term in TERMS:
+            r = s.search(term, k=10**9, mode="exhaustive")
+            assert len(r["keys"]) > 0
+            for doc, score in zip(r["keys"], r["scores"]):
+                assert score == naive_dfr_inl2(corpus_model, term, doc), (
+                    term,
+                    doc,
+                )
+
+
 class TestBoolean:
     def test_scores_equal_boost(self, index_dir):
         s = IndexSearcher(index_dir, similarity=BooleanSimilarity())
