@@ -95,6 +95,98 @@ def check_segment(seg_dir: str) -> List[str]:
         except Exception as e:
             problems.append(f"{seg_dir}: points {pf!r} check failed: {e}")
 
+    for gf, info in (meta.get("geo") or {}).items():
+        # geo sidecar (LatLonPoint/2-D BKD role): morton order, stored
+        # directory == recomputed block min-max, in-range docids, and
+        # exactly the rows where BOTH coordinate DVs are non-null
+        try:
+            import pyarrow.compute as pc
+
+            from lucene_ray.index.geo import morton_interleave
+
+            gi = seg.geo_index(gf)
+            if len(gi.ids) != info["n"]:
+                problems.append(f"{seg_dir}: geo {gf!r} length != meta n")
+            if len(gi.ids):
+                mk = morton_interleave(
+                    np.asarray(gi.lat), np.asarray(gi.lon)
+                )
+                # unsigned compare (np.diff on uint64 wraps on decrease)
+                if (mk[1:] < mk[:-1]).any():
+                    problems.append(
+                        f"{seg_dir}: geo {gf!r} not in morton order"
+                    )
+                docs = np.asarray(gi.ids, dtype=np.int64)
+                if docs.max() >= meta["n_docs"] or docs.min() < 0:
+                    problems.append(
+                        f"{seg_dir}: geo {gf!r} docid out of range"
+                    )
+                la_ok = np.asarray(pc.is_valid(seg.dv(info["lat_col"])))
+                lo_ok = np.asarray(pc.is_valid(seg.dv(info["lon_col"])))
+                want = np.flatnonzero(la_ok & lo_ok)
+                if not np.array_equal(np.sort(docs), want):
+                    problems.append(
+                        f"{seg_dir}: geo {gf!r} doc set != non-null DV rows"
+                    )
+                from lucene_ray.index.geo import GeoBlocks
+
+                fresh = GeoBlocks(
+                    np.asarray(gi.lat),
+                    np.asarray(gi.lon),
+                    np.asarray(gi.ids),
+                    block_size=gi.block_size,
+                    presorted=True,
+                )
+                if not (
+                    np.array_equal(fresh.blk_lat_min, gi.blk_lat_min)
+                    and np.array_equal(fresh.blk_lat_max, gi.blk_lat_max)
+                    and np.array_equal(fresh.blk_lon_min, gi.blk_lon_min)
+                    and np.array_equal(fresh.blk_lon_max, gi.blk_lon_max)
+                ):
+                    problems.append(
+                        f"{seg_dir}: geo {gf!r} stored directory != "
+                        "recomputed block min-max"
+                    )
+        except Exception as e:
+            problems.append(f"{seg_dir}: geo {gf!r} check failed: {e}")
+
+    for rf, info in (meta.get("ranges") or {}).items():
+        # range sidecar (IntRange role): lo-sorted, lo<=hi, in-range
+        # docids, stored hi directory == recomputed
+        try:
+            from lucene_ray.index.ranges import RangeBlocks
+
+            ri = seg.range_index(rf)
+            if len(ri.ids) != info["n"]:
+                problems.append(f"{seg_dir}: ranges {rf!r} length != meta n")
+            if len(ri.ids):
+                lo = np.asarray(ri.lo)
+                hi = np.asarray(ri.hi)
+                if (np.diff(lo) < 0).any():
+                    problems.append(
+                        f"{seg_dir}: ranges {rf!r} lo not sorted"
+                    )
+                if (hi < lo).any():
+                    problems.append(f"{seg_dir}: ranges {rf!r} hi < lo")
+                docs = np.asarray(ri.ids, dtype=np.int64)
+                if docs.max() >= meta["n_docs"] or docs.min() < 0:
+                    problems.append(
+                        f"{seg_dir}: ranges {rf!r} docid out of range"
+                    )
+                fresh = RangeBlocks(
+                    lo, hi, docs, block_size=ri.block_size, presorted=True
+                )
+                if not (
+                    np.array_equal(fresh.blk_hi_min, ri.blk_hi_min)
+                    and np.array_equal(fresh.blk_hi_max, ri.blk_hi_max)
+                ):
+                    problems.append(
+                        f"{seg_dir}: ranges {rf!r} stored directory != "
+                        "recomputed hi min-max"
+                    )
+        except Exception as e:
+            problems.append(f"{seg_dir}: ranges {rf!r} check failed: {e}")
+
     if meta.get("term_vectors"):
         # term-vector row store: file present, docids sorted + in range,
         # freqs positive, terms sorted within each doc
