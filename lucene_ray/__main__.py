@@ -59,6 +59,12 @@ def main(argv=None):
     b.add_argument("--point-cols", default="",
                    help="comma-separated dv columns that also get the 1-D "
                         "point sidecar (LongPoint/BKD range filtering)")
+    b.add_argument("--geo-cols", default="",
+                   help="geo point fields as field=lat_col:lon_col,... "
+                        "(LatLonPoint role; cols must be in --dv-cols)")
+    b.add_argument("--range-cols", default="",
+                   help="interval fields as field=lo_col:hi_col,... "
+                        "(IntRange role; cols must be in --dv-cols)")
     b.add_argument("--term-vectors", action="store_true",
                    help="store per-doc (term, freq) vectors "
                         "(TermVectorsFormat role)")
@@ -121,6 +127,20 @@ def main(argv=None):
         if args.index_sort:
             f_, _, d_ = args.index_sort.partition(":")
             isort = (f_, d_ or "asc")
+
+        def _triples(v):
+            # "field=colA:colB,..." → ((field, colA, colB), ...)
+            out = []
+            for item in _cols(v):
+                f_, _, pair = item.partition("=")
+                a_, _, b_ = pair.partition(":")
+                if not (f_ and a_ and b_):
+                    raise SystemExit(
+                        f"bad field spec {item!r}; want field=colA:colB"
+                    )
+                out.append((f_, a_, b_))
+            return tuple(out)
+
         cfg = IndexConfig(
             key_col=args.key_col,
             text_col=args.text_col,
@@ -130,6 +150,8 @@ def main(argv=None):
             keyword_cols=_cols(args.keyword_cols),
             dv_cols=_cols(args.dv_cols),
             point_cols=_cols(args.point_cols),
+            geo_cols=_triples(args.geo_cols),
+            range_cols=_triples(args.range_cols),
             index_sort=isort,
             store_term_vectors=args.term_vectors,
         )
