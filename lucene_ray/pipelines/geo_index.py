@@ -55,6 +55,11 @@ def derive_interval(ids: np.ndarray):
 
 
 def _derived_parquet(sf_dir: str) -> str:
+    """Gate-scale convenience: the derivation runs on the driver over
+    the small test table. At 100 TB the identical derivation is a
+    ``map_batches`` ``add_column`` stage writing partitioned parquet
+    (pure per-row arithmetic, no shuffle); only this materialization
+    point changes, the index build consumes parquet either way."""
     docs = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha1(
         f"geo_derived:{os.path.abspath(docs)}:{os.path.getmtime(docs)}".encode()

@@ -353,13 +353,22 @@ def highlight_ranked(sf_dir: str):
         ]
         win_pidx = ppidx[firsts]
         win_score = score[firsts]
-        # assemble winning windows' text (one join per output row)
-        tl = flat.to_pylist()
+        # assemble winning windows' text: gather ONLY the winners'
+        # tokens (≤ W per row) — never materialize the batch's full
+        # token array as Python objects
+        win_a = offs[:-1] + win_pidx * PASSAGE_W
+        win_z = np.minimum(offs[1:], win_a + PASSAGE_W)
+        wlens = win_z - win_a
+        gather = np.repeat(win_a, wlens) + (
+            np.arange(int(wlens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(wlens) - wlens, wlens)
+        )
+        wtoks = flat.take(pa.array(gather)).to_pylist()
         out_passage = []
-        for r in range(n):
-            a = int(offs[r] + win_pidx[r] * PASSAGE_W)
-            z = int(min(offs[r + 1], a + PASSAGE_W))
-            out_passage.append(" ".join(tl[a:z]))
+        pos = 0
+        for L in wlens:
+            out_passage.append(" ".join(wtoks[pos : pos + int(L)]))
+            pos += int(L)
         return pa.table(
             {
                 "qid": pa.array(qid, pa.int32()),
